@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A registered engine query.
+  *
+  * @param name   stable key, used by Verify/Bench and the driver's CORRECTNESS report
+  * @param fn     (spark, sfDir) => result DataFrame. Must be deterministic: column
+  *               names aliased to match `oracle`, rows ordered by a unique key, all
+  *               floating aggregates computed with the decimal-exact pattern (per-row
+  *               math in DOUBLE, aggregation via DECIMAL cast, final cast to DOUBLE)
+  *               so the DuckDB oracle hash-matches bit-for-bit.
+  * @param oracle equivalent ANSI SQL runnable by DuckDB over the same parquet tables
+  *               (None for non-SQL-expressible operators -> rows-only check).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** A module contributing queries to the [[SparkEntry]] registry. */
+trait QueryModule {
+  def queries: Seq[Q]
+}
+
+/** Readers for the driver-generated test tables (TESTDATA.md / FIXTURES.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+      // default; read it as a long and truncate to µs — exactly what DuckDB's
+      // TIMESTAMP (µs) read of the same file yields, so oracle values match.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
