@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    operators.CoreOps
+    operators.CoreOps,
+    operators.RelationalOps,
+    operators.TimeWindowOps,
+    operators.TextOps,
+    operators.DedupOps,
+    operators.SimilarityOps,
+    operators.MultimodalOps
   )
 
   private lazy val all: Seq[Q] = {

@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (north star):
+  * exact hash-dedup, token-shingle Jaccard, MinHash+LSH banding, SimHash.
+  * No reference analog beyond per-batch `distinct()` (SURVEY.md §2.4 D1) —
+  * these are its corpus-scale generalizations.
+  *
+  * Every hash is derived from md5 (available identically in Spark and
+  * DuckDB), so the entire pipeline — signatures, bands, candidate pairs,
+  * exact Jaccard verification — is integer-exact and oracle-checkable.
+  *
+  * Scale posture (100 TB): shingling is a narrow explode; signatures are one
+  * hash-aggregate (16 mins) per doc; LSH banding turns the quadratic
+  * all-pairs problem into an equi-join on (band, key) — the shuffle carries
+  * one row per (doc, band), and only same-bucket docs ever meet. Exact
+  * Jaccard runs on candidate pairs only. The all-pairs SimHash join below is
+  * banded the same way (prefix blocks) before the hamming filter.
+  */
+object DedupOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  private val P = 2147483647L // 2^31 - 1; (a*h+b) stays < 2^62
+  /** Fixed MinHash permutation constants (k=16), a odd, both < P. */
+  private val AB: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1588635695L, 545925293L), (6364136223L % P, 1442695040L),
+    (25214903917L % P, 11L), (134775813L, 1L), (214013L, 2531011L),
+    (22695477L, 1L), (69069L, 1234567L), (1664525L, 1013904223L),
+    (8121L, 28411L), (4096L, 150889L), (741103597L, 887987685L),
+    (1597334677L, 851723965L), (747796405L, 2891336453L % P), (48271L, 0L),
+    (16807L, 0L))
+
+  /** 64-bit hash from md5 (first 15 hex digits), mod P — identical in both
+    * engines: Spark conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT). */
+  private def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+  private def h64Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % $P"
+
+  /** doc_id + distinct 3-token shingles. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("sh"))
+      .distinct()
+
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id,
+      |  unnest(list_transform(generate_series(1, len(toks) - 2),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** Exact dedup: group by full text hash, keep min doc_id. */
+  private def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  // ---- n-gram Jaccard -----------------------------------------------------
+
+  /** Exact shingle-Jaccard near-dup pairs (≥ 0.3). The shingle equi-join is
+    * the blocking step: only docs sharing ≥1 shingle are ever paired. */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+    val inter = a.join(b, "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** MinHash signatures (k=16): one row per doc, 16 min-hash columns. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val base = shingles(s, dir).withColumn("h", h64(col("sh")))
+    val aggs = AB.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private def minhashSigSql: String = {
+    val cols = AB.zipWithIndex.map { case ((a, b), j) =>
+      s"MIN(($a * h + $b) % $P) AS mh$j"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $cols
+       |FROM (SELECT doc_id, ${h64Sql("sh")} AS h
+       |      FROM ($shinglesSql))
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** MinHash LSH near-dup pairs: 4 bands × 4 rows → same-bucket candidates →
+    * exact Jaccard ≥ 0.3 verification. */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(bnd =>
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh2")), "b_id")
+      .filter(col("sh") === col("sh2"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def minhashLshSql: String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.a_id, i.b_id,
+       |       i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
+       |WHERE i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 32-bit SimHash per doc from distinct-token md5 hashes: bit j is the
+    * majority vote of token-hash bit j. Pure integer math. */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", h64(col("tok")))
+    val bitSums = (0 until 32).map(j =>
+      sum(shiftright(col("h"), j) % 2).as(s"s$j"))
+    val grouped = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = (0 until 32).map(j =>
+      when(lit(2) * col(s"s$j") > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col("doc_id"), sim.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def simhashSql: String = {
+    val bitSums = (0 until 32).map(j => s"SUM((h >> $j) % 2) AS s$j").mkString(",\n    ")
+    val simExpr = (0 until 32).map(j =>
+      s"CASE WHEN 2 * s$j > n THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hs AS (
+       |  SELECT doc_id, ${h64Sql("tok")} AS h FROM toks
+       |), grouped AS (
+       |  SELECT doc_id, COUNT(*) AS n,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
+       |FROM grouped""".stripMargin
+  }
+
+  private def simhashQuery(s: SparkSession, dir: String): DataFrame = simhash(s, dir)
+
+  /** SimHash near-dup pairs: block on the top-16-bit prefix (the LSH step —
+    * at corpus scale only same-block docs meet), then hamming ≤ 10. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir).withColumn("blk", shiftright(col("simhash"), 16))
+    sig.as("x").join(sig.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 10)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def simhashPairsSql: String =
+    s"""WITH sig AS ($simhashSql),
+       |blk AS (SELECT doc_id, simhash, simhash >> 16 AS blk FROM sig)
+       |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM blk x JOIN blk y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+       |ORDER BY a_id, b_id""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("exact_dedup", exactDedup, Some(
+      """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+    Q("ngram_jaccard_pairs", ngramJaccard, Some(
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id, i.inter,
+         |       i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a_id
+         |JOIN sizes sb ON sb.doc_id = i.b_id
+         |WHERE i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin)),
+    Q("minhash_signatures", minhashSig, Some(minhashSigSql + "\nORDER BY doc_id")),
+    Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),
+    Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),
+    Q("simhash_pairs", simhashPairs, Some(simhashPairsSql))
+  )
+}

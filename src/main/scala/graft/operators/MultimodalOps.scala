@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal record: opaque binary payload + typed metadata (north star —
+  * image/audio/video as BinaryType columns). Payloads here are the utf-8
+  * bytes of documents.text (no media libs in this container); the Spark-side
+  * plumbing — schema, batch iteration, partitioning — is real.
+  */
+case class MediaRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    mime: String,
+    lang: String,
+    n_chars: Long)
+
+/** Deterministic stand-in for decoded media features. A real deployment
+  * swaps [[MultimodalOps.decodeBatch]]'s body for an image/audio decoder
+  * (the batch-iterator shape is exactly what a JNI/FFI decoder wants);
+  * everything around it is unchanged.
+  */
+case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    head_byte: Long,
+    checksum: Long,
+    n_frames: Long)
+
+/** Multimodal-column operators: binary payload modeling, metadata projection,
+  * batched "decode"/feature extraction via mapPartitions, frame sampling via
+  * binary slicing.
+  *
+  * Scale posture: payloads never leave their partition — decode is a narrow
+  * mapPartitions (one decoder init per partition, amortized like the
+  * reference's foreachPartition connections, KafkaStreamerToHbase.scala:88);
+  * metadata-only queries prune the payload column at the parquet scan.
+  */
+object MultimodalOps extends QueryModule {
+
+  /** documents → multimodal table: binary payload + metadata struct. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("mime"),
+        col("lang"),
+        col("n_chars"))
+
+  /** STUB decode (clearly marked): deterministic fake features standing in
+    * for an image/audio decoder. Real decode would replace only the body of
+    * the `map` below — the batched mapPartitions shape stays.
+    */
+  def decodeBatch(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRecord].mapPartitions { it =>
+      // one "decoder" per partition (amortized init, like a real codec)
+      it.map { r =>
+        val bytes = r.payload
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        MediaFeatures(
+          doc_id = r.doc_id,
+          n_bytes = bytes.length.toLong,
+          head_byte = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else -1L,
+          checksum = sum,
+          n_frames = (bytes.length.toLong + 255L) / 256L)
+      }
+    }
+  }
+
+  /** Metadata + payload stats — relational only, payload length/hash pushed
+    * into codegen'd expressions. */
+  private def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("mime"), col("lang"), col("n_chars"),
+        md5(substring(col("payload"), 1, 16)).as("head16_md5"),
+        expr("(length(payload) + 255) div 256").cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val df = decodeBatch(s, dir).toDF()
+    df.orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: every 256-byte "frame", keep its first 8 bytes (as hex)
+    * — binary slicing stays columnar; one output row per (doc, frame). */
+  private def frameSample(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          expr("(length(payload) + 255) div 256 - 1").cast("int"))).as("frame_id"))
+      .select(
+        col("doc_id"),
+        col("frame_id").cast("long").as("frame_id"),
+        expr("md5(substring(payload, frame_id * 256 + 1, 8))").as("frame_head_md5"))
+      .orderBy(col("doc_id"), col("frame_id"))
+
+  override def queries: Seq[Q] = Seq(
+    Q("multimodal_meta", mediaMeta, Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'text/plain' AS mime, lang, n_chars,
+        |  md5(substr(text, 1, 16)) AS head16_md5,
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    // mapPartitions decode path — not SQL-expressible; rows-only check
+    Q("multimodal_features", mediaFeatures, None),
+    Q("multimodal_frame_sample", frameSample, Some(
+      """SELECT doc_id, CAST(f.frame_id AS BIGINT) AS frame_id,
+        |  md5(substr(text, CAST(f.frame_id * 256 + 1 AS INT), 8)) AS frame_head_md5
+        |FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(0,
+        |     (octet_length(encode(text)) + 255) // 256 - 1)) AS frame_id) f
+        |WHERE doc_id < 50
+        |ORDER BY doc_id, frame_id""".stripMargin))
+  )
+}

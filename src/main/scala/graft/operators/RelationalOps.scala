@@ -1,0 +1,348 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Superset relational operators (SURVEY.md §2.7 / §7.3 M3): joins of every
+  * flavor, ranking/analytic window functions, rollup/cube, set operations,
+  * global top-k, pivot, JSON extraction. The reference has none of these
+  * (SURVEY.md §2.7) — they are the north-star analytics surface.
+  *
+  * Scale posture: fact-fact joins shuffle on join keys with AQE; dimension
+  * joins are explicitly `broadcast()` (nation/region/supplier/customer are
+  * tiny at any SF — TPC-H dims grow sublinearly vs lineitem). Aggregates use
+  * the decimal-exact pattern (per-row DOUBLE math, DECIMAL accumulation,
+  * final DOUBLE) so results are order-independent → identical under any
+  * parallelism, which is both the 1000-executor determinism story and the
+  * DuckDB-oracle story.
+  */
+object RelationalOps extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** SUM(expr) computed exactly: per-row double, decimal-summed, double out. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  // ---- TPC-H Q1 analog: scan + filter + wide aggregate --------------------
+
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---- TPC-H Q3 analog: 3-way join + agg + top-k --------------------------
+
+  private def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---- TPC-H Q5 analog: 6-way join with broadcast dims --------------------
+
+  private def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // ---- semi / anti joins --------------------------------------------------
+
+  /** Left-semi: customers having at least one open ('O') order. */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val openOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    t(s, dir, "customer")
+      .join(openOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti: customers with no pending ('P') order. */
+  private def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  // ---- window functions ---------------------------------------------------
+
+  /** Ranking: top-3 orders per customer by totalprice (row_number). */
+  private def windowTopkPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Analytic frame: per-supplier running quantity + lag over ship order. */
+  private def windowRunningSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast(DecimalType(38, 6)))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"),
+        lag(col("l_quantity"), 1).over(ord).as("prev_qty"),
+        rank().over(Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc,
+          col("l_orderkey"), col("l_linenumber"))).as("qty_rank"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ---- grouping sets / rollup / cube --------------------------------------
+
+  private def rollupReturns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private def cubeSegmentPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
+
+  // ---- set operations -----------------------------------------------------
+
+  /** INTERSECT (set semantics): users who both clicked and purchased. */
+  private def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** EXCEPT (set semantics): users with a high-value error but no
+    * high-value purchase. */
+  private def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_type") === "error" && col("value") > 180.0)
+      .select(col("user_id"))
+      .except(ev.filter(col("event_type") === "purchase" && col("value") > 180.0)
+        .select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** UNION ALL + re-aggregate across two branches. */
+  private def setUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hi = ev.filter(col("value") > 150.0)
+      .select(col("event_type"), lit("high").as("band"))
+    val lo = ev.filter(col("value") <= 50.0)
+      .select(col("event_type"), lit("low").as("band"))
+    hi.unionAll(lo)
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("band"))
+  }
+
+  // ---- global top-k -------------------------------------------------------
+
+  /** ORDER BY … LIMIT k — plans as TakeOrderedAndProject (per-partition top-k
+    * + driver merge of k·partitions rows, never a global sort of the table). */
+  private def topkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // ---- pivot --------------------------------------------------------------
+
+  /** Pivot event counts per user (explicit value list → no extra distinct job). */
+  private def pivotUserEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, ty) => df.withColumn(ty, coalesce(col(ty), lit(0L))))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- JSON extraction ----------------------------------------------------
+
+  /** get_json_object over events.props (≈ the reference's opaque Kafka value
+    * given structure — SURVEY.md §1.3 north-star MapType/JSON note). */
+  private def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  override def queries: Seq[Q] = Seq(
+    Q("q1_pricing_summary", q1Pricing, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    Q("q3_shipping_priority", q3Shipping, Some(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)),
+    Q("q5_local_supplier", q5LocalSupplier, Some(
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin)),
+    Q("semi_join_open_orders", semiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("anti_join_orderless", antiJoin, Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("window_topk_per_customer", windowTopkPerCustomer, Some(
+      """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+    Q("window_running_supplier", windowRunningSupplier, Some(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  LAG(l_quantity, 1) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |  CAST(RANK() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS INT) AS qty_rank
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+    Q("rollup_returns", rollupReturns, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+    Q("cube_segment_priority", cubeSegmentPriority, Some(
+      """SELECT c_mktsegment, o_orderpriority,
+        |  CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+    Q("set_intersect_users", setIntersect, Some(
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin)),
+    Q("set_except_users", setExcept, Some(
+      """SELECT user_id FROM events WHERE event_type = 'error' AND value > 180.0
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180.0
+        |ORDER BY user_id""".stripMargin)),
+    Q("set_union_all_bands", setUnionAll, Some(
+      """SELECT event_type, band, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT event_type, 'high' AS band FROM events WHERE value > 150.0
+        |  UNION ALL
+        |  SELECT event_type, 'low' AS band FROM events WHERE value <= 50.0)
+        |GROUP BY event_type, band ORDER BY event_type, band""".stripMargin)),
+    Q("topk_orders", topkOrders, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+    Q("pivot_user_events", pivotUserEvents, Some(
+      """SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    Q("json_props_stats", jsonPropsStats, Some(
+      """SELECT event_type,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, north star):
+  * brute-force cosine top-k as the exact baseline, threshold near-dup pairs,
+  * and a random-hyperplane LSH-bucketed ANN as the scale path.
+  *
+  * Numeric determinism: element products are computed in DOUBLE (float →
+  * double widening is exact, IEEE multiply is bit-deterministic), accumulated
+  * as DECIMAL(38,18) (order-independent exact sum), finalized in DOUBLE with
+  * sqrt (IEEE-correctly-rounded) — so cosines are bit-identical across
+  * engines and across any degree of parallelism.
+  *
+  * Scale posture (100 TB): brute-force top-k is a broadcast of the (small)
+  * query set against a partitioned candidate scan — no shuffle of the big
+  * side; per-partition top-k would be the next refinement. The LSH variant
+  * buckets by 8 hyperplane signs so candidate generation is an equi-join on
+  * bucket — the quadratic pair space never materializes. Hyperplane weights
+  * are md5-derived integers, so the oracle replays them exactly.
+  */
+object SimilarityOps extends QueryModule {
+
+  private def emb(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
+
+  private val DIM = 64
+  private val NPLANES = 8
+
+  /** Deterministic dot product of two float arrays, quantized at 1e-16:
+    * per-element double products (bit-exact IEEE) rounded to scaled longs,
+    * summed as longs (exact, order-independent — |sum| < 64·0.25·1e16 ≪ 2^63).
+    * Scaled-integer instead of DECIMAL because double→DECIMAL casts are not
+    * bit-identical across engines, while round-to-nearest-integer is.
+    */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => round(x.cast("double") * y.cast("double") * 1e16).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  private def dotQSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, $DIM),
+       |    i -> CAST(ROUND(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e16)
+       |              AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** cosine from quantized dots: the 1e16 scales cancel. */
+  private def cosineQ(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Brute-force cosine top-10 neighbors for query vectors vec_id < 20. */
+  private def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2")).filter(col("q_id") < 20)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm2").as("c_norm2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("q_emb"), col("c_emb")), col("q_norm2"), col("c_norm2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("c_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private def cosineTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |           / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20
+       |), ranked AS (
+       |  SELECT q_id, c_id, cosine,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, c_id) AS BIGINT) AS rk
+       |  FROM pairs
+       |)
+       |SELECT q_id, rk, c_id, cosine FROM ranked
+       |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
+  /** All-pairs cosine near-dup: pairs with cosine ≥ 0.4 (threshold calibrated
+    * to the synthetic corpus — random 64-d vectors rarely exceed ~0.49). */
+  private def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm2").as("a_norm2"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("norm2").as("b_norm2"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def cosineNearDupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CAST(${dotQSql("a.embedding", "b.embedding")} AS DOUBLE)
+       |           / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |)
+       |SELECT a_id, b_id, cosine FROM pairs
+       |WHERE cosine >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** md5-derived integer hyperplane weight for (plane j, dim i) in [-1000,1000]. */
+  private def planeWeight(j: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  /** LSH bucket signature: sign bits of NPLANES integer hyperplane dots.
+    * Elements quantized to round(x·1e6) longs × integer weights — the dot is
+    * pure int64 arithmetic (|dot| ≤ 64·1e6·1000 ≪ 2^63), bit-exact anywhere. */
+  private def lshBucket(e: Column): Column = {
+    val bits = (0 until NPLANES).map { j =>
+      val dot = (0 until DIM).map { i =>
+        round(element_at(e, i + 1).cast("double") * 1e6).cast("long") *
+          lit(planeWeight(j, i))
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def lshBucketSql(e: String): String = {
+    val bits = (0 until NPLANES).map { j =>
+      val terms = (0 until DIM).map { i =>
+        s"CAST(ROUND(CAST($e[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) * (${planeWeight(j, i)})"
+      }.mkString(" + ")
+      s"CASE WHEN ($terms) > 0 THEN ${1L << j} ELSE 0 END"
+    }
+    "(" + bits.mkString(" + ") + ")"
+  }
+
+  /** ANN via LSH buckets: exact cosine only within same-bucket candidates,
+    * top-3 per query among them. Approximate by design — recall depends on
+    * bucket granularity (2^8 buckets here). */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .withColumn("bucket", lshBucket(col("embedding")))
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"), col("bucket"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm2").as("c_norm2"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("q_emb"), col("c_emb")), col("q_norm2"), col("c_norm2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("c_id"),
+        col("bucket"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private def annLshSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${lshBucketSql("embedding")} AS bucket,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket,
+       |         CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |           / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cosine
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT q_id, c_id, bucket, cosine,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, c_id) AS BIGINT) AS rk
+       |  FROM pairs
+       |)
+       |SELECT q_id, rk, c_id, bucket, cosine FROM ranked
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  /** Centroid of each label class — functions.aggregate/zip_with reduction
+    * shape (mean vector per group, exact decimal per-dimension sums). */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until 4).map(i =>
+      sum(round(element_at(col("embedding"), i + 1).cast("double") * 1e9)
+        .cast("long")).cast("double"))
+    val n = count(lit(1))
+    emb(s, dir)
+      .groupBy(col("label"))
+      .agg((sums(0) / n / 1e9).as("c0"),
+        (1 until 4).map(i => (sums(i) / n / 1e9).as(s"c$i")) :+ n.as("n_vecs"): _*)
+      .orderBy(col("label"))
+  }
+
+  private def labelCentroidsSql: String = {
+    val cols = (0 until 4).map(i =>
+      s"""CAST(SUM(CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+         |    / COUNT(*) / 1e9 AS c$i""".stripMargin).mkString(",\n  ")
+    s"""SELECT label,
+       |  $cols,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  /** Hot-path top-k via the custom codegen Expression
+    * (graft.functions.CosineSimilarity) — same result ordering as cosine_topk
+    * up to float-fold rounding; benchmarked, not oracle-compared (plain
+    * double folds aren't bit-identical across engines).
+    */
+  private def cosineTopkFast(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("c_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("cosine_topk", cosineTopk, Some(cosineTopkSql)),
+    Q("cosine_topk_fast", cosineTopkFast, None),
+    Q("cosine_near_dup", cosineNearDup, Some(cosineNearDupSql)),
+    Q("ann_lsh", annLsh, Some(annLshSql)),
+    Q("label_centroids", labelCentroids, Some(labelCentroidsSql))
+  )
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north star in
+  * BASELINE.json; no reference analog — SURVEY.md §2.7): token statistics,
+  * term frequencies, TF-IDF, n-gram-heuristic language ID, quality scoring,
+  * and document fingerprinting over the `documents` table.
+  *
+  * Scale posture: everything is explode → hash-aggregate (map-side partial
+  * agg) or per-row projection; no driver-side state, no collects. The
+  * stopword table is a literal broadcast join (≤ tens of rows regardless of
+  * corpus size). At 100 TB, token explosion multiplies rows ~50× before the
+  * partial aggregate collapses them again — the shuffle carries only
+  * (term, partial count) pairs.
+  */
+object TextOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  /** Tiny per-language stopword lists (public common words). */
+  private val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "los", "es" -> "que",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "des", "fr" -> "un")
+
+  private def stopwordSqlValues: String =
+    stopwords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  /** Token statistics per document: whitespace tokens, distinct tokens,
+    * alphabetic tokens (regex), a BPE-ish size estimate (chars/4 is the
+    * classic approximation), and mean token length — all integer/rational
+    * math, bit-exact vs the oracle.
+    */
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
+        ceil(col("n_chars") / 4.0).cast("long").as("bpe_est"),
+        ((col("n_chars") - (size(col("toks")) - 1)) / size(col("toks")).cast("double"))
+          .as("mean_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Global term frequencies, top 50. explode → partial-agg → top-k. */
+  private def termFrequencies(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(50)
+
+  /** TF-IDF: top-3 terms per document (doc_id < 100) by tf·ln(N/df).
+    * tf/df/N stay integer until the final per-row double math; rounded to 3
+    * decimals to absorb any cross-engine libm ulp drift in ln().
+    */
+  private def tfIdf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tokens = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 3))
+      .filter(col("doc_id") < 100)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Language ID: stopword-hit ratio per language, argmax with deterministic
+    * tie-break; 'und' when nothing matches. N-gram-heuristic family.
+    */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val sw = s.createDataFrame(stopwords).toDF("cand_lang", "word")
+    val d = docs(s, dir)
+    val tokens = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val hits = tokens.join(broadcast(sw), "word")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val nTok = d.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    nTok.join(hits, Seq("doc_id"), "left")
+      .withColumn("score",
+        coalesce(col("hits"), lit(0L)).cast("double") / col("n_tokens"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("score") > 0.0, col("cand_lang")).otherwise(lit("und"))
+          .as("detected_lang"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score: length saturation + uniqueness + stopword ratio, the
+    * length/punct/stopword-ratio family. Integer-derived double math only.
+    */
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val enWords = stopwords.filter(_._1 == "en").map(_._2)
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(enWords.map(lit(_)): _*))).cast("long"))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"), col("n_distinct"), col("n_stop"), col("n_punct"),
+        (least(lit(1.0), col("n_tokens") / 50.0) * 0.3
+          + (col("n_distinct").cast("double") / col("n_tokens")) * 0.3
+          + (col("n_stop").cast("double") / col("n_tokens")) * 0.4
+          - (col("n_punct").cast("double") / col("n_tokens")) * 0.1)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: md5 of normalized text plus a 64-bit prefix
+    * (hex→decimal) usable as a dedup key / shard key.
+    */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        md5(lower(col("text"))).as("fp_md5"),
+        conv(substring(md5(lower(col("text"))), 1, 15), 16, 10).cast("long")
+          .as("fp64"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash fingerprint via the custom codegen expression
+    * (graft.functions.RollingHash) — Rabin–Karp polynomial over utf-8 bytes.
+    * Not SQL-oracle-expressible (modular arithmetic chain); ScalaTest-verified
+    * against an independent BigInt reference implementation.
+    */
+  private def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"), expr("rolling_hash(text)").as("fp_roll"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("rolling_fingerprint", rollingFingerprint, None),
+    Q("token_stats", tokenStats, Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(CEIL(n_chars / 4.0) AS BIGINT) AS bpe_est,
+        |  (n_chars - (len(string_split(text, ' ')) - 1))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("term_frequencies", termFrequencies, Some(
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY freq DESC, term LIMIT 50""".stripMargin)),
+    Q("tf_idf", tfIdf, Some(
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tokens GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 3) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |  WHERE tf.doc_id < 100
+        |), ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, rk, term, tf, df, tfidf FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+    Q("lang_id", langId, Some(
+      s"""WITH sw(cand_lang, word) AS (VALUES $stopwordSqlValues),
+        |tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), hits AS (
+        |  SELECT doc_id, cand_lang, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM tokens JOIN sw USING (word) GROUP BY 1, 2
+        |), ntok AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), scored AS (
+        |  SELECT ntok.doc_id, ntok.lang, hits.cand_lang,
+        |         COALESCE(hits.hits, 0) / CAST(ntok.n_tokens AS DOUBLE) AS score
+        |  FROM ntok LEFT JOIN hits ON ntok.doc_id = hits.doc_id
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, cand_lang) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang,
+        |       CASE WHEN score > 0.0 THEN cand_lang ELSE 'und' END AS detected_lang,
+        |       score
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+    Q("quality_score", qualityScore, Some(
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks, n_chars, text
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+        |  FROM base
+        |)
+        |SELECT doc_id, n_tokens, n_distinct, n_stop, n_punct,
+        |  LEAST(1.0, n_tokens / 50.0) * 0.3
+        |    + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+        |    + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.4
+        |    - (CAST(n_punct AS DOUBLE) / n_tokens) * 0.1 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin)),
+    Q("doc_fingerprint", fingerprint, Some(
+      """SELECT doc_id, md5(lower(text)) AS fp_md5,
+        |  CAST(concat('0x', substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

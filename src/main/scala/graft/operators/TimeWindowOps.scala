@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time windowing over the stream table (SURVEY.md §7.3 M3): tumbling,
+  * sliding, and session windows via the real `window()` / `session_window()`
+  * operators — the Structured Streaming analogs of the reference's
+  * processing-time micro-batches (Streamer.scala:57). The exact same
+  * expressions run under `readStream` + watermark in graft.streaming;
+  * these batch forms are the DuckDB-verifiable surface.
+  *
+  * Scale posture: window assignment is a narrow projection (no shuffle);
+  * the only shuffle is the per-(window,key) aggregate, which partial-aggregates
+  * map-side. Sliding windows multiply rows by window/slide (4× here) *after*
+  * scan-side column pruning.
+  */
+object TimeWindowOps extends QueryModule {
+
+  private def events(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
+
+  /** Daily tumbling window per event type. */
+  private def tumblingDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 day").getField("start").cast("date").as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Sliding 1-hour window, 15-minute slide: each event lands in exactly 4
+    * epoch-aligned windows. Output key = window start as epoch seconds
+    * (bigint) — keeps the oracle comparison integer-exact.
+    */
+  private def slidingHour(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        unix_timestamp(window(col("ts"), "1 hour", "15 minutes").getField("start"))
+          .as("window_start_sec"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("window_start_sec"))
+
+  /** Session windows: per-user sessions with a 30-minute inactivity gap.
+    * session_window merges an event into the open session iff its ts is
+    * strictly inside [session_start, last_ts + gap); end = last_ts + gap.
+    */
+  private def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window").getField("start").cast("timestamp_ntz").as("session_start"),
+        col("session_window").getField("end").cast("timestamp_ntz").as("session_end"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  override def queries: Seq[Q] = Seq(
+    Q("tumbling_daily", tumblingDaily, Some(
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("sliding_hour", slidingHour, Some(
+      """SELECT CAST(FLOOR(epoch(ts) / 900) * 900 - g.i * 900 AS BIGINT) AS window_start_sec,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events CROSS JOIN generate_series(0, 3) g(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("session_windows", sessionWindows, Some(
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM o
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin))
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Custom Catalyst expressions: codegen/eval agreement + reference values. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash matches an independent BigInt implementation") {
+    TextFunctions.register(spark)
+    val P = BigInt((1L << 61) - 1)
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) => (h * 257 + (b & 0xff)) mod P)
+        .toLong
+    val inputs = Seq("", "a", "hello world", "the fast key order sort",
+      "éèê multi-byte utf8", "x" * 1000)
+    val got = inputs.toDF("s")
+      .select(expr("rolling_hash(s)").as[Long]).collect()
+    assert(got.toSeq === inputs.map(ref))
+  }
+
+  test("rolling_hash is order-sensitive (unlike bag-of-bytes hashes)") {
+    TextFunctions.register(spark)
+    val Seq(ab, ba) = Seq("ab", "ba").toDF("s")
+      .select(expr("rolling_hash(s)").as[Long]).collect().toSeq
+    assert(ab !== ba)
+  }
+
+  test("cosine_sim: self-similarity 1, orthogonal 0, codegen = expected") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f))
+    ).toDF("a", "b")
+    val got = df.select(expr("cosine_sim(a, b)").as[Double]).collect()
+    assert(math.abs(got(0) - 1.0) < 1e-15)
+    assert(got(1) === 0.0)
+    assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-15)
+  }
+
+  test("dot_product agrees with the HOF formulation on real embeddings") {
+    VectorFunctions.register(spark)
+    val e = Tables.t(spark, sf001, "embeddings").limit(50)
+      .select($"vec_id", $"embedding")
+    val both = e.select(
+      expr("dot_product(embedding, embedding)").as("fast"),
+      aggregate(zip_with($"embedding", $"embedding",
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (fast, hof) =>
+      assert(math.abs(fast - hof) < 1e-12)
+    }
+  }
+
+  test("cosine_sim null propagation") {
+    VectorFunctions.register(spark)
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val got = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(got(0).isNullAt(0))
+  }
+}

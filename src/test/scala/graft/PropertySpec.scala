@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic invariants (SURVEY.md §5.4) over ScalaCheck-generated data.
+  * (Plain scalacheck Gen + fixed seeds — the scalatestplus bridge isn't in
+  * the offline dependency cache.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val kvGen = Gen.listOfN(60,
+    Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(0, 5).map(_.toString)))
+
+  test("groupBy(k).count sums to total count") {
+    samples(kvGen, 5).foreach { xs =>
+      val df = xs.toDF("k", "v")
+      val total = df.count()
+      val summed = df.groupBy($"k").count().agg(sum($"count")).as[Long].head()
+      assert(summed === total)
+    }
+  }
+
+  test("dropDuplicates is idempotent and matches Scala distinct") {
+    samples(kvGen, 5).foreach { xs =>
+      val df = xs.toDF("k", "v")
+      val d1 = df.dropDuplicates("k", "v")
+      val d2 = d1.dropDuplicates("k", "v")
+      assert(d1.count() === d2.count())
+      assert(d1.count() === xs.distinct.size.toLong)
+    }
+  }
+
+  test("last-write-wins keeps exactly one row per key") {
+    val g = Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 100L)))
+    samples(g, 5).foreach { xs =>
+      val df = xs.toDF("rowkey", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"rowkey").orderBy($"ts".desc)
+      val out = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      assert(out.count() === xs.map(_._1).distinct.size.toLong)
+    }
+  }
+
+  test("cosine(x,x) = 1 under the quantized dot product") {
+    val vecs = Seq.tabulate(8)(i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6) / 7.0f)))
+      .filter(_._2.exists(_ != 0f))
+    val df = vecs.toDF("id", "v")
+    val dot = aggregate(
+      zip_with($"v", $"v", (x, y) => round(x.cast("double") * y.cast("double") * 1e16).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val cos = df.select(
+      (dot.cast("double") / (sqrt(dot.cast("double")) * sqrt(dot.cast("double"))))
+        .as[Double])
+    cos.collect().foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("union-then-distinct equals distinct-of-union (set algebra)") {
+    samples(Gen.zip(kvGen, kvGen), 5).foreach { case (xs, ys) =>
+      val a = xs.toDF("k", "v")
+      val b = ys.toDF("k", "v")
+      val lhs = a.unionAll(b).dropDuplicates("k", "v").count()
+      val rhs = (xs ++ ys).distinct.size.toLong
+      assert(lhs === rhs)
+    }
+  }
+
+  test("jaccard is 1 for identical shingle sets, symmetric bounds hold") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r s"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("prop_docs")
+    val sh = docs
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"toks") - 2),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+          element_at($"toks", i + 2)))).as("sh"))
+      .distinct()
+    val a = sh.select($"doc_id".as("a_id"), $"sh")
+    val b = sh.select($"doc_id".as("b_id"), $"sh")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = a.join(b, "sh").filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("i"))
+    val jac = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .select($"a_id", $"b_id", ($"i".cast("double") / ($"na" + $"nb" - $"i")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) === 1.0)
+    assert(!jac.contains((1L, 3L))) // disjoint shingles → no candidate pair
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming._
+
+/** Structured Streaming rebuilds of the reference pipelines (SURVEY.md §3),
+  * driven by MemoryStream with processAllAvailable (per-batch synchronous).
+  */
+class StreamJobsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def rec(key: String, value: String, sec: Long, off: Long) =
+    KafkaShaped(key, value, "page_visits", 0, off, new Timestamp(sec * 1000))
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  test("summaryPipeline emits one reference-shaped summary per batch with batchId") {
+    val in = MemoryStream[KafkaShaped]
+    val topicSink = new TopicTableSink(tmp() + "/topic")
+    val kvSink = new KvUpsertSink(tmp() + "/kv")
+    // enqueue before start: AvailableNow snapshots offsets at query start
+    in.addData(rec("a", "1", 1000, 0), rec("a", "1", 1000, 1), rec("b", "2", 1001, 2))
+    val q = StreamJobs.summaryPipeline(in.toDF(), "page_visits", "out",
+      topicSink, kvSink, Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+
+    val topic = topicSink.read(spark)
+    assert(topic.count() === 1)
+    val line = topic.select($"value").as[String].head()
+    assert(line.contains("number of RDD (batches): 1"))
+    assert(line.contains("number of message 3"))
+
+    val kv = kvSink.read(spark)
+    // summary cell + 2 distinct bulk cells ((a,1) dup collapsed by D1)
+    assert(kv.filter($"qualifier" === "messages").count() === 1)
+    assert(kv.filter($"qualifier" === "content").count() === 2)
+  }
+
+  test("summaryPipeline batchId advances across batches (replaces driver var)") {
+    val in = MemoryStream[KafkaShaped]
+    val topicSink = new TopicTableSink(tmp() + "/topic")
+    val kvSink = new KvUpsertSink(tmp() + "/kv")
+    val q = StreamJobs.summaryPipeline(in.toDF(), "t", "out",
+      topicSink, kvSink, Trigger.ProcessingTime(0))
+    in.addData(rec("a", "1", 2000, 0))
+    q.processAllAvailable()
+    in.addData(rec("b", "2", 3000, 1))
+    q.processAllAvailable()
+    q.stop()
+    val lines = topicSink.read(spark).select($"value").as[String].collect().sorted
+    assert(lines.exists(_.contains("batches): 1")))
+    assert(lines.exists(_.contains("batches): 2")))
+  }
+
+  test("perRecordPipeline: rowkey collision leaves one surviving cell per second") {
+    val in = MemoryStream[KafkaShaped]
+    val kvSink = new KvUpsertSink(tmp() + "/kv")
+    // three records in the same epoch second + one in the next (pre-start:
+    // AvailableNow snapshots offsets at query start)
+    in.addData(rec("a", "1", 5000, 0), rec("b", "2", 5000, 1),
+      rec("c", "3", 5000, 2), rec("d", "4", 5001, 3))
+    val q = StreamJobs.perRecordPipeline(in.toDF(), kvSink, Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+    val kv = kvSink.read(spark)
+    assert(kv.count() === 2) // one per rowkey(second)
+    assert(kv.filter($"rowkey" === "5001").select($"cell_value").as[String].head()
+      === "d--|--4")
+  }
+
+  test("windowedCounts with watermark drops late data (no reference analog)") {
+    val in = MemoryStream[KafkaShaped]
+    val counts = StreamJobs.windowedCounts(in.toDF(), "10 seconds", "10 seconds")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("wc").start()
+    in.addData(rec("a", "1", 100, 0), rec("a", "2", 105, 1))
+    q.processAllAvailable()
+    in.addData(rec("a", "3", 200, 2)) // advances watermark to 190, closes [100,110)
+    q.processAllAvailable()
+    in.addData(rec("a", "late", 100, 3)) // behind watermark → dropped
+    q.processAllAvailable()
+    in.addData(rec("a", "4", 300, 4)) // closes [200,210)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("select * from wc")
+      .select(unix_timestamp($"window_start").as[Long], $"n".as[Long]).collect().toMap
+    assert(rows(100L) === 2L) // the late record did NOT bump the closed window
+    assert(rows(200L) === 1L)
+  }
+
+  test("streamingDedup dedups across batches within the watermark") {
+    val in = MemoryStream[KafkaShaped]
+    val q = StreamJobs.streamingDedup(in.toDF(), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sd").start()
+    in.addData(rec("a", "1", 100, 0))
+    q.processAllAvailable()
+    in.addData(rec("a", "1", 150, 1), rec("b", "2", 151, 2)) // (a,1) is a cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("select * from sd").count() === 2)
+  }
+
+  test("ForeachWriter lifecycle processes every record (O2 analog)") {
+    val in = MemoryStream[KafkaShaped]
+    val id = "t" + System.nanoTime()
+    val q = in.toDF().select($"key", $"value")
+      .writeStream.outputMode("append")
+      .foreach(new StreamJobs.BufferForeachWriter(id))
+      .start()
+    in.addData(rec("a", "1", 100, 0), rec("b", "2", 101, 1))
+    q.processAllAvailable(); q.stop()
+    assert(StreamJobs.BufferForeachWriter.get(id).sorted === Seq("a|1", "b|2"))
+    StreamJobs.BufferForeachWriter.clear(id)
+  }
+}
