@@ -116,6 +116,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized dot product: Σ qround(xi·yi·1e16) as LONG — the codegen fast
+  * path for the oracle-exact quantized formulation in SimilarityOps.dotQ.
+  * qround = round-half-away-from-zero, matching both Spark's round()
+  * (BigDecimal HALF_UP) and DuckDB's ROUND() on doubles, so results are
+  * bit-identical to the HOF version and the SQL oracle.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(d => d.dataType.isInstanceOf[ArrayType] &&
+        d.dataType.asInstanceOf[ArrayType].elementType == FloatType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += QMath.qround(x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e16)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += graft.functions.QMath.qround(
+         |    (double) $a.getFloat($i) * (double) $b.getFloat($i) * 1e16);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared rounding helper callable from generated Java. */
+object QMath {
+  /** Round half away from zero (= BigDecimal HALF_UP on the double's exact
+    * value for non-ties; matches DuckDB ROUND). */
+  def qround(x: Double): Long = {
+    val r = Math.rint(x)
+    if (Math.abs(x - r) == 0.5) (if (x > 0) Math.ceil(x) else Math.floor(x)).toLong
+    else r.toLong
+  }
+}
+
 object VectorFunctions {
   /** Register cosine_sim / dot_product for SQL + expr() use. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -124,5 +188,7 @@ object VectorFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_q",
+      exprs => QuantizedDot(exprs(0), exprs(1)), "built-in")
   }
 }

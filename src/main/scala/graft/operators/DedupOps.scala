@@ -131,10 +131,12 @@ object DedupOps extends QueryModule {
       .distinct()
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // equi-join on (doc, shingle) both times: the intersection materializes
+    // directly — joining on doc alone and filtering sh==sh2 would expand each
+    // candidate pair to |sh_a|·|sh_b| rows first (quadratic per pair)
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh2")), "b_id")
-      .filter(col("sh") === col("sh2"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter

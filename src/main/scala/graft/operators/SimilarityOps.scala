@@ -35,13 +35,12 @@ object SimilarityOps extends QueryModule {
     * summed as longs (exact, order-independent — |sum| < 64·0.25·1e16 ≪ 2^63).
     * Scaled-integer instead of DECIMAL because double→DECIMAL casts are not
     * bit-identical across engines, while round-to-nearest-integer is.
+    * Computed by the codegen expression graft.functions.QuantizedDot (single
+    * fused loop; the zip_with+aggregate HOF formulation of the same math was
+    * ~100µs/pair — two orders of magnitude slower on all-pairs joins).
     */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => round(x.cast("double") * y.cast("double") * 1e16).cast("long")),
-      lit(0L),
-      (acc, v) => acc + v)
+    call_function("dot_q", a, b)
 
   private def dotQSql(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1, $DIM),
@@ -54,6 +53,7 @@ object SimilarityOps extends QueryModule {
 
   /** Brute-force cosine top-10 neighbors for query vectors vec_id < 20. */
   private def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = emb(s, dir)
       .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
     val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -94,6 +94,7 @@ object SimilarityOps extends QueryModule {
   /** All-pairs cosine near-dup: pairs with cosine ≥ 0.4 (threshold calibrated
     * to the synthetic corpus — random 64-d vectors rarely exceed ~0.49). */
   private def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = emb(s, dir)
       .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
@@ -159,6 +160,7 @@ object SimilarityOps extends QueryModule {
     * top-3 per query among them. Approximate by design — recall depends on
     * bucket granularity (2^8 buckets here). */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = emb(s, dir)
       .withColumn("bucket", lshBucket(col("embedding")))
       .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
