@@ -18,7 +18,8 @@ object SparkEntry {
     operators.TextOps,
     operators.DedupOps,
     operators.SimilarityOps,
-    operators.MultimodalOps
+    operators.MultimodalOps,
+    operators.AdvancedOps
   )
 
   private lazy val all: Seq[Q] = {

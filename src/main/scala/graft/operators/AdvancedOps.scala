@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators beyond plain relational algebra (north-star M3 extensions):
+  * as-of join, range join, GROUPING SETS through the SQL surface.
+  * None exist in the reference (SURVEY.md §2.7).
+  */
+object AdvancedOps extends QueryModule {
+
+  private def events(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
+
+  /** As-of join (point-in-time lookup): for every event, the timestamp of the
+    * most recent 'error' event of the same user at-or-before it.
+    *
+    * Spark-first shape: no join at all — a single partitioned sort +
+    * last_value(…, ignoreNulls) running frame. At 100 TB this is one shuffle
+    * on user_id and a linear scan per partition — strictly cheaper than the
+    * range-join formulation (which would shuffle both sides and binary-search
+    * per probe); the classic sorted-merge as-of join expressed declaratively.
+    */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"),
+        last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+          .over(w).cast("timestamp_ntz").as("asof_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: lineitem priced into literal bands via a broadcast
+    * non-equi join (BroadcastNestedLoopJoin against 4 rows — the probe side
+    * streams, nothing shuffles). */
+  private def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("00_low", 0.0, 20000.0),
+      ("01_mid", 20000.0, 60000.0),
+      ("02_high", 60000.0, 100000.0),
+      ("03_premium", 100000.0, Double.MaxValue)
+    )).toDF("band", "lo", "hi")
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("band"))
+  }
+
+  /** GROUPING SETS through the SQL surface (DataFrame API only exposes
+    * rollup/cube): independent marginals without the cross terms. */
+  private def groupingSetsSql(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |       CAST(grouping_id() AS BIGINT) AS gid,
+        |       COUNT(*) AS n
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS BIGINT)), ())
+        |ORDER BY gid, event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("asof_join", asofJoin, Some(
+      """SELECT event_id, user_id, ts, event_type,
+        |  LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS asof_error_ts
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("range_join_bands", rangeJoinBands, Some(
+      """SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |JOIN (VALUES ('00_low', 0.0, 20000.0),
+        |             ('01_mid', 20000.0, 60000.0),
+        |             ('02_high', 60000.0, 100000.0),
+        |             ('03_premium', 100000.0, 1e308)) b(band, lo, hi)
+        |  ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+        |GROUP BY b.band ORDER BY b.band""".stripMargin)),
+    Q("grouping_sets", groupingSetsSql, Some(
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |  CAST(GROUPING(event_type, CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS BIGINT)), ())
+        |ORDER BY gid, event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin))
+  )
+}

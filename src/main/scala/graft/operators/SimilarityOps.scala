@@ -225,6 +225,98 @@ object SimilarityOps extends QueryModule {
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** IVF-style ANN: coarse quantizer = the first 16 vectors as cell
+    * centroids; every vector is assigned to its nearest centroid (one 16-way
+    * broadcast compare — the "train"-free deterministic stand-in for k-means
+    * centroids); queries probe their 2 nearest cells and rank exact cosine
+    * within the probed inverted lists only.
+    *
+    * Scale posture: the centroid table is O(cells) and broadcast; assignment
+    * is a narrow map over the corpus; the candidate join is an equi-join on
+    * cell id, so the pair space is corpus·nprobe/cells instead of quadratic.
+    */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm2").as("cent_norm2"))
+    def nearestCells(src: DataFrame, id: String, embCol: String, n2: String,
+        keep: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
+      src.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          cosineQ(dotQ(col(embCol), col("cent_emb")), col(n2), col("cent_norm2")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .select(col(id), col("cent_id").as(out), col(embCol), col(n2))
+    }
+    val assign = nearestCells(
+      e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm2").as("c_norm2")),
+      "c_id", "c_emb", "c_norm2", 1, "cell")
+    val probes = nearestCells(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm2").as("q_norm2")),
+      "q_id", "q_emb", "q_norm2", 2, "cell")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("q_emb"), col("c_emb")), col("q_norm2"), col("c_norm2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("c_id"),
+        col("cell"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private def annIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm2 AS cent_norm2
+       |  FROM e WHERE vec_id < 16
+       |), assign AS (
+       |  SELECT c_id, cell, c_emb, c_norm2 FROM (
+       |    SELECT e.vec_id AS c_id, c.cent_id AS cell,
+       |           e.embedding AS c_emb, e.norm2 AS c_norm2,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(${dotQSql("e.embedding", "c.cent_emb")} AS DOUBLE)
+       |               / (sqrt(CAST(e.norm2 AS DOUBLE)) * sqrt(CAST(c.cent_norm2 AS DOUBLE))) DESC,
+       |             c.cent_id) AS crk
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE crk <= 1
+       |), probes AS (
+       |  SELECT q_id, cell, q_emb, q_norm2 FROM (
+       |    SELECT e.vec_id AS q_id, c.cent_id AS cell,
+       |           e.embedding AS q_emb, e.norm2 AS q_norm2,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(${dotQSql("e.embedding", "c.cent_emb")} AS DOUBLE)
+       |               / (sqrt(CAST(e.norm2 AS DOUBLE)) * sqrt(CAST(c.cent_norm2 AS DOUBLE))) DESC,
+       |             c.cent_id) AS crk
+       |    FROM e CROSS JOIN cents c
+       |    WHERE e.vec_id < 20)
+       |  WHERE crk <= 2
+       |), pairs AS (
+       |  SELECT p.q_id, a.c_id, p.cell,
+       |         CAST(${dotQSql("p.q_emb", "a.c_emb")} AS DOUBLE)
+       |           / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(a.c_norm2 AS DOUBLE))) AS cosine
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.c_id
+       |), ranked AS (
+       |  SELECT q_id, c_id, cell, cosine,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, c_id) AS BIGINT) AS rk
+       |  FROM pairs
+       |)
+       |SELECT q_id, rk, c_id, cell, cosine FROM ranked
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   /** Hot-path top-k via the custom codegen Expression
     * (graft.functions.CosineSimilarity) — same result ordering as cosine_topk
     * up to float-fold rounding; benchmarked, not oracle-compared (plain
@@ -251,6 +343,7 @@ object SimilarityOps extends QueryModule {
     Q("cosine_topk_fast", cosineTopkFast, None),
     Q("cosine_near_dup", cosineNearDup, Some(cosineNearDupSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
+    Q("ann_ivf", annIvf, Some(annIvfSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql))
   )
 }

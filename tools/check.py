@@ -22,6 +22,14 @@ def canon(df):
 
 
 def cells_equal(a, b):
+    try:
+        import pandas as pd
+        a_na, b_na = pd.isna(a), pd.isna(b)
+        if not hasattr(a_na, "__len__") and not hasattr(b_na, "__len__"):
+            if a_na or b_na:
+                return bool(a_na) and bool(b_na)
+    except Exception:
+        pass
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
