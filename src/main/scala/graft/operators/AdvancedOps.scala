@@ -70,7 +70,31 @@ object AdvancedOps extends QueryModule {
         |""".stripMargin)
   }
 
+  /** Per-key top-k through the custom physical operator
+    * (org.apache.spark.sql.graft.TopKPerKey): bounded-heap partial top-k per
+    * input partition → hash exchange on key → final top-k. The shuffle
+    * carries ≤ k·keys·partitions rows instead of the whole table; the window
+    * row_number formulation (the oracle) fully sorts every group.
+    */
+  private def topkExec(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.t(s, dir, "orders")
+    org.apache.spark.sql.graft.TopKPerKey(
+      orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq(col("o_custkey")),
+      orderBy = Seq(col("o_totalprice").desc, col("o_orderkey")),
+      k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("topk_exec_per_customer", topkExec, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
     Q("asof_join", asofJoin, Some(
       """SELECT event_id, user_id, ts, event_type,
         |  LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKPerKey
+
+/** Custom TopKPerKey physical operator vs the window formulation. */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopKPerKey equals window row_number formulation on orders") {
+    val orders = Tables.t(spark, sf001, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val custom = TopKPerKey(orders,
+      keys = Seq($"o_custkey"),
+      orderBy = Seq($"o_totalprice".desc, $"o_orderkey"), k = 3)
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+      .collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val window = orders
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3).drop("rk")
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+      .collect()
+    assert(custom.toSeq === window.toSeq)
+  }
+
+  test("TopKPerKey plan shape: partial exec below exchange, final above") {
+    val orders = Tables.t(spark, sf001, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val plan = TopKPerKey(orders, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), 3)
+      .queryExecution.executedPlan.toString
+    // two TopKPerKey nodes (partial + final) around a hash exchange
+    assert("TopKPerKey \\[".r.findAllIn(plan).size === 2, plan)
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+  }
+
+  test("TopKPerKey handles k larger than group size and single groups") {
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
+    val out = TopKPerKey(df, Seq($"k"), Seq($"v".desc), 5)
+      .orderBy($"k", $"v".desc).as[(Int, Int)].collect()
+    assert(out.toSeq === Seq((1, 20), (1, 10), (2, 5)))
+  }
+}
