@@ -86,7 +86,28 @@ object AdvancedOps extends QueryModule {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Skew-mitigated aggregation: two-phase salt (groupBy(key, salt) partial →
+    * groupBy(key) final). Identical result to the direct aggregate — the
+    * pattern matters at 100 TB when one key dominates: the first phase fans a
+    * hot key over 16 reducers instead of one. (AQE skew handling covers
+    * joins; aggregation salting is still manual.) Long-quantized cents keep
+    * it order-independent and oracle-exact.
+    */
+  private def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(round(col("value") * 100).cast("long")).as("pc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("pc")).as("value_cents"))
+      .orderBy(col("event_type"))
+
   override def queries: Seq[Q] = Seq(
+    Q("salted_agg", saltedAgg, Some(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("topk_exec_per_customer", topkExec, Some(
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -119,7 +119,8 @@ object DedupOps extends QueryModule {
   /** MinHash LSH near-dup pairs: 4 bands × 4 rows → same-bucket candidates →
     * exact Jaccard ≥ 0.3 verification. */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
+    // cache: the signature subtree feeds both sides of the band self-join
+    val sig = minhashSig(s, dir).cache()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(bnd =>
         concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*))
@@ -221,7 +222,9 @@ object DedupOps extends QueryModule {
   /** SimHash near-dup pairs: block on the top-16-bit prefix (the LSH step —
     * at corpus scale only same-block docs meet), then hamming ≤ 10. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // cache: one row per doc, feeds both sides of the block self-join
     val sig = simhash(s, dir).withColumn("blk", shiftright(col("simhash"), 16))
+      .cache()
     sig.as("x").join(sig.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

@@ -167,6 +167,28 @@ object StreamJobs {
       .withWatermark("timestamp", watermark)
       .dropDuplicates("key", "value")
 
+  /** Cross-batch per-key running counts via mapGroupsWithState — the
+    * reference's driver-side `var counter` (A4, Streamer.scala:122,128)
+    * generalized to per-key, fault-tolerant state: checkpointed by the state
+    * store instead of lost on restart. Output mode: update.
+    */
+  def runningCountsPerKey(input: org.apache.spark.sql.Dataset[KafkaShaped])
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    input.groupByKey(r => if (r.key == null) "" else r.key)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }
+  }
+
   /** The reference's foreachPartition open/write/close lifecycle
     * (KafkaStreamerToHbase.scala:88-167) as a real ForeachWriter; sinks each
     * record into a per-JVM buffer keyed by a test-supplied id. */

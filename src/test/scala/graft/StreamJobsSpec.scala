@@ -104,6 +104,24 @@ class StreamJobsSpec extends SparkSpec {
     assert(spark.sql("select * from sd").count() === 2)
   }
 
+  test("runningCountsPerKey accumulates state across batches (A4 per-key)") {
+    val in = MemoryStream[KafkaShaped]
+    val q = StreamJobs.runningCountsPerKey(in.toDS())
+      .toDF("key", "running_n")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rc").start()
+    in.addData(rec("a", "1", 100, 0), rec("a", "2", 101, 1), rec("b", "3", 102, 2))
+    q.processAllAvailable()
+    in.addData(rec("a", "4", 200, 3))
+    q.processAllAvailable()
+    q.stop()
+    // last update per key wins: a → 3 (2 then +1), b → 1
+    val last = spark.sql("select * from rc").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last === Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("ForeachWriter lifecycle processes every record (O2 analog)") {
     val in = MemoryStream[KafkaShaped]
     val id = "t" + System.nanoTime()

@@ -35,6 +35,46 @@ class TopKSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
   }
 
+  test("RowNumberTopKRewrite rewrites the window idiom into TopKPerKey") {
+    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
+    val orders = Tables.t(spark, sf001, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val idiom = orders
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice") // rk projected away
+    val opt = idiom.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case n: org.apache.spark.sql.graft.TopKPerKeyNode => n }.nonEmpty, opt.toString)
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      opt.toString)
+    // and the rewrite preserves results vs the un-rewritten session default
+    val expected = orders
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey").collect()
+    val got = idiom
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey").collect()
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("RowNumberTopKRewrite leaves plans alone when the rank is still used") {
+    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
+    val orders = Tables.t(spark, sf001, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val keepsRank = orders
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"rk")
+    val opt = keepsRank.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      opt.toString)
+  }
+
   test("TopKPerKey handles k larger than group size and single groups") {
     val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
     val out = TopKPerKey(df, Seq($"k"), Seq($"v".desc), 5)
