@@ -19,7 +19,8 @@ object SparkEntry {
     operators.DedupOps,
     operators.SimilarityOps,
     operators.MultimodalOps,
-    operators.AdvancedOps
+    operators.AdvancedOps,
+    operators.StatsOps
   )
 
   private lazy val all: Seq[Q] = {

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical / sketch / string-distance operators (north-star analytics
+  * surface; none in the reference — SURVEY.md §2.7).
+  */
+object StatsOps extends QueryModule {
+
+  /** HLL approximate distinct (approx_count_distinct — Spark's
+    * HyperLogLog++). Sketch internals differ per engine, so no SQL oracle;
+    * sanity-bounded in ScalaTest against the exact count. Rows-only here.
+    */
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  /** Histogram via width_bucket: integer bucket per value, counts per bucket
+    * — integer-exact in both engines. */
+  private def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"),
+        width_bucket(col("value"), lit(0.0), lit(200.0), lit(20)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** Pearson correlation from quantized first/second moments — built-in
+    * corr() accumulates floating state in engine-specific order, so instead:
+    * exact long sums of cents, correlation assembled per-group in double
+    * (deterministic given exact sums). The two-level shape is the same
+    * partial/final aggregate Catalyst plans for corr itself.
+    */
+  private def corrManual(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("value") * 100).cast("long")          // cents
+    val y = round(get_json_object(col("props"), "$.k").cast("double") * 100)
+      .cast("long")
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_xy"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Edit-distance near-dup: levenshtein over 24-char prefixes of close doc
+    * pairs (same integer DP definition in both engines). Blocked by length
+    * band so the pair space stays linear-ish at scale. */
+  private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix"),
+        expr("length(text) div 50").cast("long").as("len_band"))
+    val a = d.select(col("doc_id").as("a_id"), col("prefix").as("a_p"), col("len_band"))
+    val b = d.select(col("doc_id").as("b_id"), col("prefix").as("b_p"), col("len_band"))
+    a.join(b, Seq("len_band"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_p"), col("b_p")).cast("long").as("dist"))
+      .filter(col("dist") <= 12)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Ordered list aggregation: sort_array(collect_list) — deterministic
+    * regardless of arrival order (the only safe way to emit arrays from a
+    * distributed group-by). */
+  private def collectSorted(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("types"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  override def queries: Seq[Q] = Seq(
+    Q("hll_distinct", hllDistinct, None),
+    Q("histogram_buckets", histogram, Some(
+      // DuckDB has no width_bucket; the explicit formula is bit-identical:
+      // bucket width (200-0)/20 = 10.0 exactly, i = floor(v/10)+1, clamped
+      """SELECT event_type,
+        |  CAST(CASE WHEN value < 0.0 THEN 0
+        |            WHEN value >= 200.0 THEN 21
+        |            ELSE CAST(FLOOR(value / 10.0) AS BIGINT) + 1 END AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("corr_manual", corrManual, Some(
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS x,
+        |    CAST(ROUND(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 100) AS BIGINT) AS y
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM q GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin)),
+    Q("levenshtein_pairs", levenshteinPairs, Some(
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS prefix,
+        |         CAST(length(text) // 50 AS BIGINT) AS len_band
+        |  FROM documents WHERE doc_id < 60
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.len_band = b.len_band AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 12
+        |ORDER BY a_id, b_id""".stripMargin)),
+    Q("collect_sorted", collectSorted, Some(
+      """SELECT user_id, list_sort(list(event_type)) AS types,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events WHERE user_id < 10
+        |GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

@@ -46,6 +46,16 @@ class CoreOpsSpec extends SparkSpec {
     assert(perKey === total)
   }
 
+  test("hll approx distinct is within 10% of exact (sketch sanity)") {
+    val rows = SparkEntry.queries("hll_distinct")(spark, sf001)
+      .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.10).toLong),
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("every registered oracle query returns rows at sf0.001") {
     // cheap smoke over the whole registry (full value check is Verify+DuckDB)
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -17,11 +17,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df):
     df = df[sorted(df.columns)]
+    for c in df.columns:  # arrays are unhashable/unsortable — use tuples
+        if df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, str)).any():
+            df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__len__")
+                              and not isinstance(v, str) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 
 def cells_equal(a, b):
+    if hasattr(a, "__len__") and not isinstance(a, str):
+        if not (hasattr(b, "__len__") and not isinstance(b, str)):
+            return False
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
     try:
         import pandas as pd
         a_na, b_na = pd.isna(a), pd.isna(b)
