@@ -167,6 +167,25 @@ object StreamJobs {
       .withWatermark("timestamp", watermark)
       .dropDuplicates("key", "value")
 
+  /** Stream-stream interval join: right-side events joined to left-side
+    * events with the same key within [left.ts, left.ts + window]. Watermarks
+    * on both sides bound the join state (no unbounded buffering — the
+    * at-scale requirement for stream-stream joins). No reference analog.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      window_ : String, watermark: String): DataFrame = {
+    val l = left.withWatermark("timestamp", watermark)
+      .select(col("key").as("l_key"), col("value").as("l_value"),
+        col("timestamp").as("l_ts"))
+    val r = right.withWatermark("timestamp", watermark)
+      .select(col("key").as("r_key"), col("value").as("r_value"),
+        col("timestamp").as("r_ts"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $window_"))
+  }
+
   /** Cross-batch per-key running counts via mapGroupsWithState — the
     * reference's driver-side `var counter` (A4, Streamer.scala:122,128)
     * generalized to per-key, fault-tolerant state: checkpointed by the state

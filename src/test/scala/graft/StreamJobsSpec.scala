@@ -104,6 +104,24 @@ class StreamJobsSpec extends SparkSpec {
     assert(spark.sql("select * from sd").count() === 2)
   }
 
+  test("stream-stream interval join matches keys within the window only") {
+    val clicks = MemoryStream[KafkaShaped]
+    val buys = MemoryStream[KafkaShaped]
+    val joined = StreamJobs.streamStreamJoin(
+      clicks.toDF(), buys.toDF(), "10 seconds", "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    clicks.addData(rec("u1", "click1", 100, 0), rec("u2", "click2", 100, 1))
+    buys.addData(
+      rec("u1", "buy-in-window", 105, 0),   // within 10s of u1 click
+      rec("u1", "buy-late", 200, 1),        // outside the interval
+      rec("u3", "buy-nokey", 105, 2))       // no matching click key
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("select l_key, r_value from ssj")
+      .as[(String, String)].collect().toSeq
+    assert(rows === Seq(("u1", "buy-in-window")))
+  }
+
   test("runningCountsPerKey accumulates state across batches (A4 per-key)") {
     val in = MemoryStream[KafkaShaped]
     val q = StreamJobs.runningCountsPerKey(in.toDS())
