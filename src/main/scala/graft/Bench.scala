@@ -40,6 +40,10 @@ object Bench {
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.map { case (name, fn) =>
+      // drop caches left by previous queries (some operators cache reused
+      // subtrees internally); keep the cache warm between this query's two
+      // runs so min-of-2 reflects steady state
+      spark.catalog.clearCache()
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
