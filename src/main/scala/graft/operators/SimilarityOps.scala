@@ -317,6 +317,96 @@ object SimilarityOps extends QueryModule {
        |SELECT q_id, rk, c_id, cell, cosine FROM ranked
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  /** K-means (k=8, 2 unrolled Lloyd iterations) over the first 4 embedding
+    * dimensions — the iterative-ML primitive under IVF-style indexes, fully
+    * deterministic: features quantized to longs (µ-units), centroid means
+    * from exact long sums, L2 distances in fixed-order double arithmetic,
+    * argmin ties to the lowest cell id. Init = vectors 0..7.
+    *
+    * Scale posture: each iteration is one broadcast of k centroids against a
+    * partitioned scan (assign) + one k-row aggregate (recompute) — no
+    * quadratic stage, no driver loop over data.
+    */
+  private def kmeans2Iter(s: SparkSession, dir: String): DataFrame = {
+    val dims = 0 until 4
+    val feats = emb(s, dir).select(
+      col("vec_id") +:
+        dims.map(i => round(element_at(col("embedding"), i + 1).cast("double") * 1e6)
+          .cast("long").as(s"x$i")): _*)
+    val init = feats.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell") +:
+        dims.map(i => col(s"x$i").cast("double").as(s"c$i")): _*)
+
+    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+      val dist = dims.map { i =>
+        val d = col(s"x$i").cast("double") - col(s"c$i")
+        d * d
+      }.reduce(_ + _)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+      points.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id") +: col("cell") +: dims.map(i => col(s"x$i")): _*)
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("cell"))
+        .agg(
+          (sum(col("x0")).cast("double") / count(lit(1))).as("c0"),
+          dims.tail.map(i =>
+            (sum(col(s"x$i")).cast("double") / count(lit(1))).as(s"c$i")): _*)
+
+    val a1 = assign(feats, init)
+    val c1 = recompute(a1)
+    val a2 = assign(feats, c1)
+    a2.groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("x0")).cast("double") / count(lit(1)) / 1e6).as("m0"),
+        (sum(col("x1")).cast("double") / count(lit(1)) / 1e6).as("m1"),
+        (sum(col("x2")).cast("double") / count(lit(1)) / 1e6).as("m2"),
+        (sum(col("x3")).cast("double") / count(lit(1)) / 1e6).as("m3"))
+      .orderBy(col("cell"))
+  }
+
+  private def kmeans2IterSql: String = {
+    val dims = 0 until 4
+    val featCols = dims.map(i =>
+      s"CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) AS x$i")
+      .mkString(", ")
+    def distExpr(prefix: String) = dims.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - $prefix.c$i) * (CAST(f.x$i AS DOUBLE) - $prefix.c$i)")
+      .mkString(" + ")
+    s"""WITH feats AS (
+       |  SELECT vec_id, $featCols FROM embeddings
+       |), init AS (
+       |  SELECT vec_id AS cell,
+       |         ${dims.map(i => s"CAST(x$i AS DOUBLE) AS c$i").mkString(", ")}
+       |  FROM feats WHERE vec_id < 8
+       |), a1 AS (
+       |  SELECT vec_id, cell, ${dims.map(i => s"x$i").mkString(", ")} FROM (
+       |    SELECT f.vec_id, c.cell, ${dims.map(i => s"f.x$i").mkString(", ")},
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY ${distExpr("c")}, c.cell) AS rn
+       |    FROM feats f CROSS JOIN init c)
+       |  WHERE rn = 1
+       |), c1 AS (
+       |  SELECT cell,
+       |         ${dims.map(i => s"CAST(SUM(x$i) AS DOUBLE) / COUNT(*) AS c$i").mkString(", ")}
+       |  FROM a1 GROUP BY cell
+       |), a2 AS (
+       |  SELECT vec_id, cell, ${dims.map(i => s"x$i").mkString(", ")} FROM (
+       |    SELECT f.vec_id, c.cell, ${dims.map(i => s"f.x$i").mkString(", ")},
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY ${distExpr("c")}, c.cell) AS rn
+       |    FROM feats f CROSS JOIN c1 c)
+       |  WHERE rn = 1
+       |)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${dims.map(i => s"CAST(SUM(x$i) AS DOUBLE) / COUNT(*) / 1e6 AS m$i").mkString(", ")}
+       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** Hot-path top-k via the custom codegen Expression
     * (graft.functions.CosineSimilarity) — same result ordering as cosine_topk
     * up to float-fold rounding; benchmarked, not oracle-compared (plain
@@ -344,6 +434,7 @@ object SimilarityOps extends QueryModule {
     Q("cosine_near_dup", cosineNearDup, Some(cosineNearDupSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSql)),
+    Q("kmeans_2iter", kmeans2Iter, Some(kmeans2IterSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql))
   )
 }

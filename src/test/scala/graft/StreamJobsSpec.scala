@@ -104,6 +104,29 @@ class StreamJobsSpec extends SparkSpec {
     assert(spark.sql("select * from sd").count() === 2)
   }
 
+  test("session_window works in streaming mode with watermark") {
+    val in = MemoryStream[KafkaShaped]
+    val sessions = in.toDF()
+      .withWatermark("timestamp", "1 minute")
+      .groupBy(session_window(col("timestamp"), "30 seconds"), $"key")
+      .agg(count(lit(1)).as("n"))
+      .select($"key", unix_timestamp($"session_window.start").as("start_sec"),
+        unix_timestamp($"session_window.end").as("end_sec"), $"n")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    // u1: two events 10s apart (one session), then 40s gap (new session)
+    in.addData(rec("u1", "a", 100, 0), rec("u1", "b", 110, 1), rec("u1", "c", 150, 2))
+    q.processAllAvailable()
+    in.addData(rec("u1", "d", 400, 3)) // advances watermark, closes sessions
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("select * from sess")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // session 1: [100, 110+30), 2 events; session 2: [150, 150+30), 1 event
+    assert(rows.contains(("u1", 100L, 140L, 2L)), rows.toString)
+    assert(rows.contains(("u1", 150L, 180L, 1L)), rows.toString)
+  }
+
   test("stream-stream interval join matches keys within the window only") {
     val clicks = MemoryStream[KafkaShaped]
     val buys = MemoryStream[KafkaShaped]
