@@ -2,13 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every registered query on
-  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  * SPARK_GRAFT_SF_DIR, prints one JSON line, and writes the same JSON to
+  * SPARK_GRAFT_BENCH_OUT (default `BENCH.json` in the working dir) so the
+  * result survives log-prefix pollution (sbt's `[info] ` made the round-1
+  * stdout line unparseable for the driver).
   *
   * Methodology: one JVM-wide warmup query, then two timed runs per query
   * reporting the per-query minimum — first-run timings on a fresh JVM are
   * dominated by one-off costs (janino compilation of the large generated
   * methods, C2 JIT warmup, Hadoop FileSystem init) that say nothing about
-  * steady-state throughput at scale.
+  * steady-state throughput at scale. The sandbox VM also stalls whole runs
+  * for 15–50 s at random (round-1 driver bench: 68 s for a query that is
+  * 1 s steady-state), so when even the min of the two runs looks
+  * stall-contaminated (max/min > 5), a third run is taken and the overall
+  * minimum reported. min (not median) is the right estimator here: stalls
+  * only ever inflate a timing, never deflate it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,15 +49,27 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.map { case (name, fn) =>
       // drop caches left by previous queries (some operators cache reused
-      // subtrees internally); keep the cache warm between this query's two
-      // runs so min-of-2 reflects steady state
+      // subtrees internally); keep the cache warm between this query's own
+      // runs so min-of-N reflects steady state
       spark.catalog.clearCache()
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      val t1 = timeOnce(name, fn)
+      val t2 = timeOnce(name, fn)
+      val best =
+        if (math.max(t1, t2) / math.min(t1, t2) > 5.0)
+          math.min(math.min(t1, t2), timeOnce(name, fn)) // stall suspected
+        else math.min(t1, t2)
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

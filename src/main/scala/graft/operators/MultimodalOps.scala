@@ -111,8 +111,20 @@ object MultimodalOps extends QueryModule {
         |  md5(substr(text, 1, 16)) AS head16_md5,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)),
-    // mapPartitions decode path — not SQL-expressible; rows-only check
-    Q("multimodal_features", mediaFeatures, None),
+    // The mapPartitions decode path itself isn't SQL, but the STUB's feature
+    // math is (payload = UTF-8 text, ASCII in this corpus, so byte i ==
+    // ascii(char i)); the oracle replays it so the decode plumbing is
+    // hash-checked end-to-end, not just rows-counted.
+    Q("multimodal_features", mediaFeatures, Some(
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))
+        |            ELSE -1 END AS BIGINT) AS head_byte,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |         generate_series(1, length(text)),
+        |         i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS checksum,
+        |  CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("multimodal_frame_sample", frameSample, Some(
       """SELECT doc_id, CAST(f.frame_id AS BIGINT) AS frame_id,
         |  md5(substr(text, CAST(f.frame_id * 256 + 1 AS INT), 8)) AS frame_head_md5

@@ -58,12 +58,13 @@ object StatsOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
-  /** Edit-distance near-dup: levenshtein over 24-char prefixes of close doc
-    * pairs (same integer DP definition in both engines). Blocked by length
-    * band so the pair space stays linear-ish at scale. */
+  /** Edit-distance near-dup over the FULL corpus: levenshtein over 24-char
+    * prefixes of same-length-band doc pairs (same integer DP definition in
+    * both engines). The length band is the blocking step: pairs only form
+    * inside a band (an equi-join), so the pair space is Σ band² instead of
+    * n² — the banding that keeps this linear-ish at 100× scale. */
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(s, dir, "documents")
-      .filter(col("doc_id") < 60)
       .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix"),
         expr("length(text) div 50").cast("long").as("len_band"))
     val a = d.select(col("doc_id").as("a_id"), col("prefix").as("a_p"), col("len_band"))
@@ -78,12 +79,13 @@ object StatsOps extends QueryModule {
 
   /** Ordered list aggregation: sort_array(collect_list) — deterministic
     * regardless of arrival order (the only safe way to emit arrays from a
-    * distributed group-by). */
+    * distributed group-by). Emitted as a '|'-joined string so the result is
+    * a hash-comparable scalar (the driver's checker can't hash array cells). */
   private def collectSorted(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "events")
       .filter(col("user_id") < 10)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("event_type"))).as("types"),
+      .agg(array_join(sort_array(collect_list(col("event_type"))), "|").as("types"),
         count(lit(1)).as("n"))
       .orderBy(col("user_id"))
 
@@ -121,7 +123,7 @@ object StatsOps extends QueryModule {
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 24) AS prefix,
         |         CAST(length(text) // 50 AS BIGINT) AS len_band
-        |  FROM documents WHERE doc_id < 60
+        |  FROM documents
         |)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
@@ -129,7 +131,8 @@ object StatsOps extends QueryModule {
         |WHERE levenshtein(a.prefix, b.prefix) <= 12
         |ORDER BY a_id, b_id""".stripMargin)),
     Q("collect_sorted", collectSorted, Some(
-      """SELECT user_id, list_sort(list(event_type)) AS types,
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(event_type)), '|') AS types,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events WHERE user_id < 10
         |GROUP BY user_id ORDER BY user_id""".stripMargin))
