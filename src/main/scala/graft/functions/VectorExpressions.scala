@@ -169,6 +169,90 @@ case class QuantizedDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH band keys for ARRAY<FLOAT>: returns ARRAY<LONG> of
+  * `bands` keys, band k = the sign bits of `rowsPerBand` integer hyperplane
+  * dots (planes k·r .. k·r+r-1). Same md5-derived weight family and
+  * quantization (round(x·1e6) longs × integer weights in [-1000,1000]) as
+  * SimilarityOps.lshBucket, so keys are bit-exact on any engine/partitioning.
+  *
+  * Used as the candidate-generation blocking key for banded similarity
+  * self-joins (cosine_near_dup): pairs form only inside (band, key) buckets —
+  * an equi-join — never as an all-pairs product.
+  */
+case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT> argument, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      LshMath.bandKeys(a.asInstanceOf[ArrayData], bands, rowsPerBand))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.LshMath.bandKeys($a, $bands, $rowsPerBand));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hyperplane weight table + band-key kernel callable from generated Java.
+  * Weights are md5("plane:j:i")-derived integers in [-1000, 1000] — identical
+  * to SimilarityOps.planeWeight, deterministic on every JVM, so the driver's
+  * SQL oracle can replay them symbolically.
+  */
+object LshMath {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
+
+  def weights(nPlanes: Int, dim: Int): Array[Array[Long]] =
+    cache.computeIfAbsent((nPlanes, dim), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nPlanes, dim) { (j, i) =>
+        val hex = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+      }
+    })
+
+  def bandKeys(x: ArrayData, bands: Int, rowsPerBand: Int): Array[Long] = {
+    val dim = x.numElements()
+    val w = weights(bands * rowsPerBand, dim)
+    // quantize once per row, not once per plane
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { q(i) = QMath.qround(x.getFloat(i).toDouble * 1e6); i += 1 }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var k = 0
+      while (k < rowsPerBand) {
+        val wj = w(b * rowsPerBand + k)
+        var dot = 0L
+        var d = 0
+        while (d < dim) { dot += q(d) * wj(d); d += 1 }
+        key = key * 2 + (if (dot > 0) 1L else 0L)
+        k += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    keys
+  }
+}
+
 /** Shared rounding helper callable from generated Java. */
 object QMath {
   /** Round half away from zero (= BigDecimal HALF_UP on the double's exact
@@ -190,5 +274,9 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_q",
       exprs => QuantizedDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_band_keys",
+      exprs => LshBandKeys(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

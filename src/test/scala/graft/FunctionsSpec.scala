@@ -62,4 +62,38 @@ class FunctionsSpec extends SparkSpec {
     val got = df.select(expr("cosine_sim(a, b)")).collect()
     assert(got(0).isNullAt(0))
   }
+
+  test("lsh_band_keys matches an independent md5-hyperplane implementation") {
+    VectorFunctions.register(spark)
+    def weight(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    def ref(v: Array[Float], bands: Int, r: Int): Seq[Long] = {
+      val q = v.map(x => math.rint(x.toDouble * 1e6).toLong)
+      (0 until bands).map { b =>
+        (0 until r).foldLeft(0L) { (key, k) =>
+          val dot = q.indices.map(i => q(i) * weight(b * r + k, i)).sum
+          key * 2 + (if (dot > 0) 1L else 0L)
+        }
+      }
+    }
+    val vecs = Tables.t(spark, sf001, "embeddings").limit(20)
+      .select($"embedding").as[Array[Float]].collect()
+    val got = vecs.toSeq.toDF("embedding")
+      .select(expr("lsh_band_keys(embedding, 20, 3)").as[Seq[Long]]).collect()
+    vecs.zip(got).foreach { case (v, keys) =>
+      assert(keys === ref(v, 20, 3))
+    }
+  }
+
+  test("cosine_near_dup plan is an equi-join, not a nested-loop product") {
+    val df = SparkEntry.queries("cosine_near_dup")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
 }
