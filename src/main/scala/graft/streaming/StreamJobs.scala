@@ -32,33 +32,70 @@ final class TopicTableSink(path: String) extends Serializable {
   * rows (rowkey, cf, qualifier, cell_value, ts); last write per
   * (rowkey, cf, qualifier) wins — the observable rowkey-collision behavior of
   * Streamer.scala:163 / KafkaStreamerToHbase.scala:154-158 as a deterministic
-  * relational rule. Modeled as read-union-dedup-overwrite parquet; at scale
-  * this is a Delta/Hudi MERGE or a real wide-column store — the semantics
-  * tested here are identical.
+  * relational rule (ties on ts broken by max cell_value so the survivor is
+  * partitioning-independent).
+  *
+  * Scale posture: the table is laid out as `bucket=hash(rowkey)%N` parquet
+  * partitions. An upsert touches ONLY the buckets present in the batch:
+  * read-side partition pruning on `bucket`, merge, write the merged buckets
+  * to a staging dir, then an atomic-per-bucket Hadoop FS swap. Cost per
+  * micro-batch is O(touched buckets), not O(table) — the same shape as a
+  * Delta/Hudi MERGE or an HBase regionserver write path; untouched buckets'
+  * files are never rewritten (asserted in StreamJobsSpec).
   */
-final class KvUpsertSink(path: String) extends Serializable {
+final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializable {
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(xxhash64(col("rowkey")), lit(numBuckets)).cast("int"))
+
   def upsert(spark: SparkSession, batch: DataFrame): Unit = {
-    val existing =
-      try spark.read.parquet(path)
-      catch { case _: Throwable => spark.emptyDataFrame }
-    val all =
-      if (existing.columns.sameElements(batch.columns)) existing.unionAll(batch)
-      else batch
-    val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
-      .orderBy(col("ts").desc)
-    val merged = all
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-      .cache()
-    merged.count() // materialize before overwriting the input path
-    merged.write.mode("overwrite").parquet(path + "_tmp")
-    merged.unpersist()
-    val fs = new java.io.File(path)
-    if (fs.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(fs) }
-    new java.io.File(path + "_tmp").renameTo(fs)
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(path)
+    val fs = FileSystem.get(base.toUri, hconf)
+
+    val b = withBucket(batch).cache()
+    try {
+      // the touched-bucket set is ≤ numBuckets ints — driver-safe to collect
+      val touched = b.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val existing =
+        if (fs.exists(base))
+          Some(spark.read.parquet(path)
+            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*)))
+        else None // first write: the sink creates the table (O7 DDL-on-write)
+      val all = existing match {
+        case Some(e) if e.columns.sorted.sameElements(b.columns.sorted) =>
+          e.select(b.columns.map(col): _*).unionAll(b)
+        case _ => b
+      }
+      val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
+        .orderBy(col("ts").desc, col("cell_value").desc)
+      val merged = all
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val staging = new Path(path + "_staging")
+      fs.delete(staging, true)
+      // one dir per touched bucket lands in staging; untouched buckets are
+      // neither read nor written
+      merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+      fs.mkdirs(base)
+      touched.foreach { k =>
+        val src = new Path(staging, s"bucket=$k")
+        val dst = new Path(base, s"bucket=$k")
+        if (fs.exists(src)) {
+          fs.delete(dst, true)
+          fs.rename(src, dst)
+        }
+      }
+      fs.delete(staging, true)
+    } finally b.unpersist()
+    ()
   }
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+
+  def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(path).drop("bucket")
 }
 
 /** Structured Streaming rebuilds of the reference's two pipelines.
@@ -80,10 +117,13 @@ object StreamJobs {
       outTopic: String,
       topicSink: TopicTableSink,
       kvSink: KvUpsertSink,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    input.writeStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val base = input.writeStream
       .trigger(trigger)
       .outputMode("append")
+    checkpoint.foreach(base.option("checkpointLocation", _))
+    base
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val spark = df.sparkSession
         val cached = df.cache()
@@ -167,6 +207,18 @@ object StreamJobs {
       .withWatermark("timestamp", watermark)
       .dropDuplicates("key", "value")
 
+  /** Watermark-bounded dedup (Spark 3.5+ `dropDuplicatesWithinWatermark`,
+    * SURVEY.md §2.4): unlike [[streamingDedup]], dedup state for a key is
+    * EVICTED once the watermark passes its event time — so state is bounded
+    * by the watermark window (the at-scale requirement), and a re-arrival
+    * after eviction is treated as new. D1 with the state-lifetime contract a
+    * 100 TB/day stream actually needs.
+    */
+  def streamingDedupWithinWatermark(input: DataFrame, watermark: String): DataFrame =
+    input
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("key", "value")
+
   /** Stream-stream interval join: right-side events joined to left-side
     * events with the same key within [left.ts, left.ts + window]. Watermarks
     * on both sides bound the join state (no unbounded buffering — the
@@ -184,6 +236,27 @@ object StreamJobs {
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"interval $window_"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join: like [[streamStreamJoin]] but
+    * left rows with no in-window match are emitted null-padded once the
+    * watermark guarantees no match can still arrive. Both watermarks + the
+    * interval condition bound the buffered state (mandatory for outer
+    * stream-stream joins — Spark rejects the query otherwise).
+    */
+  def streamStreamLeftOuterJoin(left: DataFrame, right: DataFrame,
+      window_ : String, watermark: String): DataFrame = {
+    val l = left.withWatermark("timestamp", watermark)
+      .select(col("key").as("l_key"), col("value").as("l_value"),
+        col("timestamp").as("l_ts"))
+    val r = right.withWatermark("timestamp", watermark)
+      .select(col("key").as("r_key"), col("value").as("r_value"),
+        col("timestamp").as("r_ts"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $window_"),
+      "left_outer")
   }
 
   /** Cross-batch per-key running counts via mapGroupsWithState — the

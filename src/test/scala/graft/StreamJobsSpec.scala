@@ -163,6 +163,110 @@ class StreamJobsSpec extends SparkSpec {
     assert(last === Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("summaryPipeline restart from checkpoint: no duplicate or missing " +
+      "batches, monotone batchIds (exactly-once across restart)") {
+    val in = MemoryStream[KafkaShaped]
+    val dir = tmp()
+    val topicSink = new TopicTableSink(dir + "/topic")
+    val kvSink = new KvUpsertSink(dir + "/kv")
+    val ckpt = dir + "/ckpt"
+
+    // run batch 0, then stop the query mid-stream
+    val q1 = StreamJobs.summaryPipeline(in.toDF(), "t", "out",
+      topicSink, kvSink, Trigger.ProcessingTime(0), Some(ckpt))
+    in.addData(rec("a", "1", 2000, 0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart against the SAME checkpoint + sinks; feed one more batch
+    val q2 = StreamJobs.summaryPipeline(in.toDF(), "t", "out",
+      topicSink, kvSink, Trigger.ProcessingTime(0), Some(ckpt))
+    in.addData(rec("b", "2", 3000, 1))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val lines = topicSink.read(spark).select($"value").as[String].collect().toSeq
+    // exactly one line per batch: batch 0 NOT reprocessed after restart
+    // (offsets came from the checkpoint), batch 1 not lost
+    assert(lines.size === 2, lines.toString)
+    assert(lines.count(_.contains("batches): 1")) === 1)
+    assert(lines.count(_.contains("batches): 2")) === 1) // batchId continued
+    // the per-batch summary cells: one per epoch second, none duplicated
+    val kv = kvSink.read(spark)
+    assert(kv.filter($"qualifier" === "messages").count() === 2)
+  }
+
+  test("KvUpsertSink rewrites only the buckets touched by the batch") {
+    val path = tmp() + "/kv"
+    val sink = new KvUpsertSink(path, numBuckets = 8)
+    def cell(rowkey: String, v: String, sec: Long) =
+      (rowkey, "cf1", "q", v, new Timestamp(sec * 1000))
+    // seed: many rowkeys so several buckets exist
+    sink.upsert(spark, (1 to 64).map(i => cell(s"k$i", s"v$i", 100))
+      .toDF("rowkey", "cf", "qualifier", "cell_value", "ts"))
+    val bucketOf = spark.read.parquet(path)
+      .select($"rowkey", $"bucket".cast("int")).as[(String, Int)].collect().toMap
+    val touchedBucket = bucketOf("k1")
+    val untouched = bucketOf.values.find(_ != touchedBucket).get
+    def files(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$path/bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = files(untouched)
+    Thread.sleep(1100) // let mtime resolution tick over
+    // second upsert: only k1's bucket is touched
+    sink.upsert(spark, Seq(cell("k1", "v1-new", 200))
+      .toDF("rowkey", "cf", "qualifier", "cell_value", "ts"))
+    assert(files(untouched) === before) // untouched bucket files not rewritten
+    // and the upsert semantics held: k1 now has the new value
+    val k1 = sink.read(spark).filter($"rowkey" === "k1")
+      .select($"cell_value").as[String].collect().toSeq
+    assert(k1 === Seq("v1-new"))
+    assert(sink.read(spark).count() === 64)
+  }
+
+  test("dropDuplicatesWithinWatermark evicts state past the watermark") {
+    val in = MemoryStream[KafkaShaped]
+    val q = StreamJobs.streamingDedupWithinWatermark(in.toDF(), "30 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("ddw").start()
+    in.addData(rec("a", "1", 100, 0))
+    q.processAllAvailable()
+    in.addData(rec("a", "1", 110, 1)) // dup within the watermark → dropped
+    q.processAllAvailable()
+    in.addData(rec("b", "2", 300, 2)) // advances watermark to 270, evicts (a,1)
+    q.processAllAvailable()
+    in.addData(rec("a", "1", 301, 3)) // re-arrival after eviction → NEW record
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.sql("select key, value from ddw")
+      .as[(String, String)].collect().toSeq
+    assert(vals.count(_ == ("a", "1")) === 2, vals.toString) // before + after eviction
+    assert(vals.count(_ == ("b", "2")) === 1)
+  }
+
+  test("stream-stream LEFT OUTER interval join null-pads unmatched left rows") {
+    val clicks = MemoryStream[KafkaShaped]
+    val buys = MemoryStream[KafkaShaped]
+    val joined = StreamJobs.streamStreamLeftOuterJoin(
+      clicks.toDF(), buys.toDF(), "10 seconds", "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssoj").start()
+    clicks.addData(rec("u1", "click1", 100, 0), rec("u2", "click2", 100, 1))
+    buys.addData(rec("u1", "buy-in-window", 105, 0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past 100+10+10 so u2's no-match is final
+    clicks.addData(rec("u9", "advance", 1000, 2))
+    buys.addData(rec("u9", "advance", 1000, 1))
+    q.processAllAvailable()
+    q.processAllAvailable() // no-data batch emits the final outer rows
+    q.stop()
+    val rows = spark.sql("select l_key, r_value from ssoj")
+      .as[(String, Option[String])].collect().toSet
+    assert(rows.contains(("u1", Some("buy-in-window"))), rows.toString)
+    assert(rows.contains(("u2", None)), rows.toString) // null-padded outer row
+  }
+
   test("ForeachWriter lifecycle processes every record (O2 analog)") {
     val in = MemoryStream[KafkaShaped]
     val id = "t" + System.nanoTime()
