@@ -29,6 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
 
     // engine warmup: scan + shuffle + codegen once before any timing
     try spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -16,6 +16,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
     names.foreach { n =>
       println(s"\n########## $n ##########")
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine extension: per-key top-k rewrite runs in the verified path, so
+    // its output is hash-checked against the window-formulation oracle
+    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

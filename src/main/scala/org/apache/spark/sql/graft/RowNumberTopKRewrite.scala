@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule (SURVEY.md §7.4 tier (c), the Rule leg): rewrites the
@@ -43,9 +43,22 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
         if k > 0 &&
           rnAttr.exprId == alias.exprId &&
           parts.nonEmpty &&
-          !projList.exists(_.references.exists(_.exprId == alias.exprId)) &&
-          projList.forall(_.references.subsetOf(child.outputSet)) =>
-      Project(projList, TopKPerKeyNode(child, parts, order, k))
+          projList.forall(_.references.subsetOf(child.outputSet + alias.toAttribute)) => {
+      // If the rank column survives into the projection, have the operator
+      // emit it (1-based, identical to row_number over the same spec);
+      // otherwise drop it from the operator output entirely.
+      val keepRank = projList.exists(_.references.exists(_.exprId == alias.exprId))
+      val rank = if (keepRank) Some(alias.toAttribute) else None
+      Project(projList, TopKPerKeyNode(stripGroupLimit(child), parts, order, k, rank))
+    }
+  }
+
+  /** Spark's own InferWindowGroupLimit (main optimizer batch, runs before
+    * user rules) inserts WindowGroupLimit under the Window we replace; the
+    * bounded heap subsumes it, so drop it rather than filter twice. */
+  private def stripGroupLimit(p: LogicalPlan): LogicalPlan = p match {
+    case wgl: WindowGroupLimit => stripGroupLimit(wgl.child)
+    case other => other
   }
 
   /** Install the rule + strategy into a session (idempotent). */

@@ -34,8 +34,12 @@ case class TopKPerKeyNode(
     child: LogicalPlan,
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
-    k: Int) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    k: Int,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  // rankAttr: optionally emit the 1-based per-key rank (row_number
+  // equivalent) as an extra column, so the rewrite also covers the idiom
+  // where the rank is kept in the output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }
@@ -45,9 +49,10 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    partial: Boolean) extends UnaryExecNode {
+    partial: Boolean,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -58,6 +63,8 @@ case class TopKPerKeyExec(
     val sortOrder = ordering
     val limit = k
     val childOutput = child.output
+    val emitRank = rankAttr.isDefined
+    val outAttrs = output
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering = GenerateOrdering.generate(sortOrder, childOutput)
@@ -78,9 +85,29 @@ case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      val out = Seq.newBuilder[InternalRow]
-      heaps.values().forEach { h => h.forEach(r => out += r) }
-      out.result().iterator
+      if (!emitRank) {
+        val out = Seq.newBuilder[InternalRow]
+        heaps.values().forEach { h => h.forEach(r => out += r) }
+        out.result().iterator
+      } else {
+        // final pass with rank: order each key's k rows and append the
+        // 1-based rank — exactly row_number() over the same spec
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val out = Seq.newBuilder[InternalRow]
+        heaps.values().forEach { h =>
+          val arr = new java.util.ArrayList[InternalRow](h)
+          arr.sort(rowOrdering)
+          var i = 0
+          while (i < arr.size()) {
+            rankRow.update(0, i + 1)
+            out += outProj(joined(arr.get(i), rankRow)).copy()
+            i += 1
+          }
+        }
+        out.result().iterator
+      }
     }
   }
 
@@ -90,10 +117,12 @@ case class TopKPerKeyExec(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(child, keys, ordering, k) =>
+    case TopKPerKeyNode(child, keys, ordering, k, rankAttr) =>
+      // the partial (pre-shuffle) pass never emits a rank — ranks are only
+      // meaningful after the final per-key merge
       TopKPerKeyExec(
         TopKPerKeyExec(planLater(child), keys, ordering, k, partial = true),
-        keys, ordering, k, partial = false) :: Nil
+        keys, ordering, k, partial = false, rankAttr) :: Nil
     case _ => Nil
   }
 }

@@ -60,7 +60,8 @@ class TopKSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
-  test("RowNumberTopKRewrite leaves plans alone when the rank is still used") {
+  test("RowNumberTopKRewrite also rewrites the idiom when the rank is kept, " +
+      "emitting an identical rank column") {
     org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
     val orders = Tables.t(spark, sf001, "orders")
     val w = org.apache.spark.sql.expressions.Window
@@ -68,11 +69,24 @@ class TopKSpec extends SparkSpec {
     val keepsRank = orders
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
-      .select($"o_custkey", $"rk")
+      .select($"o_custkey", $"rk", $"o_orderkey")
     val opt = keepsRank.queryExecution.optimizedPlan
     assert(opt.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      case n: org.apache.spark.sql.graft.TopKPerKeyNode => n }.nonEmpty, opt.toString)
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
       opt.toString)
+    // rank values identical to row_number: collect the UNFILTERED window
+    // output (no Filter(Window) pattern, so the rule cannot fire on it) and
+    // apply the top-3 filter driver-side
+    val expected = orders
+      .withColumn("rk", row_number().over(w))
+      .select($"o_custkey", $"rk", $"o_orderkey")
+      .as[(Long, Int, Long)].collect()
+      .filter(_._2 <= 3).sortBy(r => (r._1, r._2)).toSeq
+    val got = keepsRank.orderBy($"o_custkey", $"rk")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === expected)
   }
 
   test("TopKPerKey handles k larger than group size and single groups") {
