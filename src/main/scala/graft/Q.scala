@@ -29,12 +29,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
       // default; read it as a long and truncate to µs — exactly what DuckDB's
       // TIMESTAMP (µs) read of the same file yields, so oracle values match.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Only touch session conf when the entry point didn't already set it
+      // (one-time, not per-call — the conf applies at scan planning time).
+      if (!spark.conf.getOption(NanosKey).contains("true"))
+        spark.conf.set(NanosKey, "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(

@@ -207,6 +207,58 @@ case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** First-matching-band predicate for banded-LSH pair dedup: true iff NO
+  * index i < n has a(i) == b(i) — i.e. the current band (index n) is the
+  * earliest collision, so this candidate occurrence is the one to keep.
+  * Codegen tight loop over ≤bands longs; the higher-order-function
+  * formulation (exists(zip_with(slice, slice, =), id)) allocates two slices
+  * + a zipped array per candidate pair, which dominated the banded self-join
+  * (~30 s of the sf0.1 cosine_near_dup bench before this expression).
+  */
+case class NoEarlierBandCollision(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val longArr = (d: DataType) => d.isInstanceOf[ArrayType] &&
+      d.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.LongType
+    if (longArr(first.dataType) && longArr(second.dataType) &&
+        third.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<BIGINT>, INT), got " +
+        s"${first.dataType.sql} / ${second.dataType.sql} / ${third.dataType.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "no_earlier_band_collision"
+
+  override def nullSafeEval(a: Any, b: Any, n: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val upTo = n.asInstanceOf[Int]
+    var i = 0
+    while (i < upTo) {
+      if (x.getLong(i) == y.getLong(i)) return java.lang.Boolean.FALSE
+      i += 1
+    }
+    java.lang.Boolean.TRUE
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n) => {
+      val i = ctx.freshName("i")
+      s"""
+         |${ev.value} = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = false; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Hyperplane weight table + band-key kernel callable from generated Java.
   * Weights are md5("plane:j:i")-derived integers in [-1000, 1000] — identical
   * to SimilarityOps.planeWeight, deterministic on every JVM, so the driver's
@@ -278,5 +330,7 @@ object VectorFunctions {
       exprs => LshBandKeys(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    reg.createOrReplaceTempFunction("no_earlier_band_collision",
+      exprs => NoEarlierBandCollision(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -128,10 +128,9 @@ object SimilarityOps extends QueryModule {
     side("a").join(side("b"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       // first-match-band dedup: drop the pair everywhere but its earliest
-      // colliding band (earlier keys ride along in a_bands/b_bands)
-      .filter(!expr(
-        "exists(zip_with(slice(a_bands, 1, band), slice(b_bands, 1, band)," +
-          " (x, y) -> x = y), t -> t)"))
+      // colliding band (earlier keys ride along in a_bands/b_bands); codegen
+      // predicate — pipelined inside the join, no per-candidate allocation
+      .filter(expr("no_earlier_band_collision(a_bands, b_bands, band)"))
       .withColumn("cosine",
         cosineQ(dotQ(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
       .filter(col("cosine") >= 0.4)

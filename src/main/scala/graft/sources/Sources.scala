@@ -50,7 +50,8 @@ object Sources {
     */
   def kafkaShapedStream(spark: SparkSession, dir: String,
       topic: String = "page_visits"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType),
