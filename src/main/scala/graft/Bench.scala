@@ -11,12 +11,16 @@ import org.apache.spark.sql.SparkSession
   * reporting the per-query minimum — first-run timings on a fresh JVM are
   * dominated by one-off costs (janino compilation of the large generated
   * methods, C2 JIT warmup, Hadoop FileSystem init) that say nothing about
-  * steady-state throughput at scale. The sandbox VM also stalls whole runs
-  * for 15–50 s at random (round-1 driver bench: 68 s for a query that is
-  * 1 s steady-state), so when even the min of the two runs looks
-  * stall-contaminated (max/min > 5), a third run is taken and the overall
-  * minimum reported. min (not median) is the right estimator here: stalls
-  * only ever inflate a timing, never deflate it.
+  * steady-state throughput at scale. min (not median) is the right
+  * estimator here: stalls only ever inflate a timing, never deflate it.
+  *
+  * Stall detection: the sandbox VM freezes whole minutes at random
+  * (round-1 driver bench: 68 s for a query that is 1 s steady-state), long
+  * enough to contaminate BOTH timed runs of a query, so run-vs-run
+  * disparity alone cannot detect it. Stalls are VM-wide, so instead a
+  * fixed canary workload (range→sum, ~16M rows) is timed after each query
+  * run; a canary far above its observed floor marks that window as stalled
+  * and the query gets retried (bounded) once the canary recovers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,18 +51,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // VM-stall canary: fixed tiny workload whose steady-state time is a
+    // few tens of ms; during a VM freeze it inflates 10-100x. Tracks its
+    // own floor across the sweep (the floor itself can't be measured
+    // during a stall: min only decreases).
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(16L << 20).selectExpr("sum(id)")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // codegen warmup for the canary itself
+    var canaryFloor = canaryOnce()
+
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.map { case (name, fn) =>
       // drop caches left by previous queries (some operators cache reused
       // subtrees internally); keep the cache warm between this query's own
       // runs so min-of-N reflects steady state
       spark.catalog.clearCache()
-      val t1 = timeOnce(name, fn)
-      val t2 = timeOnce(name, fn)
-      val best =
-        if (math.max(t1, t2) / math.min(t1, t2) > 5.0)
-          math.min(math.min(t1, t2), timeOnce(name, fn)) // stall suspected
-        else math.min(t1, t2)
+      var best = Double.MaxValue
+      var cleanRuns = 0
+      var attempts = 0
+      // want 2 stall-free timings; cap total attempts so a minutes-long
+      // freeze degrades to "report what we saw" instead of spinning
+      while (cleanRuns < 2 && attempts < 5) {
+        val t = timeOnce(name, fn)
+        val c = canaryOnce()
+        canaryFloor = math.min(canaryFloor, c)
+        attempts += 1
+        best = math.min(best, t)
+        if (c < 5.0 * canaryFloor + 0.2) cleanRuns += 1
+      }
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -23,6 +23,20 @@ trait QueryModule {
   def queries: Seq[Q]
 }
 
+object QOps {
+  /** Total order for an expensive-plan, small-output query.
+    *
+    * A global `orderBy` plans an Exchange(rangepartitioning) whose boundary
+    * sampling pass RE-EXECUTES the child plan — doubling the cost of
+    * candidate-pair joins whose output is a few thousand rows. Shuffling
+    * those rows to one partition and sorting locally keeps the expensive
+    * child parallel and single-pass; the sort itself is on the tiny result.
+    * Only for outputs that comfortably fit one task (≲1M rows).
+    */
+  def ordered1(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+}
+
 /** Readers for the driver-generated test tables (TESTDATA.md / FIXTURES.md). */
 object Tables {
   val names: Seq[String] = Seq(
