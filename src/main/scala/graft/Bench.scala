@@ -62,7 +62,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     canaryOnce() // codegen warmup for the canary itself
-    var canaryFloor = canaryOnce()
+    // floor = min of several probes: a single probe landing inside a VM
+    // stall would inflate the floor for the whole sweep and blind the
+    // stall detector (min-tracking below only helps if a clean window
+    // happens to occur before the affected queries)
+    var canaryFloor = Seq.fill(3)(canaryOnce()).min
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.map { case (name, fn) =>

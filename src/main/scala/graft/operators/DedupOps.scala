@@ -83,14 +83,18 @@ object DedupOps extends QueryModule {
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.3)
-      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+    // ordered1, not orderBy: a global sort's range-partitioning sampling
+    // pass would re-execute the expensive shingle self-join for a
+    // few-dozen-row output
+    graft.QOps.ordered1(
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("a_id"), col("b_id"), col("inter"), col("jaccard")),
+      col("a_id"), col("b_id"))
   }
 
   // ---- MinHash + LSH ------------------------------------------------------
@@ -140,14 +144,16 @@ object DedupOps extends QueryModule {
       .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.3)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+    // ordered1 for the same reason as ngramJaccard: tiny output, costly child
+    graft.QOps.ordered1(
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("a_id"), col("b_id"), col("jaccard")),
+      col("a_id"), col("b_id"))
   }
 
   private def minhashLshSql: String = {
@@ -225,13 +231,14 @@ object DedupOps extends QueryModule {
     // cache: one row per doc, feeds both sides of the block self-join
     val sig = simhash(s, dir).withColumn("blk", shiftright(col("simhash"), 16))
       .cache()
-    sig.as("x").join(sig.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= 10)
-      .orderBy(col("a_id"), col("b_id"))
+    graft.QOps.ordered1(
+      sig.as("x").join(sig.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= 10),
+      col("a_id"), col("b_id"))
   }
 
   private def simhashPairsSql: String =

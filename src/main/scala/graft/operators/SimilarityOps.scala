@@ -135,23 +135,56 @@ object SimilarityOps extends QueryModule {
         cosineQ(dotQ(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
       .filter(col("cosine") >= 0.4)
       .select(col("a_id"), col("b_id"), col("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
+      // tiny output, expensive banded self-join child → ordered1, not orderBy
+      .transform(graft.QOps.ordered1(_, col("a_id"), col("b_id")))
   }
 
-  private def cosineNearDupSql: String =
+  /** Oracle replays the SAME banded candidate generation as the Spark query
+    * (md5-derived integer hyperplanes — LshMath.bandKeys symbolically), so
+    * both engines compute the identical approximate result at EVERY scale
+    * factor. An exact all-pairs oracle would silently diverge wherever band
+    * recall < 1.0 (e.g. 916/920 at sf0.1), breaking the exact-match contract
+    * at bench scale.
+    */
+  private def cosineNearDupSql: String = {
+    val planeRows = (0 until ND_BANDS * ND_ROWS).map { j =>
+      val ws = (0 until DIM).map(i => planeWeight(j, i)).mkString(", ")
+      s"($j, [$ws])"
+    }.mkString(",\n    ")
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
-       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |         ${dotQSql("embedding", "embedding")} AS norm2,
+       |         list_transform(generate_series(1, $DIM),
+       |           i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS q
        |  FROM embeddings
+       |), planes AS (
+       |  SELECT * FROM (VALUES
+       |    $planeRows) AS t(j, w)
+       |), bits AS (
+       |  SELECT e.vec_id, p.j,
+       |         CASE WHEN CAST(list_sum(list_transform(generate_series(1, $DIM),
+       |           i -> e.q[i] * p.w[i])) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes p
+       |), bands AS (
+       |  SELECT vec_id, j // $ND_ROWS AS band,
+       |         CAST(SUM(bit * (1 << (${ND_ROWS - 1} - (j % $ND_ROWS)))) AS BIGINT) AS key
+       |  FROM bits GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
        |), pairs AS (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  SELECT c.a_id, c.b_id,
        |         CAST(${dotQSql("a.embedding", "b.embedding")} AS DOUBLE)
        |           / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.a_id
+       |  JOIN e b ON b.vec_id = c.b_id
        |)
        |SELECT a_id, b_id, cosine FROM pairs
        |WHERE cosine >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** md5-derived integer hyperplane weight for (plane j, dim i) in [-1000,1000]. */
   private def planeWeight(j: Int, i: Int): Long = {

@@ -74,7 +74,8 @@ object StatsOps extends QueryModule {
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_p"), col("b_p")).cast("long").as("dist"))
       .filter(col("dist") <= 12)
-      .orderBy(col("a_id"), col("b_id"))
+      // tiny output, banded self-join child → ordered1, not orderBy
+      .transform(graft.QOps.ordered1(_, col("a_id"), col("b_id")))
   }
 
   /** Ordered list aggregation: sort_array(collect_list) — deterministic

@@ -81,12 +81,18 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
       // neither read nor written
       merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
       fs.mkdirs(base)
+      // a failed delete/rename must FAIL the micro-batch (the old dst is
+      // already gone at rename time — swallowing the failure would commit a
+      // table with a silently dropped bucket; throwing makes the checkpoint
+      // retry re-run the whole merge)
       touched.foreach { k =>
         val src = new Path(staging, s"bucket=$k")
         val dst = new Path(base, s"bucket=$k")
         if (fs.exists(src)) {
-          fs.delete(dst, true)
-          fs.rename(src, dst)
+          if (fs.exists(dst) && !fs.delete(dst, true))
+            throw new java.io.IOException(s"KvUpsertSink: delete of $dst failed")
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"KvUpsertSink: rename $src -> $dst failed")
         }
       }
       fs.delete(staging, true)

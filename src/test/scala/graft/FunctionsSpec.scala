@@ -72,7 +72,9 @@ class FunctionsSpec extends SparkSpec {
       java.lang.Long.parseLong(hex, 16) % 2001 - 1000
     }
     def ref(v: Array[Float], bands: Int, r: Int): Seq[Long] = {
-      val q = v.map(x => math.rint(x.toDouble * 1e6).toLong)
+      // same half-away-from-zero rounding as LshMath (math.rint rounds
+      // half-to-even — diverges from the spec'd quantization on exact ties)
+      val q = v.map(x => graft.functions.QMath.qround(x.toDouble * 1e6))
       (0 until bands).map { b =>
         (0 until r).foldLeft(0L) { (key, k) =>
           val dot = q.indices.map(i => q(i) * weight(b * r + k, i)).sum
