@@ -45,19 +45,29 @@ object Tables {
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; read it as a long and truncate to µs — exactly what DuckDB's
-      // TIMESTAMP (µs) read of the same file yields, so oracle values match.
-      // Only touch session conf when the entry point didn't already set it
-      // (one-time, not per-call — the conf applies at scan planning time).
-      if (!spark.conf.getOption(NanosKey).contains("true"))
-        spark.conf.set(NanosKey, "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  // Memoized per (session, dir, table): `spark.read.parquet` re-runs parquet
+  // schema inference on EVERY call (footer reads + a driver-side
+  // closure-serialization per read); across a 60-query sweep that is
+  // hundreds of redundant driver round-trips, and on a throttled VM they
+  // dominate wall-clock. DataFrames are immutable and freely reusable, so
+  // one resolved plan per table per session is the right amount of work.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+        // default; read it as a long and truncate to µs — exactly what DuckDB's
+        // TIMESTAMP (µs) read of the same file yields, so oracle values match.
+        // Only touch session conf when the entry point didn't already set it
+        // (one-time, not per-call — the conf applies at scan planning time).
+        if (!spark.conf.getOption(NanosKey).contains("true"))
+          spark.conf.set(NanosKey, "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
 }

@@ -103,7 +103,150 @@ object AdvancedOps extends QueryModule {
       .agg(sum(col("pn")).as("n"), sum(col("pc")).as("value_cents"))
       .orderBy(col("event_type"))
 
+  /** MERGE INTO semantics (Delta/Hudi-style upsert) as a batch relational
+    * op: target = BUILDING-segment customers' balances, source = per-customer
+    * order totals. Matched keys update (balance + delta), source-only keys
+    * insert, target-only keys keep — the standard three-branch MERGE,
+    * expressed as one full-outer join + branch projection. Cents-long math
+    * keeps it oracle-exact.
+    *
+    * Scale posture: a MERGE at 100 TB is exactly this shuffle-on-key
+    * full-outer join; with a bucketed target table the shuffle of the target
+    * side disappears (see KvUpsertSink for the incremental form).
+    */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val source = Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("delta_cents"))
+    target.join(source, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        when(col("bal_cents").isNotNull && col("delta_cents").isNotNull, "update")
+          .when(col("bal_cents").isNull, "insert")
+          .otherwise("keep").as("action"),
+        (coalesce(col("bal_cents"), lit(0L)) + coalesce(col("delta_cents"), lit(0L)))
+          .as("new_bal_cents"))
+      .orderBy(col("key"))
+  }
+
+  /** Exact percentiles per group by order statistic (p50/p90/p99): rank
+    * ceil(p·n) in the value-sorted group — no interpolation, no approximate
+    * sketch, so the picked values are bit-exact across engines. One window
+    * sort + one aggregate; at scale this is a single shuffle on the group
+    * key (same cost shape as any per-group sort).
+    */
+  private def exactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wAll = Window.partitionBy(col("event_type"))
+    events(s, dir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("p90"),
+        max(when(col("rn") === ceil(col("n") * 0.99), col("value"))).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Navigation-window suite: lag/lead/ntile/percent_rank per user over the
+    * event timeline — the remaining window-function families (offset,
+    * distribution, bucketing) beyond the running/topk forms already covered.
+    * Unique (ts, event_id) order makes every output deterministic.
+    */
+  private def windowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(
+        col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Skew-mitigated JOIN via key salting: events.event_type has 5 heavily
+    * skewed values, so a plain shuffle join lands each hot key on ONE
+    * reducer. The big side salts with pmod(event_id, 16); the dim side
+    * replicates ×16 (explode of a literal range — dim stays tiny); the join
+    * key becomes (event_type, salt) — 80 evenly-sized groups instead of 5
+    * hot ones. Identical result to the unsalted join; this is the manual
+    * form of AQE's skew-join splitting, usable where AQE can't see the skew
+    * (e.g. before an aggregation, or under a fixed partitioner).
+    */
+  private def skewJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val weights = Seq(("click", 1L), ("view", 2L), ("purchase", 10L),
+      ("error", 0L), ("signup", 5L))
+    val dim = s.createDataFrame(weights).toDF("event_type", "weight")
+      .withColumn("salt", explode(sequence(lit(0), lit(15))))
+    val big = events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)).cast("int"))
+    big.join(dim.hint("shuffle_merge"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long") * col("weight"))
+          .as("weighted_cents"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("merge_upsert", mergeUpsert, Some(
+      """WITH target AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), source AS (
+        |  SELECT o_custkey AS key,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS delta_cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT COALESCE(t.key, s.key) AS key,
+        |  CASE WHEN t.key IS NOT NULL AND s.key IS NOT NULL THEN 'update'
+        |       WHEN t.key IS NULL THEN 'insert' ELSE 'keep' END AS action,
+        |  COALESCE(t.bal_cents, 0) + COALESCE(s.delta_cents, 0) AS new_bal_cents
+        |FROM target t FULL OUTER JOIN source s ON t.key = s.key
+        |ORDER BY key""".stripMargin)),
+    Q("exact_percentiles", exactPercentiles, Some(
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN value END) AS p90,
+        |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN value END) AS p99
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("window_lead_lag", windowLeadLag, Some(
+      """SELECT user_id, event_id, ts, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
+    Q("skew_join_salted", skewJoinSalted, Some(
+      """SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT) * d.weight) AS BIGINT)
+        |    AS weighted_cents
+        |FROM events e
+        |JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 10),
+        |             ('error', 0), ('signup', 5)) d(event_type, weight)
+        |  ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
     Q("salted_agg", saltedAgg, Some(
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

@@ -121,8 +121,9 @@ object DedupOps extends QueryModule {
   }
 
   /** MinHash LSH near-dup pairs: 4 bands × 4 rows → same-bucket candidates →
-    * exact Jaccard ≥ 0.3 verification. */
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    * exact Jaccard ≥ 0.3 verification. Unordered core, shared by the
+    * registered query and the clustering stage downstream. */
+  private def minhashLshCore(s: SparkSession, dir: String): DataFrame = {
     // cache: the signature subtree feeds both sides of the band self-join
     val sig = minhashSig(s, dir).cache()
     val bands = sig.select(col("doc_id"),
@@ -144,16 +145,72 @@ object DedupOps extends QueryModule {
       .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    // ordered1 for the same reason as ngramJaccard: tiny output, costly child
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Registered form: ordered1 for the same reason as ngramJaccard — tiny
+    * output, costly child. */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.QOps.ordered1(minhashLshCore(s, dir), col("a_id"), col("b_id"))
+
+  /** Near-dup CLUSTERS from the LSH pairs: connected components via K
+    * unrolled min-label-propagation iterations — each iteration is one
+    * equi-join (edges × labels) + one hash-aggregate, so a component's label
+    * converges to its minimum doc_id within K hops. K=3 covers any component
+    * of diameter ≤ 3 (near-dup clusters are cliques-ish: pairs all verified
+    * ≥ 0.3 Jaccard, so diameter is 1-2 in practice).
+    *
+    * Scale posture (100 TB): this is the GraphX/Pregel connected-components
+    * shape expressed relationally — per-iteration cost is one shuffle of the
+    * (tiny) edge list, never of the corpus; no driver-side loop over data
+    * (the K-step loop composes the plan, not results).
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshCore(s, dir).select(col("a_id"), col("b_id"))
+    val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .cache()
+    var lab = und.select(col("u")).distinct().withColumn("lab", col("u"))
+    for (_ <- 1 to 3) {
+      val nbr = und.join(lab.withColumnRenamed("u", "v"), "v")
+        .groupBy(col("u")).agg(min(col("lab")).as("nlab"))
+      lab = lab.join(nbr, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+    }
     graft.QOps.ordered1(
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.3)
-        .select(col("a_id"), col("b_id"), col("jaccard")),
-      col("a_id"), col("b_id"))
+      lab.select(col("u").as("doc_id"), col("lab").as("cluster")),
+      col("doc_id"))
+  }
+
+  private def dedupClustersSql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT l.u, LEAST(l.lab, COALESCE(MIN(n.lab), l.lab)) AS lab
+         |  FROM $prev l
+         |  LEFT JOIN (SELECT und.u, $prev.lab FROM und JOIN $prev ON $prev.u = und.v) n
+         |    ON n.u = l.u
+         |  GROUP BY l.u, l.lab
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT a_id, b_id FROM ($minhashLshSql)
+       |), und AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS u, a_id AS v FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT u, u AS lab FROM und
+       |), ${step("l0", "l1")},
+       |${step("l1", "l2")},
+       |${step("l2", "l3")}
+       |SELECT u AS doc_id, lab AS cluster FROM l3
+       |ORDER BY doc_id""".stripMargin
   }
 
   private def minhashLshSql: String = {
@@ -271,6 +328,7 @@ object DedupOps extends QueryModule {
          |ORDER BY a_id, b_id""".stripMargin)),
     Q("minhash_signatures", minhashSig, Some(minhashSigSql + "\nORDER BY doc_id")),
     Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),
     Q("simhash_pairs", simhashPairs, Some(simhashPairsSql))
   )

@@ -90,8 +90,59 @@ object StatsOps extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy(col("user_id"))
 
+  /** Deterministic train/val/test split — the assignment every training-data
+    * pipeline needs: bucket = md5-derived 64-bit hash of doc_id mod 10,
+    * 0-7 → train, 8 → val, 9 → test. Hash-based (not random) so the split is
+    * stable under reruns, repartitioning, and incremental appends — the
+    * property that makes it usable as a lineage-free split at 100 TB. Output:
+    * per (lang, split) counts.
+    */
+  private def trainValSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(10L))
+    Tables.t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** Stratified deterministic sample: k=3 docs per language, chosen by
+    * md5-hash order (not rand()) — reproducible across engines/partitions.
+    * The per-group top-k shape (bounded heap at scale via TopKPerKey).
+    */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("hll_distinct", hllDistinct, None),
+    Q("train_val_split", trainValSplit, Some(
+      """SELECT lang,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 <= 7
+        |       THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8
+        |       THEN 'val' ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+    Q("stratified_sample", stratifiedSample, Some(
+      """SELECT lang, rk, doc_id, h FROM (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
     Q("histogram_buckets", histogram, Some(
       // DuckDB has no width_bucket; the explicit formula is bit-identical:
       // bucket width (200-0)/20 = 10.0 exactly, i = floor(v/10)+1, clamped
