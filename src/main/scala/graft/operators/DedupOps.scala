@@ -172,10 +172,12 @@ object DedupOps extends QueryModule {
     * (the K-step loop composes the plan, not results).
     */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshCore(s, dir).select(col("a_id"), col("b_id"))
+    // cache the PAIRS, not just the union: the two unionAll branches are
+    // distinct logical subtrees, so without this the expensive LSH pair
+    // join executes once per branch (verified in the physical plan)
+    val pairs = minhashLshCore(s, dir).select(col("a_id"), col("b_id")).cache()
     val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .cache()
     var lab = und.select(col("u")).distinct().withColumn("lab", col("u"))
     for (_ <- 1 to 3) {
       val nbr = und.join(lab.withColumnRenamed("u", "v"), "v")
