@@ -41,8 +41,8 @@ object DedupOps extends QueryModule {
   private def h64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % $P"
 
-  /** doc_id + distinct 3-token shingles. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct 3-token shingles (shared with TextOps contamination). */
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
@@ -54,7 +54,7 @@ object DedupOps extends QueryModule {
             element_at(col("toks"), i + 2)))).as("sh"))
       .distinct()
 
-  private val shinglesSql: String =
+  private[operators] val shinglesSql: String =
     """SELECT DISTINCT doc_id,
       |  unnest(list_transform(generate_series(1, len(toks) - 2),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh

@@ -194,26 +194,23 @@ object SimilarityOps extends QueryModule {
     java.lang.Long.parseLong(hex, 16) % 2001 - 1000
   }
 
-  /** LSH bucket signature: sign bits of NPLANES integer hyperplane dots.
-    * Elements quantized to round(x·1e6) longs × integer weights — the dot is
-    * pure int64 arithmetic (|dot| ≤ 64·1e6·1000 ≪ 2^63), bit-exact anywhere. */
-  private def lshBucket(e: Column): Column = {
-    val bits = (0 until NPLANES).map { j =>
-      val dot = (0 until DIM).map { i =>
-        round(element_at(e, i + 1).cast("double") * 1e6).cast("long") *
-          lit(planeWeight(j, i))
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** LSH bucket signature: sign bits of NPLANES integer hyperplane dots,
+    * computed by the compiled LshBandKeys kernel as ONE band of NPLANES rows
+    * (a single tight loop per row; the equivalent built-expression tree was
+    * 8×64 round/multiply nodes and dominated ann_lsh's runtime). Key bit
+    * order is MSB-first over planes 0..NPLANES-1 — the SQL replay below uses
+    * the same weights with 1<<(NPLANES-1-j). Elements quantized to
+    * round(x·1e6) longs × integer weights — the dot is pure int64 arithmetic
+    * (|dot| ≤ 64·1e6·1000 ≪ 2^63), bit-exact anywhere. */
+  private def lshBucket(e: Column): Column =
+    element_at(call_function("lsh_band_keys", e, lit(1), lit(NPLANES)), 1)
 
   private def lshBucketSql(e: String): String = {
     val bits = (0 until NPLANES).map { j =>
       val terms = (0 until DIM).map { i =>
         s"CAST(ROUND(CAST($e[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) * (${planeWeight(j, i)})"
       }.mkString(" + ")
-      s"CASE WHEN ($terms) > 0 THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN ($terms) > 0 THEN ${1L << (NPLANES - 1 - j)} ELSE 0 END"
     }
     "(" + bits.mkString(" + ") + ")"
   }

@@ -156,8 +156,104 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination check: for every non-benchmark document, the
+    * fraction of its distinct 3-token shingles that appear in the benchmark
+    * set (docs 0-9 stand in for an eval benchmark). The operator every
+    * training-data pipeline runs before shipping a corpus: contamination ≈ 1
+    * means the doc IS the benchmark; > 0.1 is usually a drop.
+    *
+    * Scale posture: benchmark shingles are a broadcast (benchmarks are MBs,
+    * corpora are TBs); the corpus side is one explode + broadcast-hash left
+    * join + per-doc aggregate — no corpus-side shuffle before the aggregate.
+    */
+  private def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingles(s, dir)
+    val bench = sh.filter(col("doc_id") < 10)
+      .select(col("sh")).distinct().withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model scoring (perplexity proxy): corpus-level bigram
+    * counts with add-1 smoothing over the bigram-context vocabulary, then
+    * per-document mean log-probability. log-probs are quantized to millis
+    * (round(ln, 3) — the cross-engine-safe ln pattern) and summed as longs,
+    * so the mean is exact. The text-quality signal next to `quality_score`:
+    * low avg_logp = the doc doesn't look like the corpus.
+    */
+  private def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    bg.join(broadcast(c2), "bg")
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("lp_milli",
+        round(round(log((col("c2") + 1.0) / (col("c1") + col("vocab"))), 3) * 1000)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_milli")).as("sum_lp_milli"))
+      .withColumn("avg_logp",
+        col("sum_lp_milli").cast("double") / col("n_bigrams") / 1000.0)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("rolling_fingerprint", rollingFingerprint, None),
+    Q("contamination_check", contaminationCheck, Some(
+      s"""WITH sh AS (${DedupOps.shinglesSql}),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+         |SELECT s.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS contamination
+         |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id >= 10
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+    Q("bigram_lm_score", bigramLmScore, Some(
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), bgw AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg
+        |), c2 AS (
+        |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bgw GROUP BY 1
+        |), c1 AS (
+        |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bgw GROUP BY 1
+        |), v AS (
+        |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |), scored AS (
+        |  SELECT bgw.doc_id,
+        |         CAST(ROUND(ROUND(LN((c2.c2 + 1.0) / (c1.c1 + v.vocab)), 3) * 1000)
+        |              AS BIGINT) AS lp_milli
+        |  FROM bgw JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(lp_milli) AS DOUBLE) / COUNT(*) / 1000.0 AS avg_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("token_stats", tokenStats, Some(
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

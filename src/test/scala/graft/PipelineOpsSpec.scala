@@ -115,6 +115,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("contamination_check: benchmark members excluded, ratios in [0,1]") {
+    val got = SparkEntry.queries("contamination_check")(spark, sf001)
+      .select($"doc_id", $"n_shingles", $"n_contaminated", $"contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.forall(_._1 >= 10))
+    got.foreach { case (_, n, c, ratio) =>
+      assert(c >= 0 && c <= n)
+      assert(ratio === c.toDouble / n)
+    }
+    // with a 31-word vocabulary some contamination must exist
+    assert(got.exists(_._3 > 0))
+  }
+
+  test("bigram_lm_score: finite negative log-probs, n_bigrams = n_tokens - 1") {
+    val nToks = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"))
+      .as[(Long, Long)].collect().toMap
+    val got = SparkEntry.queries("bigram_lm_score")(spark, sf001)
+      .select($"doc_id", $"n_bigrams", $"avg_logp")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === nToks.size)
+    got.foreach { case (id, nb, lp) =>
+      assert(nb === nToks(id) - 1)
+      assert(lp < 0.0 && !lp.isNaN && !lp.isInfinite)
+    }
+  }
+
   test("stratified_sample yields k deterministic rows per language") {
     val rows = SparkEntry.queries("stratified_sample")(spark, sf001)
       .select($"lang", $"rk", $"doc_id").as[(String, Long, Long)].collect()
