@@ -287,6 +287,48 @@ object StreamJobs {
       }
   }
 
+  /** One closed user session: bounded by a processing-time gap timeout. */
+  case class SessionSummary(key: String, n_events: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Custom sessionization via flatMapGroupsWithState — the arbitrary-state
+    * form of session windows (the declarative `session_window` form is the
+    * batch query `session_windows`). Per key, events accumulate into an open
+    * session; when the group sees no data for `gapMs` (processing-time
+    * timeout), the session CLOSES and exactly one summary row is emitted.
+    * Unlike mapGroupsWithState, a single timeout invocation can emit zero
+    * rows — the flatMap contract. State is one (count, first, last) triple
+    * per open session: O(active keys), checkpointed by the state store.
+    */
+  def sessionize(input: org.apache.spark.sql.Dataset[KafkaShaped], gapMs: Long)
+      : org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val stateEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[SessionSummary] = Encoders.product[SessionSummary]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    input.groupByKey(r => if (r.key == null) "" else r.key)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, first, last) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(key, n,
+              new java.sql.Timestamp(first), new java.sql.Timestamp(last)))
+          } else {
+            val times = rows.map(_.timestamp.getTime).toSeq
+            val (n0, f0, l0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            state.update((n0 + times.size,
+              math.min(f0, times.min), math.max(l0, times.max)))
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** The reference's foreachPartition open/write/close lifecycle
     * (KafkaStreamerToHbase.scala:88-167) as a real ForeachWriter; sinks each
     * record into a per-JVM buffer keyed by a test-supplied id. */

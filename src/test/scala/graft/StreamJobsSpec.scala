@@ -145,6 +145,27 @@ class StreamJobsSpec extends SparkSpec {
     assert(rows === Seq(("u1", "buy-in-window")))
   }
 
+  test("sessionize closes a session on gap timeout and emits one summary") {
+    // NO processAllAvailable here: with ProcessingTimeTimeout the engine
+    // keeps planning batches to fire due timeouts, so processAllAvailable
+    // never quiesces — poll the sink with a deadline instead
+    val in = MemoryStream[KafkaShaped]
+    val q = StreamJobs.sessionize(in.toDS(), gapMs = 500)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    in.addData(rec("a", "1", 100, 0), rec("a", "2", 103, 1))
+    def rowsNow() = spark.sql("select key, n_events, first_ts, last_ts from sess")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+    val deadline = System.currentTimeMillis + 60000
+    while (rowsNow().isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(200)
+    q.stop()
+    val a = rowsNow().filter(_._1 == "a")
+    assert(a.length === 1, s"expected exactly one closed 'a' session, got ${rowsNow().toSeq}")
+    assert(a.head === (("a", 2L, 100000L, 103000L)))
+  }
+
   test("runningCountsPerKey accumulates state across batches (A4 per-key)") {
     val in = MemoryStream[KafkaShaped]
     val q = StreamJobs.runningCountsPerKey(in.toDS())
