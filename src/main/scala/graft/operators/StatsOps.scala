@@ -71,9 +71,12 @@ object StatsOps extends QueryModule {
     val b = d.select(col("doc_id").as("b_id"), col("prefix").as("b_p"), col("len_band"))
     a.join(b, Seq("len_band"))
       .filter(col("a_id") < col("b_id"))
+      // threshold-bounded DP: O(threshold·len) per pair instead of O(len²),
+      // returns -1 above the bound — values for kept pairs are identical to
+      // the unbounded form, so the oracle SQL is unchanged
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_p"), col("b_p")).cast("long").as("dist"))
-      .filter(col("dist") <= 12)
+        levenshtein(col("a_p"), col("b_p"), 12).cast("long").as("dist"))
+      .filter(col("dist").between(0, 12))
       // tiny output, banded self-join child → ordered1, not orderBy
       .transform(graft.QOps.ordered1(_, col("a_id"), col("b_id")))
   }
