@@ -115,22 +115,31 @@ object SimilarityOps extends QueryModule {
 
   private def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    // fat columns (embedding, norm) computed ONCE and kept out of the
+    // candidate-generation shuffle: the exploded (band, key) rows carry only
+    // the id + the 20-long band-key array needed for first-band dedup. At
+    // corpus scale this is the difference between shuffling the embeddings
+    // ND_BANDS times and shuffling them once per verify side.
     val e = emb(s, dir)
       .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
       .withColumn("bands",
         call_function("lsh_band_keys", col("embedding"), lit(ND_BANDS), lit(ND_ROWS)))
+      .cache()
     def side(p: String): DataFrame =
-      e.select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
-          col("norm2").as(s"${p}_norm2"), col("bands").as(s"${p}_bands"))
-        .select(col(s"${p}_id"), col(s"${p}_emb"), col(s"${p}_norm2"),
-          col(s"${p}_bands"),
+      e.select(col("vec_id").as(s"${p}_id"), col("bands").as(s"${p}_bands"))
+        .select(col(s"${p}_id"), col(s"${p}_bands"),
           posexplode(col(s"${p}_bands")).as(Seq("band", "key")))
-    side("a").join(side("b"), Seq("band", "key"))
+    val cand = side("a").join(side("b"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       // first-match-band dedup: drop the pair everywhere but its earliest
       // colliding band (earlier keys ride along in a_bands/b_bands); codegen
       // predicate — pipelined inside the join, no per-candidate allocation
       .filter(expr("no_earlier_band_collision(a_bands, b_bands, band)"))
+      .select(col("a_id"), col("b_id"))
+    def fat(p: String): DataFrame =
+      e.select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+        col("norm2").as(s"${p}_norm2"))
+    cand.join(fat("a"), "a_id").join(fat("b"), "b_id")
       .withColumn("cosine",
         cosineQ(dotQ(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
       .filter(col("cosine") >= 0.4)
