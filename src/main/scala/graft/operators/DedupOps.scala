@@ -41,9 +41,14 @@ object DedupOps extends QueryModule {
   private def h64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % $P"
 
-  /** doc_id + distinct 3-token shingles (shared with TextOps contamination). */
+  /** doc_id + distinct 3-token shingles (shared with TextOps contamination).
+    * repartition() first: the sandbox table is ONE parquet file = one input
+    * split, which would run the explode + map-side distinct on a single
+    * task; at corpus scale the scan is naturally split and the exchange is
+    * a no-op-sized shuffle of raw docs. */
   private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .repartition(col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         explode(transform(
@@ -251,6 +256,7 @@ object DedupOps extends QueryModule {
     * majority vote of token-hash bit j. Pure integer math. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
+      .repartition(col("doc_id")) // single-file scan → parallelize the explode
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
       .withColumn("h", h64(col("tok")))

@@ -190,6 +190,7 @@ object TextOps extends QueryModule {
     */
   private def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
     val bg = docs(s, dir)
+      .repartition(col("doc_id")) // single-file scan → parallelize the explode
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         explode(transform(
