@@ -121,6 +121,7 @@ object SimilarityOps extends QueryModule {
     // corpus scale this is the difference between shuffling the embeddings
     // ND_BANDS times and shuffling them once per verify side.
     val e = emb(s, dir)
+      .repartition(col("vec_id")) // single-file scan → parallelize the kernels
       .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
       .withColumn("bands",
         call_function("lsh_band_keys", col("embedding"), lit(ND_BANDS), lit(ND_ROWS)))
