@@ -89,9 +89,25 @@ object Bench {
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // End-of-sweep outlier re-measure: a multi-minute VM throttle window can
+    // cover ALL of a query's attempts (mild enough that the canary stays
+    // under its gate) and inflate one timing 10x. By sweep end the window
+    // has usually passed — re-time queries far above the sweep median once
+    // more and keep the min. Bounded extra work: outliers only.
+    val sortedBests = results.map(_._2).sorted
+    val median = sortedBests(sortedBests.length / 2)
+    val floor = math.max(2.0, 10.0 * median)
+    val remeasured = results.map { case (name, best) =>
+      if (best > floor) {
+        spark.catalog.clearCache()
+        val t = math.min(timeOnce(name, SparkEntry.queries(name)),
+          timeOnce(name, SparkEntry.queries(name)))
+        name -> math.min(best, t)
+      } else name -> best
+    }
+    val qs = remeasured.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = remeasured.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
