@@ -61,7 +61,38 @@ object TimeWindowOps extends QueryModule {
         col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** RANGE interval frame: per user, trailing-1-hour event count and cents
+    * sum at every event — the value-based frame family (ROWS frames are
+    * covered by window_running_supplier). Ordered by epoch seconds so the
+    * frame bound is integer-exact in both engines; RANGE semantics make
+    * same-timestamp peers deterministic regardless of tie order.
+    */
+  private def windowRange1h(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600, 0)
+    events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        count(lit(1)).over(w).as("trail_1h_n"),
+        sum(round(col("value") * 100).cast("long")).over(w).as("trail_1h_cents"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("window_range_1h", windowRange1h, Some(
+      """SELECT user_id, event_id, ts,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_1h_n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS trail_1h_cents
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
     Q("tumbling_daily", tumblingDaily, Some(
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
