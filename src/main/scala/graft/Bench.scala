@@ -110,11 +110,15 @@ object Bench {
     val total = remeasured.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // The driver captures only a short stdout tail: the full per-query JSON
+    // (~3 KB at 69 queries) overflowed it every round, truncating the head
+    // and failing the parse. Keep the LAST stdout line compact — total only,
+    // well under any tail window; per-query detail lives in BENCH.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${remeasured.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,11 +51,23 @@ object Tables {
   // hundreds of redundant driver round-trips, and on a throttled VM they
   // dominate wall-clock. DataFrames are immutable and freely reusable, so
   // one resolved plan per table per session is the right amount of work.
+  // Keyed by the SparkSession reference via WeakHashMap: identity hash codes
+  // can collide across sessions, and a weak key lets a stopped session's
+  // plans be collected instead of pinned for the JVM lifetime.
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        memo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), { _ =>
       if (name == "events") {
         // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
         // default; read it as a long and truncate to µs — exactly what DuckDB's
@@ -70,4 +82,5 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
 }

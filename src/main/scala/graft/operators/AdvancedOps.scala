@@ -115,43 +115,56 @@ object AdvancedOps extends QueryModule {
     * side disappears (see KvUpsertSink for the incremental form).
     */
   private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    // explicit presence markers, not payload null-ness: branching on
+    // bal_cents/delta_cents would misclassify a target row whose balance is
+    // NULL (or a NULL source SUM) — the oracle tests key presence, so must we
     val target = Tables.t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("key"),
-        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        lit(true).as("in_target"))
     val source = Tables.t(s, dir, "orders")
       .groupBy(col("o_custkey").as("key"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("delta_cents"))
+      .withColumn("in_source", lit(true))
     target.join(source, Seq("key"), "full_outer")
       .select(
         col("key"),
-        when(col("bal_cents").isNotNull && col("delta_cents").isNotNull, "update")
-          .when(col("bal_cents").isNull, "insert")
+        when(col("in_target").isNotNull && col("in_source").isNotNull, "update")
+          .when(col("in_target").isNull, "insert")
           .otherwise("keep").as("action"),
         (coalesce(col("bal_cents"), lit(0L)) + coalesce(col("delta_cents"), lit(0L)))
           .as("new_bal_cents"))
       .orderBy(col("key"))
   }
 
-  /** Exact percentiles per group by order statistic (p50/p90/p99): rank
-    * ceil(p·n) in the value-sorted group — no interpolation, no approximate
-    * sketch, so the picked values are bit-exact across engines. One window
-    * sort + one aggregate; at scale this is a single shuffle on the group
-    * key (same cost shape as any per-group sort).
+  /** Exact percentiles per group by order statistic (p50/p90/p99) over the
+    * COMPRESSED value domain: pre-aggregate to (event_type, value, cnt) —
+    * a map-side-combining hash aggregate — then rank only the distinct
+    * values with a cumulative-count window and pick the smallest value whose
+    * cumulative count reaches ceil(p·n). Identical order statistics to
+    * ranking raw rows (duplicates collapse into the count), but the window
+    * sort sees |distinct values| rows per group, not |rows|: events.value is
+    * 2-decimal data (~56k distinct values over its full range), so at 100 TB
+    * each of the 5 reducers sorts ≤56k rows instead of the whole corpus —
+    * the skew the raw-window form would hit is engineered away before the
+    * shuffle. No interpolation, no sketch: values stay bit-exact.
     */
   private def exactPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("event_type"))
     events(s, dir)
-      .select(col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .groupBy(col("event_type"))
       .agg(
         max(col("n")).as("n"),
-        max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
-        max(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("p90"),
-        max(when(col("rn") === ceil(col("n") * 0.99), col("value"))).as("p99"))
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("value"))).as("p50"),
+        min(when(col("cum") >= ceil(col("n") * 0.9), col("value"))).as("p90"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), col("value"))).as("p99"))
       .orderBy(col("event_type"))
   }
 

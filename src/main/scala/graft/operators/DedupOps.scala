@@ -50,6 +50,11 @@ object DedupOps extends QueryModule {
     docs(s, dir)
       .repartition(col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
+      // <3 tokens → no 3-shingle. Without the guard, sequence(1, size-2)
+      // with size<3 runs DOWNWARD (Spark's default step -1 when start>stop),
+      // yielding index 0 → element_at error; DuckDB's generate_series(1,0)
+      // is just empty. Filtering matches the oracle's empty-list behavior.
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), size(col("toks")) - 2),
@@ -164,61 +169,78 @@ object DedupOps extends QueryModule {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.QOps.ordered1(minhashLshCore(s, dir), col("a_id"), col("b_id"))
 
-  /** Near-dup CLUSTERS from the LSH pairs: connected components via K
-    * unrolled min-label-propagation iterations — each iteration is one
-    * equi-join (edges × labels) + one hash-aggregate, so a component's label
-    * converges to its minimum doc_id within K hops. K=3 covers any component
-    * of diameter ≤ 3 (near-dup clusters are cliques-ish: pairs all verified
-    * ≥ 0.3 Jaccard, so diameter is 1-2 in practice).
+  /** Connected components of an undirected edge list (a_id, b_id) columns:
+    * min-label propagation iterated to a FIXPOINT — every node ends labeled
+    * with its component's minimum id, whatever the component diameter (the
+    * fixed-K unrolled form silently under-merged any chain longer than K).
     *
-    * Scale posture (100 TB): this is the GraphX/Pregel connected-components
-    * shape expressed relationally — per-iteration cost is one shuffle of the
-    * (tiny) edge list, never of the corpus; no driver-side loop over data
-    * (the K-step loop composes the plan, not results).
+    * Each iteration is one equi-join (edges × labels) + one hash-aggregate,
+    * MATERIALIZED (cache + count) before the next: without that, each
+    * iteration's plan references the previous labels twice (via the
+    * neighbor join and the left join), so an uncached loop re-executes the
+    * base subtree 2^iters times — the round-3 plan-explosion bug (25.8 s for
+    * 3 unrolled iterations at sf0.1; materialized and converged: ~1 s).
+    *
+    * Scale posture (100 TB): the Pregel connected-components shape — state
+    * is one (node, label) row per distinct endpoint, per-iteration cost is
+    * one shuffle of the edge list, iteration count is the component
+    * diameter. The driver loop carries only the change COUNT (one long per
+    * iteration), never data. Termination is guaranteed: labels are a
+    * monotone non-increasing sequence over a finite domain.
     */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def connectedComponents(pairs0: DataFrame): DataFrame = {
     // cache the PAIRS, not just the union: the two unionAll branches are
-    // distinct logical subtrees, so without this the expensive LSH pair
-    // join executes once per branch (verified in the physical plan)
-    val pairs = minhashLshCore(s, dir).select(col("a_id"), col("b_id")).cache()
+    // distinct logical subtrees, so without this the expensive pair-finding
+    // child executes once per branch (verified in the physical plan)
+    val pairs = pairs0.cache()
     val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-    var lab = und.select(col("u")).distinct().withColumn("lab", col("u"))
-    for (_ <- 1 to 3) {
-      val nbr = und.join(lab.withColumnRenamed("u", "v"), "v")
-        .groupBy(col("u")).agg(min(col("lab")).as("nlab"))
-      lab = lab.join(nbr, Seq("u"), "left")
-        .select(col("u"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      .cache()
+    var labCached = und.select(col("u")).distinct()
+      .withColumn("lab", col("u")).cache()
+    var lab = labCached
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = und.join(
+          lab.select(col("u").as("v"), col("lab").as("nb_lab")), "v")
+        .groupBy(col("u")).agg(min(col("nb_lab")).as("nlab"))
+      val stepped = lab.join(nbr, Seq("u"), "left")
+        .select(col("u"), col("lab"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("new_lab"))
+        .cache()
+      // one action materializes the iteration AND measures convergence
+      changed = stepped.filter(col("new_lab") < col("lab")).count()
+      labCached.unpersist()
+      labCached = stepped
+      lab = stepped.select(col("u"), col("new_lab").as("lab"))
     }
-    graft.QOps.ordered1(
-      lab.select(col("u").as("doc_id"), col("lab").as("cluster")),
-      col("doc_id"))
+    lab.select(col("u").as("doc_id"), col("lab").as("cluster"))
   }
 
-  private def dedupClustersSql: String = {
-    def step(prev: String, next: String): String =
-      s"""$next AS (
-         |  SELECT l.u, LEAST(l.lab, COALESCE(MIN(n.lab), l.lab)) AS lab
-         |  FROM $prev l
-         |  LEFT JOIN (SELECT und.u, $prev.lab FROM und JOIN $prev ON $prev.u = und.v) n
-         |    ON n.u = l.u
-         |  GROUP BY l.u, l.lab
-         |)""".stripMargin
-    s"""WITH pairs AS (
+  /** Near-dup CLUSTERS from the LSH pairs via [[connectedComponents]]. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.QOps.ordered1(
+      connectedComponents(minhashLshCore(s, dir).select(col("a_id"), col("b_id"))),
+      col("doc_id"))
+
+  /** Oracle: true connected components via recursive reachability — every
+    * label a node can reach, min per node. Matches the Spark fixpoint at any
+    * diameter (the old unrolled-K oracle could only ever agree with an
+    * equally-unrolled Spark plan). */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
        |  SELECT a_id, b_id FROM ($minhashLshSql)
        |), und AS (
        |  SELECT a_id AS u, b_id AS v FROM pairs
        |  UNION ALL
        |  SELECT b_id AS u, a_id AS v FROM pairs
-       |), l0 AS (
-       |  SELECT DISTINCT u, u AS lab FROM und
-       |), ${step("l0", "l1")},
-       |${step("l1", "l2")},
-       |${step("l2", "l3")}
-       |SELECT u AS doc_id, lab AS cluster FROM l3
-       |ORDER BY doc_id""".stripMargin
-  }
+       |), reach(u, lab) AS (
+       |  SELECT DISTINCT u, u FROM und
+       |  UNION
+       |  SELECT und.u, reach.lab FROM und JOIN reach ON reach.u = und.v
+       |)
+       |SELECT u AS doc_id, MIN(lab) AS cluster FROM reach
+       |GROUP BY u ORDER BY doc_id""".stripMargin
 
   private def minhashLshSql: String = {
     val bandSelects = (0 until 4).map { bnd =>

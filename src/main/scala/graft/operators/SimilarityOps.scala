@@ -294,42 +294,201 @@ object SimilarityOps extends QueryModule {
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   }
 
-  /** IVF-style ANN: coarse quantizer = the first 16 vectors as cell
-    * centroids; every vector is assigned to its nearest centroid (one 16-way
-    * broadcast compare — the "train"-free deterministic stand-in for k-means
-    * centroids); queries probe their 2 nearest cells and rank exact cosine
-    * within the probed inverted lists only.
+  // ---- trained k-means + IVF on its centroids --------------------------------
+
+  private val KM_DIMS = 0 until 4
+  /** SQL unroll depth. Spark iterates the SAME recurrence but stops early at
+    * the exact fixpoint (quantized features + deterministic argmin make
+    * centroid equality well-defined); past the fixpoint every further
+    * iteration is the identity, so Spark-at-convergence ≡ SQL-at-N whenever
+    * convergence happens within N (asserted in the ScalaTest). Measured
+    * fixpoints on the driver corpora: 9 (sf0.01), 18 (sf0.001), 27 (sf0.1)
+    * recomputes — 40 leaves margin, and Spark never pays for the slack. */
+  private val KM_ITERS = 40
+
+  /** vec_id + embedding + the 4 quantized (µ-unit long) k-means features. */
+  private def featsDf(s: SparkSession, dir: String): DataFrame =
+    KM_DIMS.foldLeft(emb(s, dir))((df, i) =>
+      df.withColumn(s"x$i",
+        round(element_at(col("embedding"), i + 1).cast("double") * 1e6).cast("long")))
+
+  private def centsDf(s: SparkSession, c: Seq[(Long, Seq[Double])]): DataFrame =
+    s.createDataFrame(c.map { case (cell, m) => (cell, m(0), m(1), m(2), m(3)) })
+      .toDF("cell", "c0", "c1", "c2", "c3")
+
+  /** Nearest-centroid assignment: broadcast k centroid rows against the
+    * partitioned scan, fixed-order double L2, argmin ties to lowest cell. */
+  private def assignTo(points: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = KM_DIMS.map { i =>
+      val d = col(s"x$i").cast("double") - col(s"c$i")
+      d * d
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    points.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("dist", "rn", "c0", "c1", "c2", "c3")
+  }
+
+  /** Lloyd's algorithm to convergence (capped at KM_ITERS-1 recomputes to
+    * stay aligned with the SQL unroll): per iteration one broadcast-assign
+    * over the corpus + one k-row aggregate, k centroid rows collected to the
+    * driver (the MLlib shape — the loop carries k·dims doubles, never data;
+    * each iteration's plan starts from a literal centroid table, so lineage
+    * stays flat with no cache chain). Memoized per data dir: training is
+    * deterministic, and both kmeans_trained and ann_ivf consume it.
+    */
+  private val kmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  private def collectCents(df: DataFrame): Seq[(Long, Seq[Double])] =
+    df.collect().map(r =>
+      (r.getLong(0), KM_DIMS.map(i => r.getDouble(i + 1)).toSeq))
+      .toSeq.sortBy(_._1)
+
+  /** One Lloyd iteration: assign everything to `c`, return recomputed means. */
+  private[graft] def lloydStep(s: SparkSession, dir: String,
+      c: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val feats = featsDf(s, dir)
+      .select(col("vec_id") +: KM_DIMS.map(i => col(s"x$i")): _*)
+    collectCents(
+      assignTo(feats, centsDf(s, c)).groupBy(col("cell"))
+        .agg((sum(col("x0")).cast("double") / count(lit(1))).as("c0"),
+          KM_DIMS.tail.map(j =>
+            (sum(col(s"x$j")).cast("double") / count(lit(1))).as(s"c$j")): _*))
+  }
+
+  private[graft] def trainedCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    kmMemo.computeIfAbsent(dir, { _ =>
+      var c = collectCents(featsDf(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell") +:
+          KM_DIMS.map(i => col(s"x$i").cast("double").as(s"c$i")): _*))
+      var converged = false
+      var i = 0
+      while (i < KM_ITERS - 1 && !converged) {
+        i += 1
+        val cNew = lloydStep(s, dir, c)
+        converged = cNew == c // exact: long sums / IEEE division both engines
+        c = cNew
+      }
+      c
+    })
+
+  /** K-means (k=8) trained to convergence over the first 4 embedding
+    * dimensions — the iterative-ML primitive under IVF-style indexes, fully
+    * deterministic: features quantized to longs (µ-units), centroid means
+    * from exact long sums, L2 distances in fixed-order double arithmetic,
+    * argmin ties to the lowest cell id. Init = vectors 0..7. Output: the
+    * final assignment's per-cell counts and mean vectors.
+    */
+  private def kmeansTrained(s: SparkSession, dir: String): DataFrame = {
+    val cents = centsDf(s, trainedCentroids(s, dir))
+    val feats = featsDf(s, dir)
+      .select(col("vec_id") +: KM_DIMS.map(i => col(s"x$i")): _*)
+    assignTo(feats, cents)
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        KM_DIMS.map(i =>
+          (sum(col(s"x$i")).cast("double") / count(lit(1)) / 1e6).as(s"m$i")): _*)
+      .orderBy(col("cell"))
+  }
+
+  /** Recursive-CTE replay of the training: cents(it, cell, c0..c3) — the
+    * recursive term is one Lloyd iteration (assign via window argmin, then
+    * per-cell means), `cfinal` the rows at it = KM_ITERS-1. An unrolled
+    * 40-CTE chain made DuckDB's optimizer choke on PLANNING (minutes);
+    * the recursion executes the same math linearly (~0.5 s at sf0.01).
+    * `withFat` adds embedding/norm2 to feats for consumers that verify
+    * exact cosine downstream (ann_ivf). */
+  private def kmeansRecursiveCtes(withFat: Boolean): String = {
+    val featCols = KM_DIMS.map(i =>
+      s"CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) AS x$i")
+      .mkString(", ")
+    val fat =
+      if (withFat) s"embedding, ${dotQSql("embedding", "embedding")} AS norm2, "
+      else ""
+    val dist = KM_DIMS.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - c.c$i) * (CAST(f.x$i AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""feats AS (
+       |  SELECT vec_id, $fat$featCols FROM embeddings
+       |), cents AS (
+       |  SELECT 0 AS it, vec_id AS cell,
+       |         ${KM_DIMS.map(i => s"CAST(x$i AS DOUBLE) AS c$i").mkString(", ")}
+       |  FROM feats WHERE vec_id < 8
+       |  UNION ALL
+       |  SELECT it + 1 AS it, cell,
+       |         ${KM_DIMS.map(i => s"CAST(SUM(x$i) AS DOUBLE) / COUNT(*) AS c$i").mkString(", ")}
+       |  FROM (
+       |    SELECT c.it, c.cell, ${KM_DIMS.map(i => s"f.x$i").mkString(", ")},
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $dist, c.cell) AS rn
+       |    FROM feats f CROSS JOIN cents c
+       |    WHERE c.it < ${KM_ITERS - 1}
+       |  ) WHERE rn = 1
+       |  GROUP BY it, cell
+       |), cfinal AS (
+       |  SELECT cell, ${KM_DIMS.map(i => s"c$i").mkString(", ")}
+       |  FROM cents WHERE it = ${KM_ITERS - 1}
+       |)""".stripMargin
+  }
+
+  private def kmeansTrainedSql: String = {
+    val distExpr = KM_DIMS.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - c.c$i) * (CAST(f.x$i AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansRecursiveCtes(withFat = false)},
+       |afinal AS (
+       |  SELECT vec_id, cell, ${KM_DIMS.map(i => s"x$i").mkString(", ")} FROM (
+       |    SELECT f.vec_id, c.cell, ${KM_DIMS.map(i => s"f.x$i").mkString(", ")},
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS rn
+       |    FROM feats f CROSS JOIN cfinal c)
+       |  WHERE rn = 1
+       |)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${KM_DIMS.map(i => s"CAST(SUM(x$i) AS DOUBLE) / COUNT(*) / 1e6 AS m$i").mkString(", ")}
+       |FROM afinal GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** IVF ANN with the k-means-trained coarse quantizer: every vector is
+    * assigned to its nearest trained centroid (L2 over the same 4 quantized
+    * dims the quantizer was trained on — an 8-way broadcast compare);
+    * queries probe their 2 nearest cells and rank exact 64-dim cosine within
+    * the probed inverted lists only.
     *
     * Scale posture: the centroid table is O(cells) and broadcast; assignment
     * is a narrow map over the corpus; the candidate join is an equi-join on
     * cell id, so the pair space is corpus·nprobe/cells instead of quadratic.
+    * Training cost is amortized across queries (memoized here; a real
+    * deployment persists the codebook).
     */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = emb(s, dir)
+    val cents = centsDf(s, trainedCentroids(s, dir))
+    val e = featsDf(s, dir)
       .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        col("norm2").as("cent_norm2"))
-    def nearestCells(src: DataFrame, id: String, embCol: String, n2: String,
-        keep: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
+    def side(p: String): DataFrame = e.select(
+      col("vec_id").as(s"${p}_id") +: col("embedding").as(s"${p}_emb") +:
+        col("norm2").as(s"${p}_norm2") +: KM_DIMS.map(i => col(s"x$i")): _*)
+    def nearestCells(src: DataFrame, id: String, keep: Int): DataFrame = {
+      val dist = KM_DIMS.map { i =>
+        val d = col(s"x$i").cast("double") - col(s"c$i")
+        d * d
+      }.reduce(_ + _)
+      val w = Window.partitionBy(col(id)).orderBy(col("dist"), col("cell"))
       src.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          cosineQ(dotQ(col(embCol), col("cent_emb")), col(n2), col("cent_norm2")))
+        .withColumn("dist", dist)
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") <= keep)
-        .select(col(id), col("cent_id").as(out), col(embCol), col(n2))
+        .drop("dist", "crk", "c0", "c1", "c2", "c3")
     }
-    val assign = nearestCells(
-      e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("norm2").as("c_norm2")),
-      "c_id", "c_emb", "c_norm2", 1, "cell")
-    val probes = nearestCells(
-      e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("norm2").as("q_norm2")),
-      "q_id", "q_emb", "q_norm2", 2, "cell")
+    val assign = nearestCells(side("c"), "c_id", 1)
+      .select(col("cell"), col("c_id"), col("c_emb"), col("c_norm2"))
+    val probes = nearestCells(side("q").filter(col("q_id") < 20), "q_id", 2)
+      .select(col("cell"), col("q_id"), col("q_emb"), col("q_norm2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     probes.join(assign, Seq("cell"))
@@ -343,34 +502,27 @@ object SimilarityOps extends QueryModule {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private def annIvfSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |         ${dotQSql("embedding", "embedding")} AS norm2
-       |  FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm2 AS cent_norm2
-       |  FROM e WHERE vec_id < 16
-       |), assign AS (
+  private def annIvfSql: String = {
+    val distExpr = KM_DIMS.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - c.c$i) * (CAST(f.x$i AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansRecursiveCtes(withFat = true)},
+       |assign AS (
        |  SELECT c_id, cell, c_emb, c_norm2 FROM (
-       |    SELECT e.vec_id AS c_id, c.cent_id AS cell,
-       |           e.embedding AS c_emb, e.norm2 AS c_norm2,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |             CAST(${dotQSql("e.embedding", "c.cent_emb")} AS DOUBLE)
-       |               / (sqrt(CAST(e.norm2 AS DOUBLE)) * sqrt(CAST(c.cent_norm2 AS DOUBLE))) DESC,
-       |             c.cent_id) AS crk
-       |    FROM e CROSS JOIN cents c)
+       |    SELECT f.vec_id AS c_id, c.cell,
+       |           f.embedding AS c_emb, f.norm2 AS c_norm2,
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS crk
+       |    FROM feats f CROSS JOIN cfinal c)
        |  WHERE crk <= 1
        |), probes AS (
        |  SELECT q_id, cell, q_emb, q_norm2 FROM (
-       |    SELECT e.vec_id AS q_id, c.cent_id AS cell,
-       |           e.embedding AS q_emb, e.norm2 AS q_norm2,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |             CAST(${dotQSql("e.embedding", "c.cent_emb")} AS DOUBLE)
-       |               / (sqrt(CAST(e.norm2 AS DOUBLE)) * sqrt(CAST(c.cent_norm2 AS DOUBLE))) DESC,
-       |             c.cent_id) AS crk
-       |    FROM e CROSS JOIN cents c
-       |    WHERE e.vec_id < 20)
+       |    SELECT f.vec_id AS q_id, c.cell,
+       |           f.embedding AS q_emb, f.norm2 AS q_norm2,
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS crk
+       |    FROM feats f CROSS JOIN cfinal c
+       |    WHERE f.vec_id < 20)
        |  WHERE crk <= 2
        |), pairs AS (
        |  SELECT p.q_id, a.c_id, p.cell,
@@ -385,95 +537,6 @@ object SimilarityOps extends QueryModule {
        |)
        |SELECT q_id, rk, c_id, cell, cosine FROM ranked
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
-
-  /** K-means (k=8, 2 unrolled Lloyd iterations) over the first 4 embedding
-    * dimensions — the iterative-ML primitive under IVF-style indexes, fully
-    * deterministic: features quantized to longs (µ-units), centroid means
-    * from exact long sums, L2 distances in fixed-order double arithmetic,
-    * argmin ties to the lowest cell id. Init = vectors 0..7.
-    *
-    * Scale posture: each iteration is one broadcast of k centroids against a
-    * partitioned scan (assign) + one k-row aggregate (recompute) — no
-    * quadratic stage, no driver loop over data.
-    */
-  private def kmeans2Iter(s: SparkSession, dir: String): DataFrame = {
-    val dims = 0 until 4
-    val feats = emb(s, dir).select(
-      col("vec_id") +:
-        dims.map(i => round(element_at(col("embedding"), i + 1).cast("double") * 1e6)
-          .cast("long").as(s"x$i")): _*)
-    val init = feats.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell") +:
-        dims.map(i => col(s"x$i").cast("double").as(s"c$i")): _*)
-
-    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
-      val dist = dims.map { i =>
-        val d = col(s"x$i").cast("double") - col(s"c$i")
-        d * d
-      }.reduce(_ + _)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-      points.crossJoin(broadcast(cents))
-        .withColumn("dist", dist)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id") +: col("cell") +: dims.map(i => col(s"x$i")): _*)
-    }
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned.groupBy(col("cell"))
-        .agg(
-          (sum(col("x0")).cast("double") / count(lit(1))).as("c0"),
-          dims.tail.map(i =>
-            (sum(col(s"x$i")).cast("double") / count(lit(1))).as(s"c$i")): _*)
-
-    val a1 = assign(feats, init)
-    val c1 = recompute(a1)
-    val a2 = assign(feats, c1)
-    a2.groupBy(col("cell"))
-      .agg(
-        count(lit(1)).as("n"),
-        (sum(col("x0")).cast("double") / count(lit(1)) / 1e6).as("m0"),
-        (sum(col("x1")).cast("double") / count(lit(1)) / 1e6).as("m1"),
-        (sum(col("x2")).cast("double") / count(lit(1)) / 1e6).as("m2"),
-        (sum(col("x3")).cast("double") / count(lit(1)) / 1e6).as("m3"))
-      .orderBy(col("cell"))
-  }
-
-  private def kmeans2IterSql: String = {
-    val dims = 0 until 4
-    val featCols = dims.map(i =>
-      s"CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) AS x$i")
-      .mkString(", ")
-    def distExpr(prefix: String) = dims.map(i =>
-      s"(CAST(f.x$i AS DOUBLE) - $prefix.c$i) * (CAST(f.x$i AS DOUBLE) - $prefix.c$i)")
-      .mkString(" + ")
-    s"""WITH feats AS (
-       |  SELECT vec_id, $featCols FROM embeddings
-       |), init AS (
-       |  SELECT vec_id AS cell,
-       |         ${dims.map(i => s"CAST(x$i AS DOUBLE) AS c$i").mkString(", ")}
-       |  FROM feats WHERE vec_id < 8
-       |), a1 AS (
-       |  SELECT vec_id, cell, ${dims.map(i => s"x$i").mkString(", ")} FROM (
-       |    SELECT f.vec_id, c.cell, ${dims.map(i => s"f.x$i").mkString(", ")},
-       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
-       |             ORDER BY ${distExpr("c")}, c.cell) AS rn
-       |    FROM feats f CROSS JOIN init c)
-       |  WHERE rn = 1
-       |), c1 AS (
-       |  SELECT cell,
-       |         ${dims.map(i => s"CAST(SUM(x$i) AS DOUBLE) / COUNT(*) AS c$i").mkString(", ")}
-       |  FROM a1 GROUP BY cell
-       |), a2 AS (
-       |  SELECT vec_id, cell, ${dims.map(i => s"x$i").mkString(", ")} FROM (
-       |    SELECT f.vec_id, c.cell, ${dims.map(i => s"f.x$i").mkString(", ")},
-       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
-       |             ORDER BY ${distExpr("c")}, c.cell) AS rn
-       |    FROM feats f CROSS JOIN c1 c)
-       |  WHERE rn = 1
-       |)
-       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
-       |  ${dims.map(i => s"CAST(SUM(x$i) AS DOUBLE) / COUNT(*) / 1e6 AS m$i").mkString(", ")}
-       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
   }
 
   /** Hot-path top-k via the custom codegen Expression
@@ -503,7 +566,7 @@ object SimilarityOps extends QueryModule {
     Q("cosine_near_dup", cosineNearDup, Some(cosineNearDupSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSql)),
-    Q("kmeans_2iter", kmeans2Iter, Some(kmeans2IterSql)),
+    Q("kmeans_trained", kmeansTrained, Some(kmeansTrainedSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql))
   )
 }

@@ -146,8 +146,11 @@ object TextOps extends QueryModule {
 
   /** Rolling-hash fingerprint via the custom codegen expression
     * (graft.functions.RollingHash) — Rabin–Karp polynomial over utf-8 bytes.
-    * Not SQL-oracle-expressible (modular arithmetic chain); ScalaTest-verified
-    * against an independent BigInt reference implementation.
+    * Oracle: DuckDB list_reduce replays the modular chain over the HUGEINT
+    * domain (h·257+b stays < 2^70 — BIGINT would overflow). `ascii()` yields
+    * code points, not bytes, so the replay is exact for the all-ASCII corpus
+    * (verified) — a multibyte corpus would need a byte-level oracle.
+    * Also ScalaTest-verified against an independent BigInt reference.
     */
   private def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
@@ -192,6 +195,10 @@ object TextOps extends QueryModule {
     val bg = docs(s, dir)
       .repartition(col("doc_id")) // single-file scan → parallelize the explode
       .withColumn("toks", split(col("text"), " "))
+      // 1-token doc → no bigram. Spark's sequence(1, 0) yields [1, 0]
+      // (descending default step) → a spurious/erroring element_at, while
+      // DuckDB's generate_series(1, 0) is empty; the guard makes both empty.
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), size(col("toks")) - 1),
@@ -218,7 +225,14 @@ object TextOps extends QueryModule {
   }
 
   override def queries: Seq[Q] = Seq(
-    Q("rolling_fingerprint", rollingFingerprint, None),
+    Q("rolling_fingerprint", rollingFingerprint, Some(
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(generate_series(1, length(text)),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+        |    (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("contamination_check", contaminationCheck, Some(
       s"""WITH sh AS (${DedupOps.shinglesSql}),
          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)

@@ -32,28 +32,65 @@ final class TopicTableSink(path: String) extends Serializable {
   * rows (rowkey, cf, qualifier, cell_value, ts); last write per
   * (rowkey, cf, qualifier) wins — the observable rowkey-collision behavior of
   * Streamer.scala:163 / KafkaStreamerToHbase.scala:154-158 as a deterministic
-  * relational rule (ties on ts broken by max cell_value so the survivor is
+  * relational rule (ties on ts broken so the survivor is
   * partitioning-independent).
+  *
+  * MERGE semantics (streaming-incremental): a batch may carry an `op` column
+  * ('upsert' | 'delete'); absent means 'upsert'. Per cell the latest-ts op
+  * wins (tie: delete beats upsert, then max cell_value) — so a batch is the
+  * standard three-branch MERGE: new key inserts, existing key updates,
+  * 'delete' removes. Deletes persist as TOMBSTONES rather than dropping the
+  * row, which is what makes the fold incremental: any split of a batch
+  * stream into micro-batches converges to the same table (an older upsert
+  * arriving after a newer delete must still lose — without the tombstone
+  * the delete would be forgotten). `read()` filters tombstones out.
+  * (A compaction pass could drop tombstones older than a lateness bound;
+  * not needed at this table's scale.)
   *
   * Scale posture: the table is laid out as `bucket=hash(rowkey)%N` parquet
   * partitions. An upsert touches ONLY the buckets present in the batch:
   * read-side partition pruning on `bucket`, merge, write the merged buckets
-  * to a staging dir, then an atomic-per-bucket Hadoop FS swap. Cost per
+  * to a staging dir, then a per-bucket rename-aside swap. Cost per
   * micro-batch is O(touched buckets), not O(table) — the same shape as a
   * Delta/Hudi MERGE or an HBase regionserver write path; untouched buckets'
   * files are never rewritten (asserted in StreamJobsSpec).
   */
 final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializable {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(xxhash64(col("rowkey")), lit(numBuckets)).cast("int"))
 
+  /** Normalize the op column so plain-put batches and MERGE batches share
+    * one merge path. */
+  private def withOp(df: DataFrame): DataFrame =
+    if (df.columns.contains("op")) df else df.withColumn("op", lit("upsert"))
+
+  /** Heal a swap that died mid-flight: an `_aside_<k>` dir with no live
+    * `bucket=<k>` means the crash hit between moving the old bucket aside
+    * and moving the staging copy in — the aside copy is the surviving
+    * authority, restore it. If the live bucket exists the swap completed
+    * and the aside is garbage. '_'-prefixed dirs are invisible to parquet
+    * readers, so a crashed state never corrupts concurrent reads. */
+  private def recoverAsides(fs: FileSystem, base: Path): Unit =
+    if (fs.exists(base))
+      fs.listStatus(base).filter(_.getPath.getName.startsWith("_aside_")).foreach { st =>
+        val k = st.getPath.getName.stripPrefix("_aside_")
+        val dst = new Path(base, s"bucket=$k")
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"KvUpsertSink: recovery rename ${st.getPath} -> $dst failed")
+        } else fs.delete(st.getPath, true)
+      }
+
   def upsert(spark: SparkSession, batch: DataFrame): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
     val hconf = spark.sparkContext.hadoopConfiguration
     val base = new Path(path)
     val fs = FileSystem.get(base.toUri, hconf)
+    recoverAsides(fs, base)
 
-    val b = withBucket(batch).cache()
+    val b = withBucket(withOp(batch)).cache()
     try {
       // the touched-bucket set is ≤ numBuckets ints — driver-safe to collect
       val touched = b.select(col("bucket")).distinct()
@@ -61,7 +98,7 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
       if (touched.isEmpty) return
       val existing =
         if (fs.exists(base))
-          Some(spark.read.parquet(path)
+          Some(withOp(spark.read.parquet(path))
             .filter(col("bucket").isin(touched.map(Integer.valueOf): _*)))
         else None // first write: the sink creates the table (O7 DDL-on-write)
       val all = existing match {
@@ -69,8 +106,10 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
           e.select(b.columns.map(col): _*).unionAll(b)
         case _ => b
       }
+      // latest op per cell; ts tie: 'delete' < 'upsert' so op ASC lets the
+      // delete win (a MERGE's delete branch dominates same-instant updates)
       val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
-        .orderBy(col("ts").desc, col("cell_value").desc)
+        .orderBy(col("ts").desc, col("op").asc, col("cell_value").desc)
       val merged = all
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -81,18 +120,22 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
       // neither read nor written
       merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
       fs.mkdirs(base)
-      // a failed delete/rename must FAIL the micro-batch (the old dst is
-      // already gone at rename time — swallowing the failure would commit a
-      // table with a silently dropped bucket; throwing makes the checkpoint
-      // retry re-run the whole merge)
+      // rename-aside swap: the old bucket is MOVED aside (not deleted), so
+      // every failure point leaves a recoverable state — before the second
+      // rename the aside copy survives (recoverAsides restores it); after,
+      // the new bucket is live. A failed rename still fails the micro-batch
+      // so the checkpoint retries, but no state is lost at any point.
       touched.foreach { k =>
         val src = new Path(staging, s"bucket=$k")
         val dst = new Path(base, s"bucket=$k")
+        val aside = new Path(base, s"_aside_$k")
         if (fs.exists(src)) {
-          if (fs.exists(dst) && !fs.delete(dst, true))
-            throw new java.io.IOException(s"KvUpsertSink: delete of $dst failed")
+          fs.delete(aside, true)
+          if (fs.exists(dst) && !fs.rename(dst, aside))
+            throw new java.io.IOException(s"KvUpsertSink: rename $dst -> $aside failed")
           if (!fs.rename(src, dst))
             throw new java.io.IOException(s"KvUpsertSink: rename $src -> $dst failed")
+          fs.delete(aside, true)
         }
       }
       fs.delete(staging, true)
@@ -101,7 +144,7 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
   }
 
   def read(spark: SparkSession): DataFrame =
-    spark.read.parquet(path).drop("bucket")
+    spark.read.parquet(path).filter(col("op") =!= "delete").drop("bucket", "op")
 }
 
 /** Structured Streaming rebuilds of the reference's two pipelines.

@@ -34,6 +34,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges past diameter 3 (chain + forest)") {
+    // a diameter-6 path, a disjoint triangle, and an isolated edge: the
+    // fixed-K=3 unrolled form mislabeled exactly this path shape
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("a_id", "b_id")
+    val got = graft.operators.DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (10L to 16L).foreach(v => assert(got(v) === 10L, s"chain node $v"))
+    (20L to 22L).foreach(v => assert(got(v) === 20L))
+    assert(got(30L) === 30L && got(31L) === 30L)
+    assert(got.size === 12)
+  }
+
+  test("kmeans_trained centroids are a Lloyd fixpoint within the SQL unroll") {
+    // Spark stops early at convergence while the oracle unrolls KM_ITERS
+    // iterations; they agree only if the training REALLY converged (one
+    // more step must be the identity)
+    val c = graft.operators.SimilarityOps.trainedCentroids(spark, sf001)
+    assert(graft.operators.SimilarityOps.lloydStep(spark, sf001, c) === c)
+    assert(c.nonEmpty && c.size <= 8)
+  }
+
   test("merge_upsert branches are consistent with target/source membership") {
     val target = Tables.t(spark, sf001, "customer")
       .filter($"c_mktsegment" === "BUILDING")

@@ -71,6 +71,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("edge-case corpus: empty doc, 1-token doc, cross-language duplicate") {
+    // boundary rows the benign driver corpus never produces: an empty text
+    // (token_stats' mean_token_len division), a single-token text (bigram/
+    // shingle sequence(1, size-k) underflow), and the same text under two
+    // langs (exact dedup ∩ lang split)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    val dup = "spark filter join scan merge sort"
+    Tables.t(spark, sf001, "documents").limit(10)
+      .unionAll(Seq(
+        (9001L, "", "en", "edge", 0L),
+        (9002L, "hello", "en", "edge", 5L),
+        (9003L, "hi there", "en", "edge", 8L),
+        (9004L, dup, "en", "edge", dup.length.toLong),
+        (9005L, dup, "de", "edge", dup.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    // every documents-reading query must run clean over the edge corpus
+    val docQueries = Seq("token_stats", "quality_score", "bigram_lm_score",
+      "exact_dedup", "ngram_jaccard_pairs", "minhash_signatures", "simhash",
+      "dedup_clusters", "lang_id", "doc_fingerprint", "rolling_fingerprint",
+      "tf_idf", "term_frequencies", "contamination_check", "train_val_split",
+      "stratified_sample", "quality_score", "levenshtein_pairs")
+    docQueries.foreach { q =>
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      assert(n >= 0, q) // no ANSI element_at error, no division blowup
+    }
+
+    val ts = SparkEntry.queries("token_stats")(spark, dir)
+      .filter($"doc_id" >= 9001L)
+      .select($"doc_id", $"n_tokens", $"mean_token_len")
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, m) => k -> ((n, m)) }.toMap
+    assert(ts(9001L) === ((1L, 0.0)))   // split("") → [""], len 0
+    assert(ts(9002L) === ((1L, 5.0)))
+    // no bigram for empty/1-token docs; 1 bigram for the 2-token doc
+    val bg = SparkEntry.queries("bigram_lm_score")(spark, dir)
+      .select($"doc_id", $"n_bigrams").as[(Long, Long)].collect().toMap
+    assert(!bg.contains(9001L) && !bg.contains(9002L))
+    assert(bg(9003L) === 1L)
+    // the cross-language duplicate collapses in exact dedup (keep-min)
+    val dd = SparkEntry.queries("exact_dedup")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(dd(9004L) === 2L && !dd.contains(9005L))
+  }
+
   test("jaccard is 1 for identical shingle sets, symmetric bounds hold") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r s"))
       .toDF("doc_id", "text")

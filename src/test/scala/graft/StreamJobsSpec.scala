@@ -247,6 +247,51 @@ class StreamJobsSpec extends SparkSpec {
     assert(sink.read(spark).count() === 64)
   }
 
+  test("KvUpsertSink incremental MERGE: two micro-batches of mixed " +
+      "insert/update/delete ≡ the one-shot batch MERGE; tombstones persist") {
+    def mcell(k: String, v: String, sec: Long, op: String) =
+      (k, "cf1", "q", v, new Timestamp(sec * 1000), op)
+    val cols = Seq("rowkey", "cf", "qualifier", "cell_value", "ts", "op")
+    val b1 = Seq(
+      mcell("k1", "v1", 100, "upsert"),           // insert
+      mcell("k2", "v2", 100, "upsert"),
+      mcell("k3", "v3", 100, "upsert"),
+      mcell("k2", null, 300, "delete"))           // delete k2 at ts 300
+    val b2 = Seq(
+      mcell("k1", "v1b", 200, "upsert"),          // update
+      mcell("k2", "zombie", 200, "upsert"),       // OLDER than k2's delete → stays dead
+      mcell("k3", null, 250, "delete"),           // delete k3
+      mcell("k4", "v4", 260, "upsert"))           // insert
+
+    // incremental: stream the two micro-batches through foreachBatch
+    val in = MemoryStream[(String, String, String, String, Timestamp, String)]
+    val incPath = tmp() + "/kv_inc"
+    val incSink = new KvUpsertSink(incPath, numBuckets = 4)
+    val q = in.toDF().toDF(cols: _*).writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        incSink.upsert(df.sparkSession, df); () }
+      .start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    // batch: all ops in one MERGE
+    val batchSink = new KvUpsertSink(tmp() + "/kv_batch", numBuckets = 4)
+    batchSink.upsert(spark, (b1 ++ b2).toDF(cols: _*))
+
+    def state(s: KvUpsertSink) = s.read(spark)
+      .select($"rowkey", $"cell_value").as[(String, String)].collect().toSet
+    val expected = Set("k1" -> "v1b", "k4" -> "v4") // k2, k3 deleted
+    assert(state(incSink) === expected)
+    assert(state(batchSink) === expected)
+    // the deletes survive as tombstones (what makes the fold incremental),
+    // invisible to read()
+    val tombs = spark.read.parquet(incPath).filter($"op" === "delete")
+      .select($"rowkey").as[String].collect().toSet
+    assert(tombs === Set("k2", "k3"))
+  }
+
   test("dropDuplicatesWithinWatermark evicts state past the watermark") {
     val in = MemoryStream[KafkaShaped]
     val q = StreamJobs.streamingDedupWithinWatermark(in.toDF(), "30 seconds")
