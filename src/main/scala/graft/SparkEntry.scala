@@ -20,7 +20,8 @@ object SparkEntry {
     operators.SimilarityOps,
     operators.MultimodalOps,
     operators.AdvancedOps,
-    operators.StatsOps
+    operators.StatsOps,
+    operators.FilterOps
   )
 
   private lazy val all: Seq[Q] = {

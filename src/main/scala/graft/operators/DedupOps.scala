@@ -46,7 +46,7 @@ object DedupOps extends QueryModule {
     * split, which would run the explode + map-side distinct on a single
     * task; at corpus scale the scan is naturally split and the exchange is
     * a no-op-sized shuffle of raw docs. */
-  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .repartition(col("doc_id"))
       .withColumn("toks", split(col("text"), " "))

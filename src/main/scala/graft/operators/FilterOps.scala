@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-filtering operators for a training-data pipeline (north star; no
+  * reference analog — SURVEY.md §2.7): within-document repetition signals,
+  * a Gopher-style rule filter, cross-document boilerplate detection, PII
+  * pattern scrubbing, and source-mixture weighting. These are the quality
+  * gates a 100 TB corpus passes through BEFORE dedup/training — published
+  * heuristics (length, word-length, stopword, repetition thresholds in the
+  * Gopher/C4 line of work), re-expressed as declarative Spark plans.
+  *
+  * Scale posture: every query is per-row projection + explode →
+  * hash-aggregate (map-side partial) or a broadcast join against a
+  * high-frequency set that is SMALL by construction (boilerplate = shingles
+  * above a document-frequency floor; frequency tables shrink as thresholds
+  * rise). No all-pairs shapes, no driver-side state.
+  */
+object FilterOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  private val enStop = Seq("the", "a", "of", "and", "to")
+
+  // ---- within-document repetition (Gopher repetition signals) -------------
+
+  /** Per-document repetition metrics: duplicate-token fraction, duplicate-
+    * bigram fraction, and the single most frequent bigram's share — the
+    * classic "repetitive generation / boilerplate" drop signals. Docs with
+    * <2 tokens have no bigram and are excluded in both engines.
+    */
+  private def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .repartition(col("doc_id")) // single-file scan → parallelize the explode
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+    val tok = base.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val bg = base.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+    val bga = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_bigram"))
+    tok.join(bga, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("frac_dup_tokens"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+          .as("frac_dup_bigrams"),
+        (col("top_bigram").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .withColumn("flagged",
+        (col("frac_dup_tokens") > 0.6 || col("top_bigram_frac") > 0.18)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def repetitionScoreSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), tok AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      |  FROM base
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM base
+      |), bgc AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |), bga AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+      |         CAST(MAX(c) AS BIGINT) AS top_bigram
+      |  FROM bgc GROUP BY 1
+      |)
+      |SELECT t.doc_id, t.n_tokens,
+      |  CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens AS frac_dup_tokens,
+      |  CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+      |    AS frac_dup_bigrams,
+      |  CAST(b.top_bigram AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+      |  CAST(CASE WHEN CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens > 0.6
+      |            OR CAST(b.top_bigram AS DOUBLE) / b.n_bigrams > 0.18
+      |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM tok t JOIN bga b USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---- Gopher-style rule filter -------------------------------------------
+
+  /** Rule-based keep/drop filter: token count in [20, 100000], mean token
+    * length in [2, 12], ≥2 stopword hits, ≥80% alphabetic tokens. Flags are
+    * 0/1 longs so the row hashes identically across engines.
+    */
+  private def gopherQualityFilter(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("mean_tok_len",
+        (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens").cast("double"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(enStop.map(lit(_)): _*))).cast("long"))
+      .withColumn("n_alpha_tok",
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("ok_len", col("n_tokens").between(20L, 100000L).cast("long"))
+      .withColumn("ok_word_len", col("mean_tok_len").between(2.0, 12.0).cast("long"))
+      .withColumn("ok_stop", (col("n_stop") >= 2L).cast("long"))
+      .withColumn("ok_alpha",
+        (col("n_alpha_tok").cast("double") >= col("n_tokens") * 0.8).cast("long"))
+      .withColumn("keep",
+        (col("ok_len") + col("ok_word_len") + col("ok_stop") + col("ok_alpha") === 4L)
+          .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"), col("n_stop"),
+        col("ok_len"), col("ok_word_len"), col("ok_stop"), col("ok_alpha"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  private def gopherQualityFilterSql: String = {
+    val stopList = enStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+       |), st AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    (n_chars - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+       |    CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+       |      AS n_alpha_tok
+       |  FROM m
+       |), flags AS (
+       |  SELECT doc_id, n_tokens, mean_tok_len, n_stop,
+       |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS ok_len,
+       |    CAST(CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS ok_word_len,
+       |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+       |    CAST(CASE WHEN CAST(n_alpha_tok AS DOUBLE) >= n_tokens * 0.8
+       |         THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha
+       |  FROM st
+       |)
+       |SELECT doc_id, n_tokens, mean_tok_len, n_stop,
+       |  ok_len, ok_word_len, ok_stop, ok_alpha,
+       |  CAST(CASE WHEN ok_len + ok_word_len + ok_stop + ok_alpha = 4
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM flags ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- cross-document boilerplate -----------------------------------------
+
+  /** Boilerplate detection: shingles whose document frequency is ≥ 5 are
+    * "boilerplate" (headers, footers, templates); each doc reports what
+    * fraction of its shingles is boilerplate. The boilerplate set is small by
+    * construction (high-df survivors only) → broadcast; the corpus side is
+    * one explode + broadcast left join + per-doc aggregate, same 100 TB shape
+    * as contamination_check.
+    */
+  private def boilerplateShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingles(s, dir).cache()
+    val boiler = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5L)
+      .select(col("sh")).withColumn("hit", lit(1L))
+    sh.join(broadcast(boiler), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def boilerplateShinglesSql: String =
+    s"""WITH sh AS (${DedupOps.shinglesSql}),
+       |boiler AS (
+       |  SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
+       |  WHERE df >= 5
+       |)
+       |SELECT s.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS boiler_frac
+       |FROM sh s LEFT JOIN boiler b ON s.sh = b.sh
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // ---- PII pattern scrubbing ----------------------------------------------
+
+  private val EmailRe = "[a-zA-Z0-9#._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing: count and mask email/phone patterns. The synthetic corpus
+    * carries no natural PII, so the input is a deterministic per-customer
+    * contact line derived from the customer table — the REGEXP machinery
+    * (count + global replace, identical Java/RE2 pattern subset) is the
+    * operator under test, and the oracle replays both the derivation and the
+    * scrub. Purely per-row projection: trivially parallel at any scale.
+    */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      .withColumn("profile",
+        concat(
+          col("c_name"), lit(" <"), lower(col("c_name")),
+          lit("@example.com> call 555-"),
+          lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("c_custkey") * 7 % 10000).cast("string"), 4, "0")))
+      .select(
+        col("c_custkey"),
+        regexp_count(col("profile"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("profile"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("profile"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy(col("c_custkey"))
+
+  private def piiScrubSql: String = {
+    // single-quoted SQL strings keep backslashes literal -> same pattern text
+    val email = EmailRe
+    val phone = PhoneRe
+    s"""WITH p AS (
+       |  SELECT c_custkey,
+       |    c_name || ' <' || lower(c_name) || '@example.com> call 555-'
+       |      || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+       |      || lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0') AS profile
+       |  FROM customer
+       |)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(profile, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(profile, '$phone')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(profile, '$email', '<EMAIL>', 'g'),
+       |                 '$phone', '<PHONE>', 'g') AS scrubbed
+       |FROM p ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---- source mixture weighting -------------------------------------------
+
+  /** Per-source inverse-frequency mixture weights: the "data mixing" step
+    * that rebalances a multi-source corpus toward a uniform source mixture.
+    * weight = total / (n_sources · n_docs) — exact integer ratios, one final
+    * IEEE division. Two tiny aggregates + a broadcast of a sources-sized row.
+    */
+  private def sourceMixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = perSource
+      .agg(sum(col("n_docs")).as("total"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"),
+        (col("total").cast("double") / (col("n_sources") * col("n_docs")))
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
+  private def sourceMixtureWeightsSql: String =
+    """WITH per_source AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source
+      |), totals AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+      |         CAST(COUNT(*) AS BIGINT) AS n_sources
+      |  FROM per_source
+      |)
+      |SELECT source, n_docs,
+      |  CAST(total AS DOUBLE) / (n_sources * n_docs) AS weight
+      |FROM per_source CROSS JOIN totals
+      |ORDER BY source""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("repetition_score", repetitionScore, Some(repetitionScoreSql)),
+    Q("gopher_quality_filter", gopherQualityFilter, Some(gopherQualityFilterSql)),
+    Q("boilerplate_shingles", boilerplateShingles, Some(boilerplateShinglesSql)),
+    Q("pii_scrub", piiScrub, Some(piiScrubSql)),
+    Q("source_mixture_weights", sourceMixtureWeights, Some(sourceMixtureWeightsSql))
+  )
+}

@@ -214,6 +214,121 @@ object RelationalOps extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ---- more TPC-H analogs -------------------------------------------------
+
+  /** TPC-H Q6 analog: the pure scan-filter-aggregate query. The whole WHERE
+    * clause is parquet-pushable (`PushedFilters` carries all four predicates)
+    * and the scan reads 3 of 11 columns — the canonical 100 TB shape where
+    * I/O pruning IS the query plan. */
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q14 analog: promo revenue share — broadcast dim join + conditional
+    * aggregate, both sums decimal-exact before the one final division. */
+  private def q14Promo(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+          / dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("promo_revenue_pct"))
+
+  /** TPC-H Q18 analog: large-volume orders — HAVING over a fact aggregate,
+    * then the qualifying keys (tiny) drive broadcast joins back to the dims.
+    * At 100 TB the lineitem aggregate is the only full shuffle; everything
+    * after it is broadcast-sized. */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    t(s, dir, "orders")
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  // ---- subquery surface (spark.sql → Catalyst decorrelation) --------------
+
+  private def withViews(s: SparkSession, dir: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** Uncorrelated scalar subquery: orders above the global average price.
+    * The average is cents-quantized (o_totalprice carries 2 decimals, so
+    * ROUND(·*100) longs sum exactly) — order-independent, engine-identical.
+    * Catalyst plans the subquery once and broadcasts the scalar. */
+  private def scalarSubqueryAboveAvg(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "orders")(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / COUNT(*) / 100.0
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+
+  /** Correlated scalar subquery: customers whose single largest order tops a
+    * threshold. Catalyst decorrelates this into an aggregate + join — the
+    * plan a hand-written groupBy/join would produce, from declarative SQL. */
+  private def correlatedMaxOrder(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "customer", "orders")(
+      """SELECT c_custkey, c_name,
+        |  (SELECT MAX(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE (SELECT MAX(o_totalprice) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey) > 450000.0
+        |ORDER BY c_custkey""".stripMargin)
+
+  /** NOT IN subquery — null-aware anti-join semantics (Spark plans a
+    * NullAwareAntiJoin when the subquery side is nullable): parts that never
+    * ship in near-max quantities. */
+  private def notInHeavyParts(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "part", "lineitem")(
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0)
+        |ORDER BY p_partkey""".stripMargin)
+
+  // ---- window value/distribution functions --------------------------------
+
+  /** Frame-addressed value functions + distribution: per-customer order
+    * history with first/last/2nd order price over the full-partition frame
+    * and each order's cume_dist by price. The (price, orderkey) ordering is
+    * unique, so cume_dist is an exact rational position/n. */
+  private def windowFrameValues(s: SparkSession, dir: String): DataFrame = {
+    val hist = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(hist).as("first_price"),
+        last(col("o_totalprice")).over(hist).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(hist).as("second_price"),
+        cume_dist().over(byPrice).as("price_cume_dist"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ---- JSON extraction ----------------------------------------------------
 
   /** get_json_object over events.props (≈ the reference's opaque Kafka value
@@ -339,6 +454,70 @@ object RelationalOps extends QueryModule {
         |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    Q("q6_forecast_revenue", q6Forecast, Some(
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)),
+    Q("q14_promo_effect", q14Promo, Some(
+      """SELECT 100.0 *
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |       THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |       AS DECIMAL(38,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |       AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin)),
+    Q("q18_large_orders", q18LargeOrders, Some(
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 300.0
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+    Q("scalar_subquery_above_avg", scalarSubqueryAboveAvg, Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / COUNT(*) / 100.0
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+    Q("correlated_max_order", correlatedMaxOrder, Some(
+      """SELECT c_custkey, c_name,
+        |  (SELECT MAX(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE (SELECT MAX(o_totalprice) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey) > 450000.0
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("not_in_heavy_parts", notInHeavyParts, Some(
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0)
+        |ORDER BY p_partkey""".stripMargin)),
+    Q("window_frame_values", windowFrameValues, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  FIRST_VALUE(o_totalprice) OVER hist AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER hist AS last_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER hist AS second_price,
+        |  CUME_DIST() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice, o_orderkey) AS price_cume_dist
+        |FROM orders
+        |WINDOW hist AS (PARTITION BY o_custkey
+        |                ORDER BY o_orderdate, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     Q("json_props_stats", jsonPropsStats, Some(
       """SELECT event_type,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

@@ -539,6 +539,107 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Semantic dedup (the SemDeDup shape): assign every vector to its trained
+    * k-means cell, compare pairs ONLY within a cell (equi-join on cell id —
+    * the cluster is the blocking key), and drop any vector whose exact
+    * quantized cosine to a lower-id cell-mate exceeds the threshold. Output:
+    * one row per vector with its cell and keep flag.
+    *
+    * Scale posture: pair space is Σ|cell|² instead of corpus² — with k scaled
+    * to corpus size (k ≈ n/10⁴ in the published recipe) the per-cell lists
+    * stay bounded and the join shuffles each side once on cell id. Training
+    * cost is the memoized Lloyd loop shared with ann_ivf/kmeans_trained.
+    */
+  private val SEMDEDUP_T = 0.2
+
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cents = centsDf(s, trainedCentroids(s, dir))
+    val e = featsDf(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val assign = assignTo(e, cents)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("norm2"))
+      .cache()
+    val dropped = assign.as("a").join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineQ(
+        dotQ(col("a.embedding"), col("b.embedding")),
+        col("a.norm2"), col("b.norm2")) >= SEMDEDUP_T)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    assign.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (coalesce(col("dup"), lit(0L)) === 0L).cast("long").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def semanticDedupSql: String = {
+    val distExpr = KM_DIMS.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - c.c$i) * (CAST(f.x$i AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansRecursiveCtes(withFat = true)},
+       |assign AS (
+       |  SELECT vec_id, cell, embedding, norm2 FROM (
+       |    SELECT f.vec_id, c.cell, f.embedding, f.norm2,
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS rn
+       |    FROM feats f CROSS JOIN cfinal c)
+       |  WHERE rn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(${dotQSql("a.embedding", "b.embedding")} AS DOUBLE)
+       |        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+       |        >= $SEMDEDUP_T
+       |)
+       |SELECT a.vec_id, a.cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** Cluster-balanced sampling: top-3 vectors per trained cell by md5 hash
+    * order — the deterministic "take a uniform slice of every semantic
+    * region" subsample (rand()-free, so stable under reruns and appends).
+    * Assignment is the broadcast argmin; the per-cell top-k is the bounded
+    * rank-filter idiom the TopKPerKey rewrite compiles to a heap. */
+  private def clusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val cents = centsDf(s, trainedCentroids(s, dir))
+    val feats = featsDf(s, dir)
+      .select(col("vec_id") +: KM_DIMS.map(i => col(s"x$i")): _*)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("hk"), col("vec_id"))
+    assignTo(feats, cents)
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("cell"), col("rk").cast("long").as("rk"), col("vec_id"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  private def clusterBalancedSampleSql: String = {
+    val distExpr = KM_DIMS.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - c.c$i) * (CAST(f.x$i AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansRecursiveCtes(withFat = false)},
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT f.vec_id, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS rn
+       |    FROM feats f CROSS JOIN cfinal c)
+       |  WHERE rn = 1
+       |), ranked AS (
+       |  SELECT cell, vec_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY cell
+       |              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+       |  FROM assign
+       |)
+       |SELECT cell, rk, vec_id FROM ranked
+       |WHERE rk <= 3 ORDER BY cell, rk""".stripMargin
+  }
+
   /** Hot-path top-k via the custom codegen Expression
     * (graft.functions.CosineSimilarity) — same result ordering as cosine_topk
     * up to float-fold rounding; benchmarked, not oracle-compared (plain
@@ -567,6 +668,8 @@ object SimilarityOps extends QueryModule {
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSql)),
     Q("kmeans_trained", kmeansTrained, Some(kmeansTrainedSql)),
+    Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    Q("cluster_balanced_sample", clusterBalancedSample, Some(clusterBalancedSampleSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql))
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-filter + semantic-dedup operators: internal-consistency
+  * properties at sf0.001 (cross-engine value equality is the DuckDB oracle's
+  * job; these pin the semantics the oracle can't see).
+  */
+class FilterOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition_score fractions are consistent and bounded") {
+    val rows = SparkEntry.queries("repetition_score")(spark, sf001)
+      .select($"n_tokens", $"frac_dup_tokens", $"frac_dup_bigrams",
+        $"top_bigram_frac", $"flagged")
+      .as[(Long, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, fdt, fdb, top, flagged) =>
+      assert(n >= 2)
+      assert(fdt >= 0.0 && fdt <= 1.0)
+      assert(fdb >= 0.0 && fdb <= 1.0)
+      // the max bigram share is at least the uniform share
+      assert(top >= 1.0 / (n - 1) - 1e-12 && top <= 1.0)
+      assert(flagged === (if (fdt > 0.6 || top > 0.18) 1L else 0L))
+    }
+  }
+
+  test("gopher_quality_filter keep is the conjunction of its four rules") {
+    val rows = SparkEntry.queries("gopher_quality_filter")(spark, sf001)
+      .select($"ok_len", $"ok_word_len", $"ok_stop", $"ok_alpha", $"keep")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c, d, keep) =>
+      Seq(a, b, c, d, keep).foreach(f => assert(f == 0L || f == 1L))
+      assert(keep === (if (a + b + c + d == 4) 1L else 0L))
+    }
+    // the filter must actually discriminate on this corpus, not pass/drop all
+    assert(rows.exists(_._5 == 1L))
+  }
+
+  test("boilerplate_shingles counts agree with an independent df>=5 count") {
+    val got = SparkEntry.queries("boilerplate_shingles")(spark, sf001)
+      .select($"doc_id", $"n_shingles", $"n_boiler", $"boiler_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    got.foreach { case (_, n, b, f) =>
+      assert(b >= 0 && b <= n)
+      assert(math.abs(f - b.toDouble / n) < 1e-15)
+    }
+    // independent recompute from raw shingles
+    val sh = operators.DedupOps.shingles(spark, sf001).cache()
+    val boiler = sh.groupBy($"sh").count().filter($"count" >= 5)
+      .select($"sh").as[String].collect().toSet
+    val expected = sh.as[(Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.count(p => boiler(p._2)).toLong)).toMap
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap === expected)
+  }
+
+  test("pii_scrub masks exactly one email and one phone per profile") {
+    val rows = SparkEntry.queries("pii_scrub")(spark, sf001)
+      .select($"n_emails", $"n_phones", $"scrubbed").as[(Long, Long, String)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ne, np, scrubbed) =>
+      assert(ne === 1L && np === 1L)
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+      assert(!scrubbed.contains("@"))
+      assert(!scrubbed.matches(".*\\d{3}-\\d{3}-\\d{4}.*"))
+    }
+  }
+
+  test("source_mixture_weights rebalance to a uniform mixture") {
+    val rows = SparkEntry.queries("source_mixture_weights")(spark, sf001)
+      .select($"n_docs", $"weight").as[(Long, Double)].collect()
+    val total = rows.map(_._1).sum
+    // each source's weighted mass is total/n_sources -> weighted sum = total
+    val weighted = rows.map { case (n, w) => n * w }.sum
+    assert(math.abs(weighted - total) < 1e-6 * total)
+  }
+
+  test("semantic_dedup keeps every cell's minimum id and covers all vectors") {
+    val rows = SparkEntry.queries("semantic_dedup")(spark, sf001)
+      .as[(Long, Long, Long)].collect()
+    val nVecs = Tables.t(spark, sf001, "embeddings").count()
+    assert(rows.length.toLong === nVecs)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val minId = members.map(_._1).min
+      val keepOfMin = members.find(_._1 == minId).get._3
+      // the lowest id in a cell has no lower-id cell-mate -> always kept
+      assert(keepOfMin === 1L)
+    }
+  }
+
+  test("cluster_balanced_sample takes at most 3 distinct vectors per cell") {
+    val rows = SparkEntry.queries("cluster_balanced_sample")(spark, sf001)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._3).distinct.length === rows.length)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.map(_._2).sorted === (1L to g.length).toSeq)
+    }
+  }
+}
