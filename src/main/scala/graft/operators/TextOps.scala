@@ -224,7 +224,100 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // ---- training-prep: packing + chunking ----------------------------------
+
+  private val PACK_BIN = 2048L
+
+  /** Sequence packing (concat-then-chunk): documents are concatenated in
+    * doc_id order WITHIN EACH SOURCE and cut into fixed 2048-token training
+    * bins; each doc reports its token interval and the bins it spans. The
+    * "pack the corpus into training sequences" bookkeeping step, as pure
+    * window math (one running sum per source partition).
+    *
+    * Scale posture: packing is per-source (≡ per-shard in a real corpus), so
+    * the window partitions by a parallel key — no single global cumsum
+    * reducer; a 100 TB corpus packs every shard independently.
+    */
+  private def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .select(
+        col("source"), col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $PACK_BIN").as("bin_first"),
+        expr(s"(end_tok - 1) div $PACK_BIN").as("bin_last"))
+      .withColumn("n_bins_spanned", col("bin_last") - col("bin_first") + 1)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private def sequencePackingSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+       |  FROM d
+       |)
+       |SELECT source, doc_id, n_tokens,
+       |  end_tok - n_tokens AS start_tok,
+       |  (end_tok - n_tokens) // $PACK_BIN AS bin_first,
+       |  (end_tok - 1) // $PACK_BIN AS bin_last,
+       |  (end_tok - 1) // $PACK_BIN - (end_tok - n_tokens) // $PACK_BIN + 1
+       |    AS n_bins_spanned
+       |FROM c ORDER BY source, doc_id""".stripMargin
+
+  private val CHUNK_LEN = 64
+  private val CHUNK_STRIDE = 48
+
+  /** Sliding-window document chunking (RAG / context-window prep): 64-token
+    * chunks with stride 48 (16-token overlap); chunk_idx derives
+    * arithmetically from the start offset so neither engine needs explode
+    * ordinality. Narrow explode → per-row projection, trivially parallel.
+    */
+  private def docChunking(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .repartition(col("doc_id")) // single-file scan → parallelize the explode
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(1L), col("n"), lit(CHUNK_STRIDE.toLong))).as("start_tok"))
+      .select(
+        col("doc_id"),
+        expr(s"(start_tok - 1) div $CHUNK_STRIDE + 1").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(CHUNK_LEN.toLong), col("n") - col("start_tok") + 1).as("n_chunk_toks"),
+        array_join(slice(col("toks"), col("start_tok").cast("int"), lit(CHUNK_LEN)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private def docChunkingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents
+       |), st AS (
+       |  SELECT doc_id, toks, n,
+       |         unnest(generate_series(1, n, $CHUNK_STRIDE)) AS start_tok
+       |  FROM d
+       |)
+       |SELECT doc_id,
+       |  CAST((start_tok - 1) // $CHUNK_STRIDE + 1 AS BIGINT) AS chunk_idx,
+       |  start_tok,
+       |  LEAST($CHUNK_LEN, n - start_tok + 1) AS n_chunk_toks,
+       |  array_to_string(toks[start_tok:LEAST(start_tok + ${CHUNK_LEN - 1}, n)], ' ')
+       |    AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    Q("doc_chunking", docChunking, Some(docChunkingSql)),
     Q("rolling_fingerprint", rollingFingerprint, Some(
       """SELECT doc_id,
         |  CAST(list_reduce(

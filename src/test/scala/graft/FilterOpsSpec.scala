@@ -91,6 +91,49 @@ class FilterOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence_packing intervals abut within each source and bins are consistent") {
+    val rows = SparkEntry.queries("sequence_packing")(spark, sf001)
+      .select($"source", $"doc_id", $"n_tokens", $"start_tok", $"bin_first",
+        $"bin_last", $"n_bins_spanned")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._4 === 0L) // first doc starts the stream
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._3) // next start = prev end
+        case _ =>
+      }
+    }
+    rows.foreach { case (_, _, n, start, bf, bl, span) =>
+      assert(bf === start / 2048)
+      assert(bl === (start + n - 1) / 2048)
+      assert(span === bl - bf + 1)
+    }
+  }
+
+  test("doc_chunking tiles every document with stride-48 chunks of <=64 tokens") {
+    val rows = SparkEntry.queries("doc_chunking")(spark, sf001)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_chunk_toks", $"chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val nByDoc = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (doc, chunks) =>
+      val n = nByDoc(doc)
+      val sorted = chunks.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len, text), i) =>
+        assert(idx === i + 1)
+        assert(start === 1L + 48L * i)
+        assert(len === math.min(64L, n - start + 1))
+        assert(text.split(" ", -1).length.toLong === len)
+      }
+      // coverage: the final chunk reaches the last token
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 === n)
+    }
+    assert(rows.map(_._1).distinct.length === nByDoc.size)
+  }
+
   test("cluster_balanced_sample takes at most 3 distinct vectors per cell") {
     val rows = SparkEntry.queries("cluster_balanced_sample")(spark, sf001)
       .as[(Long, Long, Long)].collect()
