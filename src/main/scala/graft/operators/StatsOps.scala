@@ -21,6 +21,66 @@ object StatsOps extends QueryModule {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  private val KMV_K = 32
+  private val TWO_52 = 4503599627370496.0 // 2^52, exactly representable
+
+  /** KMV (k-minimum-values) approximate distinct count — the sketch whose
+    * math IS cross-engine exact, unlike HLL++ (`hll_distinct` stays
+    * rows-only because its register layout is engine-private). The estimator
+    * is (k-1)/u_k with u_k the k-th smallest md5-derived hash mapped to
+    * (0,1]; every quantity here is integer or an exact IEEE division, so
+    * DuckDB reproduces the estimate bit-for-bit.
+    *
+    * Scale posture: one distinct shuffle on (group, hash), then the k
+    * smallest hashes per group via the row_number≤k idiom — compiled to the
+    * bounded-heap TopKPerKey operator, so the second shuffle carries k·groups
+    * rows. This is how a sketch behaves at 100 TB: fixed memory per group.
+    */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val dh = Tables.t(s, dir, "events")
+      .select(col("event_type"), h.as("h")).distinct().cache()
+    val counts = dh.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_hashes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val kth = dh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KMV_K)
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rk") === KMV_K, col("h"))).as("hk"))
+    counts.join(kth, "event_type")
+      .select(col("event_type"), col("n_distinct_hashes"),
+        when(col("hk").isNotNull,
+          lit((KMV_K - 1).toDouble) * TWO_52 / (col("hk") + 1).cast("double"))
+          .otherwise(col("n_distinct_hashes").cast("double")).as("kmv_est"))
+      .orderBy(col("event_type"))
+  }
+
+  private def kmvDistinctSql: String =
+    s"""WITH dh AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+       |      AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM dh
+       |), counts AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_hashes
+       |  FROM dh GROUP BY 1
+       |), kth AS (
+       |  SELECT event_type, MAX(CASE WHEN rk = $KMV_K THEN h END) AS hk
+       |  FROM r WHERE rk <= $KMV_K GROUP BY 1
+       |)
+       |SELECT c.event_type, c.n_distinct_hashes,
+       |  CASE WHEN k.hk IS NOT NULL
+       |       THEN ${KMV_K - 1}.0 * $TWO_52 / CAST(k.hk + 1 AS DOUBLE)
+       |       ELSE CAST(c.n_distinct_hashes AS DOUBLE) END AS kmv_est
+       |FROM counts c JOIN kth k USING (event_type)
+       |ORDER BY c.event_type""".stripMargin
+
   /** Histogram via width_bucket: integer bucket per value, counts per bucket
     * — integer-exact in both engines. */
   private def histogram(s: SparkSession, dir: String): DataFrame =
@@ -131,6 +191,7 @@ object StatsOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("hll_distinct", hllDistinct, None),
+    Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("train_val_split", trainValSplit, Some(
       """SELECT lang,
         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 <= 7

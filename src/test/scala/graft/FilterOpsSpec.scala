@@ -134,6 +134,18 @@ class FilterOpsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === nByDoc.size)
   }
 
+  test("kmv_distinct estimate lands near the exact distinct count") {
+    val rows = SparkEntry.queries("kmv_distinct")(spark, sf001)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, exact, est) =>
+      // k=32 -> relative standard error ~1/sqrt(30) ~ 18%; 2.5 sigma bound
+      assert(est > 0.0)
+      assert(math.abs(est - exact) <= 0.45 * exact + 1.0,
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
   test("cluster_balanced_sample takes at most 3 distinct vectors per cell") {
     val rows = SparkEntry.queries("cluster_balanced_sample")(spark, sf001)
       .as[(Long, Long, Long)].collect()
