@@ -82,7 +82,90 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Ordered funnel conversion (signup → click → purchase): per user, the
+    * first signup, the first click strictly after it, the first purchase
+    * strictly after that; then one global row counting users surviving each
+    * stage. Three stacked window mins over the SAME user partitioning — one
+    * shuffle, three Window operators, no self-joins (the naive funnel is a
+    * 3-way self-join; this shape scans the events once). Timestamps compared
+    * in exact epoch-µs longs.
+    */
+  private def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") > col("t1"), col("us")))
+          .over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2"), col("us")))
+          .over(w))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_signup"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_click_after"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase_after"))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, distinct-user
+    * counts at day offsets 0-7. The cohort label is a window min (no
+    * groupBy+join back); the final aggregate is the only wide shuffle.
+    */
+  private def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("funnel_conversion", funnelConversion, Some(
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), s1 AS (
+        |  SELECT user_id, event_type, us,
+        |         MIN(CASE WHEN event_type = 'signup' THEN us END)
+        |           OVER (PARTITION BY user_id) AS t1
+        |  FROM e
+        |), s2 AS (
+        |  SELECT user_id, event_type, us, t1,
+        |         MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+        |           OVER (PARTITION BY user_id) AS t2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT user_id, t1, t2,
+        |         MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+        |           OVER (PARTITION BY user_id) AS t3
+        |  FROM s2
+        |)
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT)
+        |    AS n_signup,
+        |  CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT)
+        |    AS n_click_after,
+        |  CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT)
+        |    AS n_purchase_after
+        |FROM s3""".stripMargin)),
+    Q("retention_cohorts", retentionCohorts, Some(
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |         MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM d
+        |)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("window_range_1h", windowRange1h, Some(
       """SELECT user_id, event_id, ts,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_1h_n,

@@ -134,6 +134,27 @@ class FilterOpsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === nByDoc.size)
   }
 
+  test("funnel_conversion stages are monotonically non-increasing") {
+    val Array((users, signup, click, purchase)) =
+      SparkEntry.queries("funnel_conversion")(spark, sf001)
+        .as[(Long, Long, Long, Long)].collect()
+    assert(users >= signup && signup >= click && click >= purchase)
+    assert(signup > 0) // the corpus exercises every stage
+  }
+
+  test("retention_cohorts offset-0 count equals the cohort's user count") {
+    val rows = SparkEntry.queries("retention_cohorts")(spark, sf001)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, g) =>
+      val day0 = g.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      // every user is present on their own first day, and later offsets
+      // can never exceed the cohort size
+      assert(day0 > 0)
+      g.foreach { case (_, _, n) => assert(n <= day0) }
+    }
+  }
+
   test("kmv_distinct estimate lands near the exact distinct count") {
     val rows = SparkEntry.queries("kmv_distinct")(spark, sf001)
       .as[(String, Long, Double)].collect()
