@@ -308,6 +308,20 @@ object StreamJobs {
       "left_outer")
   }
 
+  /** Stream-static enrichment join: the streaming side joined to a bounded
+    * dimension table, explicitly broadcast — every micro-batch re-plans the
+    * join, so a 1000-executor cluster ships the dim once per batch instead
+    * of shuffling the stream. Unmatched keys fall back to a sentinel rather
+    * than dropping (the reference's null-key fallback flavor,
+    * HbaseWriter.scala:54-66). Stateless: no watermark needed, state size
+    * zero regardless of stream volume.
+    */
+  def streamStaticEnrich(input: DataFrame, dim: DataFrame): DataFrame =
+    input.join(
+        org.apache.spark.sql.functions.broadcast(dim), Seq("key"), "left_outer")
+      .withColumn("tier", coalesce(col("tier"), lit("unknown")))
+      .select(col("key"), col("value"), col("timestamp"), col("tier"))
+
   /** Cross-batch per-key running counts via mapGroupsWithState — the
     * reference's driver-side `var counter` (A4, Streamer.scala:122,128)
     * generalized to per-key, fault-tolerant state: checkpointed by the state

@@ -57,6 +57,21 @@ class StreamJobsSpec extends SparkSpec {
     assert(lines.exists(_.contains("batches): 2")))
   }
 
+  test("streamStaticEnrich broadcasts the dim and falls back on unmatched keys") {
+    val in = MemoryStream[KafkaShaped]
+    val dim = Seq(("a", "gold"), ("b", "silver")).toDF("key", "tier")
+    val q = StreamJobs.streamStaticEnrich(in.toDF(), dim)
+      .writeStream.outputMode("append").format("memory").queryName("sse").start()
+    in.addData(rec("a", "1", 1000, 0), rec("c", "3", 1001, 1))
+    q.processAllAvailable()
+    in.addData(rec("b", "2", 1002, 2)) // second batch re-joins the same dim
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sse").select($"key", $"tier").as[(String, String)]
+      .collect().sorted.toSeq
+    assert(got === Seq("a" -> "gold", "b" -> "silver", "c" -> "unknown"))
+  }
+
   test("perRecordPipeline: rowkey collision leaves one surviving cell per second") {
     val in = MemoryStream[KafkaShaped]
     val kvSink = new KvUpsertSink(tmp() + "/kv")
