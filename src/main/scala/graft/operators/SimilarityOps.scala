@@ -640,6 +640,42 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY cell, rk""".stripMargin
   }
 
+  /** Per-vector reductions via the HOF path — `transform`/`zip_with`/
+    * `aggregate` — the declarative alternative to the compiled QuantizedDot
+    * kernel (same quantized math; FunctionsSpec asserts the two paths agree).
+    * HOFs evaluate inside whole-stage codegen per row with no shuffle: the
+    * right shape for per-row feature extraction at any scale. The compiled
+    * kernel exists because on PAIR joins (millions of evaluations) the fused
+    * loop is ~100× the HOF tree; for one pass per row the HOF cost is fine.
+    */
+  private def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val qElems = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val norm2 = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (a, b) => round(a.cast("double") * b.cast("double") * 1e16).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    emb(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        aggregate(qElems, lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_min(col("embedding")).cast("double").as("min_val"),
+        array_max(col("embedding")).cast("double").as("max_val"),
+        norm2.as("norm2_q"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def embeddingStatsSql: String =
+    s"""SELECT vec_id,
+       |  CAST(len(embedding) AS BIGINT) AS dim,
+       |  CAST(list_sum(list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS BIGINT) AS sum_q,
+       |  CAST(list_min(embedding) AS DOUBLE) AS min_val,
+       |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       |  ${dotQSql("embedding", "embedding")} AS norm2_q
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** Hot-path top-k via the custom codegen Expression
     * (graft.functions.CosineSimilarity) — same result ordering as cosine_topk
     * up to float-fold rounding; benchmarked, not oracle-compared (plain
@@ -670,6 +706,7 @@ object SimilarityOps extends QueryModule {
     Q("kmeans_trained", kmeansTrained, Some(kmeansTrainedSql)),
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("cluster_balanced_sample", clusterBalancedSample, Some(clusterBalancedSampleSql)),
-    Q("label_centroids", labelCentroids, Some(labelCentroidsSql))
+    Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    Q("embedding_stats", embeddingStats, Some(embeddingStatsSql))
   )
 }

@@ -134,6 +134,18 @@ class FilterOpsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === nByDoc.size)
   }
 
+  test("embedding_stats HOF norm agrees with the compiled QuantizedDot kernel") {
+    graft.functions.VectorFunctions.register(spark)
+    val hof = SparkEntry.queries("embedding_stats")(spark, sf001)
+      .select($"vec_id", $"norm2_q")
+    val kernel = Tables.t(spark, sf001, "embeddings")
+      .select($"vec_id", expr("dot_q(embedding, embedding)").as("k_norm2"))
+    val mismatches = hof.join(kernel, "vec_id")
+      .filter($"norm2_q" =!= $"k_norm2").count()
+    assert(mismatches === 0L)
+    assert(hof.count() > 0)
+  }
+
   test("funnel_conversion stages are monotonically non-increasing") {
     val Array((users, signup, click, purchase)) =
       SparkEntry.queries("funnel_conversion")(spark, sf001)

@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan regressions for the scale-posture claims in COVERAGE.md:
+  * these assert the SHAPE (pushdown, pruning, broadcast, blocking equi-join,
+  * bounded-heap top-k) that makes each operator viable at 100 TB — value
+  * correctness alone (the DuckDB oracle) cannot catch a plan that silently
+  * degrades to a full scan or a cartesian product.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q6_forecast_revenue pushes all four predicates and prunes to 4 columns") {
+    val p = plan("q6_forecast_revenue")
+    // toString elides the PushedFilters list tail; the head plus the scan's
+    // 4-column ReadSchema pin the pushdown + pruning claims
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads more columns than the projection needs: $readSchema")
+  }
+
+  test("boilerplate set and benchmark shingles join as broadcasts over the corpus") {
+    assert(plan("boilerplate_shingles").contains("BroadcastHashJoin"))
+    assert(plan("contamination_check").contains("BroadcastHashJoin"))
+  }
+
+  test("semantic_dedup blocks pairs through a cell equi-join, never a cartesian") {
+    val p = plan("semantic_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // nested-loop joins may appear only as the intentional 8-row centroid
+    // cross broadcast (printed once per cached-subtree reference)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("Cross") && l.contains("BuildRight"), l))
+  }
+
+  test("kmv_distinct k-smallest is heap-bounded BEFORE the shuffle") {
+    // under an Aggregate the Project(Filter(Window)) idiom collapses, so the
+    // TopKPerKey rewrite doesn't apply; Spark's InferWindowGroupLimit must
+    // then provide the bound — a Partial WindowGroupLimit below the exchange
+    // keeps the shuffle at k rows per group per input partition
+    val p = plan("kmv_distinct")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
+  test("q18_large_orders broadcasts the qualifying keys back to the dims") {
+    val p = plan("q18_large_orders")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("funnel_conversion stacks its windows on one user shuffle, no self-join") {
+    val p = plan("funnel_conversion")
+    assert(!p.contains("Join"), "funnel must not plan any join")
+    // one exchange for the user partitioning + one for the final aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+}
