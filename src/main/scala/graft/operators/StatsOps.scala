@@ -45,9 +45,10 @@ object StatsOps extends QueryModule {
       .agg(count(lit(1)).as("n_distinct_hashes"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("h"))
-    // row_number<=k under an aggregate: Spark's InferWindowGroupLimit plans a
-    // PARTIAL WindowGroupLimit below the exchange, so the shuffle carries at
-    // most k rows per group per input partition (PlanShapeSpec pins this)
+    // row_number<=k under an aggregate: bounded pre-shuffle either by the
+    // TopKPerKey rewrite (Aggregate idiom, in sessions that install it) or by
+    // Spark's own Partial WindowGroupLimit — at most k rows per group per
+    // input partition cross the wire (PlanShapeSpec pins this)
     val kth = dh.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KMV_K)
       .groupBy(col("event_type"))

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule (SURVEY.md §7.4 tier (c), the Rule leg): rewrites the
@@ -50,6 +50,23 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
       val keepRank = projList.exists(_.references.exists(_.exprId == alias.exprId))
       val rank = if (keepRank) Some(alias.toAttribute) else None
       Project(projList, TopKPerKeyNode(stripGroupLimit(child), parts, order, k, rank))
+    }
+
+    // The same idiom under an Aggregate (e.g. per-group stats of the top k):
+    // CollapseProject has already folded any intermediate Project away, so
+    // the Filter sits directly below the Aggregate.
+    case agg @ Aggregate(_, _,
+        Filter(RnLimit(rnAttr, k),
+          Window(Seq(alias @ Alias(
+            WindowExpression(_: RowNumber,
+              WindowSpecDefinition(parts, order, _)), _)), _, _, child, _)), _)
+        if k > 0 &&
+          rnAttr.exprId == alias.exprId &&
+          parts.nonEmpty &&
+          agg.references.subsetOf(child.outputSet + alias.toAttribute) => {
+      val keepRank = agg.references.exists(_.exprId == alias.exprId)
+      val rank = if (keepRank) Some(alias.toAttribute) else None
+      agg.copy(child = TopKPerKeyNode(stripGroupLimit(child), parts, order, k, rank))
     }
   }
 

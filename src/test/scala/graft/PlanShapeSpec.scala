@@ -38,12 +38,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("kmv_distinct k-smallest is heap-bounded BEFORE the shuffle") {
-    // under an Aggregate the Project(Filter(Window)) idiom collapses, so the
-    // TopKPerKey rewrite doesn't apply; Spark's InferWindowGroupLimit must
-    // then provide the bound — a Partial WindowGroupLimit below the exchange
-    // keeps the shuffle at k rows per group per input partition
+    // the bound must hold whichever mechanism planned it: the TopKPerKey
+    // rewrite (Aggregate idiom; fires when an earlier suite installed it on
+    // the shared session) or Spark's own Partial WindowGroupLimit — either
+    // way the shuffle carries at most k rows per group per input partition
     val p = plan("kmv_distinct")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("TopKPerKey") ||
+      (p.contains("WindowGroupLimit") && p.contains("Partial")), p)
+  }
+
+  test("TopKPerKey rewrite covers the aggregate-over-rank idiom when installed") {
+    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
+    assert(plan("kmv_distinct").contains("TopKPerKey"))
   }
 
   test("q18_large_orders broadcasts the qualifying keys back to the dims") {
