@@ -124,7 +124,57 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Gaps-and-islands: contiguous runs of the same event_type per user (the
+    * SCD2 / change-tracking shape). A change flag from lag(), a running sum
+    * to number the islands, then one aggregate per island — two window
+    * passes over the SAME user partitioning and one shuffle. valid_from/to
+    * are the island's bounds; ties broken by event_id so runs are total.
+    */
+  private def eventTypeIslands(s: SparkSession, dir: String): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+          lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("chg")).over(byTime.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("island"), col("event_type"))
+      .agg(
+        min(col("ts")).cast("timestamp_ntz").as("valid_from"),
+        max(col("ts")).cast("timestamp_ntz").as("valid_to"),
+        count(lit(1)).as("run_len"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("event_type_islands", eventTypeIslands, Some(
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events WHERE user_id < 50
+        |), flagged AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM o
+        |), numbered AS (
+        |  SELECT user_id, event_type, ts,
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM flagged
+        |)
+        |SELECT user_id, island, event_type,
+        |  MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+        |  CAST(COUNT(*) AS BIGINT) AS run_len
+        |FROM numbered GROUP BY 1, 2, 3
+        |ORDER BY user_id, island""".stripMargin)),
     Q("funnel_conversion", funnelConversion, Some(
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events

@@ -134,6 +134,40 @@ class FilterOpsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === nByDoc.size)
   }
 
+  test("triangle_count matches a brute-force count over the collected edges") {
+    val n = SparkEntry.queries("triangle_count")(spark, sf001)
+      .as[Long].head()
+    // independent recompute: collect the same bounded subgraph and count
+    val sig = SparkEntry.queries("simhash")(spark, sf001)
+      .filter($"doc_id" < 500).as[(Long, Long)].collect()
+    val edges = for {
+      (a, ha) <- sig; (b, hb) <- sig
+      if a < b && (ha >> 16) == (hb >> 16) &&
+        java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (a, b)
+    val eset = edges.toSet
+    val brute = edges.flatMap { case (a, b) =>
+      sig.map(_._1).filter(c => b < c && eset((b, c)) && eset((a, c)))
+    }.length.toLong
+    assert(n === brute)
+  }
+
+  test("event_type_islands runs cover every event exactly once and alternate") {
+    val rows = SparkEntry.queries("event_type_islands")(spark, sf001)
+      .select($"user_id", $"island", $"event_type", $"run_len")
+      .as[(Long, Long, String, Long)].collect()
+    val nEvents = Tables.t(spark, sf001, "events").filter($"user_id" < 50).count()
+    assert(rows.map(_._4).sum === nEvents)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to g.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 !== b._3, "adjacent islands must differ")
+        case _ =>
+      }
+    }
+  }
+
   test("embedding_stats HOF norm agrees with the compiled QuantizedDot kernel") {
     graft.functions.VectorFunctions.register(spark)
     val hof = SparkEntry.queries("embedding_stats")(spark, sf001)
