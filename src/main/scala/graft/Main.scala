@@ -21,7 +21,8 @@ import graft.streaming.{KvUpsertSink, StreamJobs, TopicTableSink}
   *     --table PATH           KV table path (summary cell + bulk rows)
   *                            [<tmp>/kv]
   *     --topic_table PATH     topic table path (producer sink) [<tmp>/topic]
-  *     --mode summary|per-record  which reference pipeline [summary]
+  *     --mode summary|per-record|query  reference pipeline, or a registered
+  *                            batch analytics query (--query NAME) [summary]
   *     --checkpoint PATH      checkpointLocation for exactly-once restart
   *     --help
   */
@@ -32,7 +33,9 @@ object Main {
     |  --source_dir DIR     parquet dir read by the file stream (events.parquet)
     |  --table PATH         KV-upsert table path
     |  --topic_table PATH   topic table path
-    |  --mode MODE          summary | per-record
+    |  --mode MODE          summary | per-record | query
+    |  --query NAME         (mode=query) registered query to run on source_dir
+    |  --rows N             (mode=query) rows to print [20]
     |  --checkpoint PATH    streaming checkpoint location
     |  --help               show this help""".stripMargin
 
@@ -67,6 +70,20 @@ object Main {
 
     // subscribe: the comma list labels the stream (multi-topic subscribe is
     // source config on a real Kafka source); first topic tags the records
+    // batch query mode: run any registered analytics query against a data
+    // dir and print it — the full operator catalog from the same CLI
+    if (mode == "query") {
+      val name = opts.getOrElse("query",
+        sys.error("--mode query requires --query <name>; names: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; names: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+      fn(spark, sourceDir).show(opts.getOrElse("rows", "20").toInt, truncate = false)
+      spark.stop()
+      return
+    }
+
     val stream = sources.Sources.kafkaShapedStream(
       spark, sourceDir, inputTopics.split(",").head.trim)
 
