@@ -122,6 +122,116 @@ object StatsOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Per-group OLS regression (value on props.k) from the same exact
+    * quantized moments as corr_manual: slope and intercept assembled as
+    * single rationals over exact long sums — numerator and denominator are
+    * exact, the one division is IEEE — so both engines produce identical
+    * doubles. The distributed-regression shape: one partial/final aggregate,
+    * k·groups driver state, nothing else.
+    */
+  private def olsByType(s: SparkSession, dir: String): DataFrame = {
+    val x = round(get_json_object(col("props"), "$.k").cast("double") * 100)
+      .cast("long")
+    val y = round(col("value") * 100).cast("long")
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        (((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) / 100.0)
+          .as("intercept_units"))
+      .orderBy(col("event_type"))
+  }
+
+  private def olsByTypeSql: String =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(ROUND(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 100) AS BIGINT) AS x,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS y
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM q GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS intercept_units
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** Spearman rank correlation per group: ranks from row_number over a
+    * TOTAL order (value, event_id — so both engines rank identically, the
+    * unique-tiebreak convention instead of average-rank ties), then the
+    * Pearson formula over exact integer rank sums. Two window passes + one
+    * aggregate, all on the same group partitioning.
+    *
+    * Domain note: Σ rank² ≈ n³/3 stays inside int64 up to n ≈ 3M rows per
+    * group; beyond that the sums need DECIMAL(38,0) accumulation (same
+    * assembly, wider lattice) — the exact-moment pattern scales, the carrier
+    * type is the only change.
+    */
+  private def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(get_json_object(col("props"), "$.k").cast("double"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        row_number().over(wx).cast("long").as("rx"),
+        row_number().over(wy).cast("long").as("ry"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(
+        col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman_rho"))
+      .orderBy(col("event_type"))
+  }
+
+  private def spearmanCorrSql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |         ORDER BY value, event_id) AS BIGINT) AS rx,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |         ORDER BY CAST(json_extract_string(props, '$.k') AS DOUBLE), event_id)
+      |         AS BIGINT) AS ry
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+      |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+      |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+      |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+      |  FROM r GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** Edit-distance near-dup over the FULL corpus: levenshtein over 24-char
     * prefixes of same-length-band doc pairs (same integer DP definition in
     * both engines). The length band is the blocking step: pairs only form
@@ -196,6 +306,8 @@ object StatsOps extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Q("ols_by_type", olsByType, Some(olsByTypeSql)),
+    Q("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
     Q("train_val_split", trainValSplit, Some(
       """SELECT lang,
         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 <= 7
