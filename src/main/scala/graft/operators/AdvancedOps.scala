@@ -213,7 +213,44 @@ object AdvancedOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Z-order clustering key: interleave the bits of two dimensions
+    * (user_id, value bucket) into one sortable key — the space-filling-curve
+    * primitive under OPTIMIZE ZORDER BY. Rows sorted by zkey are clustered
+    * in BOTH dimensions at once, so min/max file statistics prune scans on
+    * either predicate. Pure integer bit math (10+10 bits), bit-identical
+    * across engines; the sort is the write-side layout pass, here over a
+    * bounded subset so the output stays hash-comparable.
+    */
+  private def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val xb = pmod(col("user_id"), lit(1024L))             // 10-bit dim 1
+    val yb = least(floor(col("value") / 0.2), lit(1023L)).cast("long") // 10-bit dim 2
+    val z = (0 until 10).map { i =>
+      (shiftleft(shiftright(col("xb"), i) % 2, 2 * i + 1) +
+        shiftleft(shiftright(col("yb"), i) % 2, 2 * i)).cast("long")
+    }.reduce(_ + _)
+    events(s, dir)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), xb.as("xb"), yb.as("yb"))
+      .withColumn("zkey", z)
+      .orderBy(col("zkey"), col("event_id"))
+  }
+
+  private def zorderKeySql: String = {
+    val terms = (0 until 10).map(i =>
+      s"(((xb >> $i) % 2) << ${2 * i + 1}) + (((yb >> $i) % 2) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT event_id,
+       |    user_id % 1024 AS xb,
+       |    CAST(LEAST(FLOOR(value / 0.2), 1023) AS BIGINT) AS yb
+       |  FROM events WHERE event_id < 2000
+       |)
+       |SELECT event_id, xb, yb, CAST($terms AS BIGINT) AS zkey
+       |FROM b ORDER BY zkey, event_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("zorder_key", zorderKey, Some(zorderKeySql)),
     Q("merge_upsert", mergeUpsert, Some(
       """WITH target AS (
         |  SELECT c_custkey AS key,
