@@ -272,6 +272,45 @@ object DedupOps extends QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** End-to-end dedup pipeline output: for every near-dup CLUSTER, the
+    * member that survives — not keep-min-id but keep-BEST, argmax of the
+    * quality score over the cluster (ties to the lowest id). This is the
+    * composition a real pipeline ships: LSH candidates → exact verify →
+    * connected components → quality-ranked survivor per component. One
+    * window over the (tiny) clustered subset joined to the per-doc quality
+    * projection.
+    */
+  private def clusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters =
+      connectedComponents(minhashLshCore(s, dir).select(col("a_id"), col("b_id")))
+    val quality = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_doc_id"),
+        col("quality"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  private def clusterKeepBestSql: String =
+    s"""WITH clusters AS ($dedupClustersSql),
+       |q AS (${TextOps.qualityScoreSql}),
+       |j AS (
+       |  SELECT c.cluster, c.doc_id, q.quality,
+       |         CAST(COUNT(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS n_members,
+       |         ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |                            ORDER BY q.quality DESC, c.doc_id) AS rk
+       |  FROM clusters c JOIN q USING (doc_id)
+       |)
+       |SELECT cluster, doc_id AS keep_doc_id, quality, n_members
+       |FROM j WHERE rk = 1 ORDER BY cluster""".stripMargin
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 32-bit SimHash per doc from distinct-token md5 hashes: bit j is the
@@ -405,6 +444,7 @@ object DedupOps extends QueryModule {
     Q("minhash_signatures", minhashSig, Some(minhashSigSql + "\nORDER BY doc_id")),
     Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
     Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),
     Q("simhash_pairs", simhashPairs, Some(simhashPairsSql))
   )

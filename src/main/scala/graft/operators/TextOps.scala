@@ -112,7 +112,7 @@ object TextOps extends QueryModule {
   /** Quality score: length saturation + uniqueness + stopword ratio, the
     * length/punct/stopword-ratio family. Integer-derived double math only.
     */
-  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val enWords = stopwords.filter(_._1 == "en").map(_._2)
     docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -131,6 +131,28 @@ object TextOps extends QueryModule {
           .as("quality"))
       .orderBy(col("doc_id"))
   }
+
+  /** Oracle SQL for [[qualityScore]] — shared with DedupOps.clusterKeepBest,
+    * which re-scores cluster members to pick the surviving document. */
+  private[operators] val qualityScoreSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks, n_chars, text
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(toks,
+      |      t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+      |  FROM base
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, n_stop, n_punct,
+      |  LEAST(1.0, n_tokens / 50.0) * 0.3
+      |    + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+      |    + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.4
+      |    - (CAST(n_punct AS DOUBLE) / n_tokens) * 0.1 AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** Document fingerprints: md5 of normalized text plus a 64-bit prefix
     * (hex→decimal) usable as a dedup key / shard key.
@@ -421,25 +443,7 @@ object TextOps extends QueryModule {
         |       CASE WHEN score > 0.0 THEN cand_lang ELSE 'und' END AS detected_lang,
         |       score
         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
-    Q("quality_score", qualityScore, Some(
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks, n_chars, text
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |    CAST(len(list_filter(toks,
-        |      t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
-        |  FROM base
-        |)
-        |SELECT doc_id, n_tokens, n_distinct, n_stop, n_punct,
-        |  LEAST(1.0, n_tokens / 50.0) * 0.3
-        |    + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
-        |    + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.4
-        |    - (CAST(n_punct AS DOUBLE) / n_tokens) * 0.1 AS quality
-        |FROM m ORDER BY doc_id""".stripMargin)),
+    Q("quality_score", qualityScore, Some(qualityScoreSql)),
     Q("doc_fingerprint", fingerprint, Some(
       """SELECT doc_id, md5(lower(text)) AS fp_md5,
         |  CAST(concat('0x', substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp64

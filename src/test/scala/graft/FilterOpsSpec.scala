@@ -134,6 +134,24 @@ class FilterOpsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === nByDoc.size)
   }
 
+  test("cluster_keep_best keeps the argmax-quality member of every cluster") {
+    val best = SparkEntry.queries("cluster_keep_best")(spark, sf001)
+      .select($"cluster", $"keep_doc_id", $"n_members")
+      .as[(Long, Long, Long)].collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf001)
+      .as[(Long, Long)].collect()
+    val quality = SparkEntry.queries("quality_score")(spark, sf001)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(best.map(_._1).toSet === byCluster.keySet)
+    best.foreach { case (cl, keep, n) =>
+      val members = byCluster(cl)
+      assert(n === members.length)
+      val expect = members.minBy(d => (-quality(d), d))
+      assert(keep === expect, s"cluster $cl kept $keep, expected $expect")
+    }
+  }
+
   test("triangle_count matches a brute-force count over the collected edges") {
     val n = SparkEntry.queries("triangle_count")(spark, sf001)
       .as[Long].head()
