@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction: fewer files, identical row set, recoverable swap. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_layout").toString + "/t"
+
+  test("compact merges a fragmented table without changing its rows") {
+    val dir = tmp()
+    Tables.t(spark, sf001, "orders")
+      .repartition(16).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir)
+      .orderBy($"o_orderkey").collect().toSeq
+
+    val (nBefore, nAfter) = operators.Layout.compact(spark, dir, 1L << 30)
+    assert(nBefore === 16)
+    assert(nAfter === 1) // tiny table, one target-size file
+
+    val afterRows = spark.read.parquet(dir)
+      .orderBy($"o_orderkey").collect().toSeq
+    assert(afterRows === beforeRows)
+    // the swap leaves no staging/aside litter behind
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith(".compact_staging") || f.getName.endsWith(".old")))
+  }
+
+  test("compact splits into multiple files when the target is small") {
+    val dir = tmp()
+    Tables.t(spark, sf001, "lineitem").write.parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.length).sum
+    val (_, nAfter) = operators.Layout.compact(spark, dir, math.max(1L, bytes / 3))
+    assert(nAfter >= 2, s"expected a multi-file layout, got $nAfter")
+    assert(spark.read.parquet(dir).count() ===
+      Tables.t(spark, sf001, "lineitem").count())
+  }
+}
