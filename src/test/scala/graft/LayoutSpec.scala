@@ -29,6 +29,26 @@ class LayoutSpec extends SparkSpec {
       f.getName.endsWith(".compact_staging") || f.getName.endsWith(".old")))
   }
 
+  test("mergeSchema reads across schema drift with null-padded old files") {
+    // long-lived tables drift: new columns appear in new files only
+    val dir = tmp()
+    Tables.t(spark, sf001, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .write.parquet(dir + "/batch=1")
+    Tables.t(spark, sf001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        lit("v2").as("writer_version"))
+      .write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ===
+      Set("o_orderkey", "o_custkey", "o_totalprice", "writer_version", "batch"))
+    val n = Tables.t(spark, sf001, "orders").count()
+    assert(merged.count() === 2 * n)
+    // old files surface the new columns as nulls, new files carry values
+    assert(merged.filter($"batch" === 1 && $"o_totalprice".isNull).count() === n)
+    assert(merged.filter($"batch" === 2 && $"o_totalprice".isNotNull).count() === n)
+  }
+
   test("compact splits into multiple files when the target is small") {
     val dir = tmp()
     Tables.t(spark, sf001, "lineitem").write.parquet(dir)
