@@ -51,9 +51,13 @@ object Tables {
   // hundreds of redundant driver round-trips, and on a throttled VM they
   // dominate wall-clock. DataFrames are immutable and freely reusable, so
   // one resolved plan per table per session is the right amount of work.
-  // Keyed by the SparkSession reference via WeakHashMap: identity hash codes
-  // can collide across sessions, and a weak key lets a stopped session's
-  // plans be collected instead of pinned for the JVM lifetime.
+  // Keyed by the SparkSession reference via WeakHashMap so identity-hash
+  // collisions across sessions are impossible. NOTE the weak key is NOT a
+  // collection guarantee: the cached DataFrames hold their session, so an
+  // entry pins its session while the map entry lives. That is fine for this
+  // codebase's lifecycle (one session per CLI JVM, one shared test session);
+  // an embedder cycling many sessions in one JVM should clear or scope the
+  // memo per run.
   private val memo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()

@@ -214,6 +214,12 @@ object DedupOps extends QueryModule {
       labCached = stepped
       lab = stepped.select(col("u"), col("new_lab").as("lab"))
     }
+    // the converged labels are fully materialized in labCached's cache, so
+    // the inputs can be released now — only the final cache must outlive
+    // this call (consumers re-read it; without these, every dedup query
+    // leaves pairs+edges pinned in storage for the JVM lifetime)
+    und.unpersist()
+    pairs.unpersist()
     lab.select(col("u").as("doc_id"), col("lab").as("cluster"))
   }
 
@@ -295,7 +301,9 @@ object DedupOps extends QueryModule {
       .filter(col("rk") === 1)
       .select(col("cluster"), col("doc_id").as("keep_doc_id"),
         col("quality"), col("n_members"))
-      .orderBy(col("cluster"))
+      // ordered1, not orderBy: range-partitioning sampling would re-execute
+      // the clusters⋈quality window subtree for a few-dozen-row output
+      .transform(graft.QOps.ordered1(_, col("cluster")))
   }
 
   private def clusterKeepBestSql: String =

@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
   *   3. write to a staging dir, then swap via rename-aside (the same
   *      recoverable pattern as KvUpsertSink): live → `<dir>.old`,
   *      staging → live, drop aside. A crash at any point leaves either the
-  *      old or the new complete directory, never a mix.
+  *      old or the new complete directory, never a mix; a crash BETWEEN the
+  *      renames leaves only the aside copy, which the next compact() call
+  *      restores before doing anything else.
   *
   * Row-order within files may change (compaction is a layout operation);
   * the SET of rows is preserved, which the spec asserts by sorted-collect
@@ -30,15 +32,28 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new Path(dir)
     val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val aside0 = new Path(dir + ".old")
 
-    def dataFiles(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-          && !st.getPath.getName.startsWith("."))
-        .map(_.getPath)
+    // heal a swap that died between the two renames: the live dir is gone
+    // and the aside copy is the surviving authority — restore it, so both
+    // readers and a compaction retry see the complete pre-crash table
+    if (!fs.exists(path) && fs.exists(aside0)) {
+      if (!fs.rename(aside0, path))
+        sys.error(s"compact: crash recovery rename $aside0 -> $path failed")
+    }
+
+    def dataFiles(p: Path) = {
+      val all = fs.listStatus(p).toSeq
+      require(!all.exists(_.isDirectory),
+        s"compact: $p contains subdirectories — compact partitioned tables " +
+          "one leaf partition at a time (a flat rewrite would collapse the " +
+          "partition layout and duplicate rows against partition-wise writers)")
+      all.filter(st => !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    }
 
     val before = dataFiles(path)
-    val totalBytes = before.map(fs.getFileStatus(_).getLen).sum
+    val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val staging = new Path(dir + ".compact_staging")

@@ -143,8 +143,18 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
     ()
   }
 
-  def read(spark: SparkSession): DataFrame =
-    spark.read.parquet(path).filter(col("op") =!= "delete").drop("bucket", "op")
+  /** Read the live table: heal any crashed swap first (an `_aside_` bucket
+    * is invisible to the parquet reader — without recovery a read between
+    * the two renames of a died swap would silently miss that bucket), and
+    * normalize `op` so tables written before the MERGE extension still read.
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val base = new Path(path)
+    recoverAsides(
+      FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration), base)
+    withOp(spark.read.parquet(path))
+      .filter(col("op") =!= "delete").drop("bucket", "op")
+  }
 }
 
 /** Structured Streaming rebuilds of the reference's two pipelines.

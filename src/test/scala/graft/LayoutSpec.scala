@@ -29,6 +29,27 @@ class LayoutSpec extends SparkSpec {
       f.getName.endsWith(".compact_staging") || f.getName.endsWith(".old")))
   }
 
+  test("compact refuses partitioned directories instead of flattening them") {
+    val dir = tmp()
+    Tables.t(spark, sf001, "orders")
+      .write.partitionBy("o_orderstatus").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      operators.Layout.compact(spark, dir, 1L << 30)
+    }
+    assert(e.getMessage.contains("subdirectories"))
+  }
+
+  test("compact recovers a swap that died between the renames") {
+    val dir = tmp()
+    Tables.t(spark, sf001, "orders").repartition(4).write.parquet(dir)
+    val expected = spark.read.parquet(dir).count()
+    // simulate the crash window: live moved aside, staging never moved in
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    val (nBefore, nAfter) = operators.Layout.compact(spark, dir, 1L << 30)
+    assert(nBefore === 4 && nAfter === 1)
+    assert(spark.read.parquet(dir).count() === expected)
+  }
+
   test("mergeSchema reads across schema drift with null-padded old files") {
     // long-lived tables drift: new columns appear in new files only
     val dir = tmp()
