@@ -103,7 +103,37 @@ object MultimodalOps extends QueryModule {
         expr("md5(substring(payload, frame_id * 256 + 1, 8))").as("frame_head_md5"))
       .orderBy(col("doc_id"), col("frame_id"))
 
+  /** "Resize": stride-4 decimation of the payload — the downsample analog
+    * for opaque bytes (a real image resize replaces the kernel; the
+    * columnar shape — HOF over the payload, no UDF, no shuffle — stays).
+    * Emits the resized size and content hash so the transform is
+    * value-checked, not just schema-checked.
+    */
+  private def mediaResize(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .withColumn("txt", decode(col("payload"), "UTF-8"))
+      .withColumn("arr",
+        expr("transform(sequence(1, length(txt), 4), i -> substring(txt, i, 1))"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        size(col("arr")).cast("long").as("resized_bytes"),
+        md5(array_join(col("arr"), "")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+
   override def queries: Seq[Q] = Seq(
+    Q("multimodal_resize", mediaResize, Some(
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_transform(generate_series(1, length(text), 4),
+        |                        i -> substr(text, i, 1)) AS arr
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(len(arr) AS BIGINT) AS resized_bytes,
+        |  md5(array_to_string(arr, '')) AS resized_md5
+        |FROM t ORDER BY doc_id""".stripMargin)),
     Q("multimodal_meta", mediaMeta, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
