@@ -52,6 +52,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("kmv_distinct").contains("TopKPerKey"))
   }
 
+  test("no query in the catalog plans a cartesian product, and nested-loop " +
+      "joins appear only where a tiny broadcast side is intentional") {
+    // the allowlist: queries whose BroadcastNestedLoopJoin is a deliberate
+    // tiny-side broadcast (8-row centroids, 1-row counts, bounded query
+    // sets, the non-equi range join) — documented in each operator's scaladoc
+    val bnljAllowed = Set(
+      "ann_ivf", "kmeans_trained", "semantic_dedup", "cluster_balanced_sample",
+      "cosine_topk", "cosine_topk_fast", "bigram_lm_score", "tf_idf",
+      "source_mixture_weights", "range_join_bands")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (p.contains("BroadcastNestedLoopJoin"))
+        assert(bnljAllowed(name),
+          s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
   test("q18_large_orders broadcasts the qualifying keys back to the dims") {
     val p = plan("q18_large_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
