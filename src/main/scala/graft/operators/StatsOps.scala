@@ -2,12 +2,27 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Statistical / sketch / string-distance operators (north-star analytics
   * surface; none in the reference — SURVEY.md §2.7).
   */
 object StatsOps extends QueryModule {
+
+  /** Moment-assembly arithmetic: products of two long sums overflow int64
+    * once n·Σx² passes ~9e18 (measured: the OLS intercept numerator hits
+    * 6.6e19 already at sf0.1). Casting each factor to DECIMAL(19,0) makes
+    * the product an exact DECIMAL(38,0) in BOTH engines (DuckDB widens
+    * 19+19→38, Spark caps 39→38 — our magnitudes ≤ 1e22 fit either way),
+    * and the final decimal→double conversion is correctly-rounded in both.
+    */
+  private def d19(c: Column): Column = c.cast(DecimalType(19, 0))
+
+  /** SQL twin of [[d19]]: exact DECIMAL(38,0) product of two BIGINT sums. */
+  private def dmul(a: String, b: String): String =
+    s"CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))"
 
   /** HLL approximate distinct (approx_count_distinct — Spark's
     * HyperLogLog++). Sketch internals differ per engine, so no SQL oracle;
@@ -115,9 +130,12 @@ object StatsOps extends QueryModule {
         sum(col("y") * col("y")).as("syy"))
       .select(
         col("event_type"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        ((d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy")))
+          .cast("double") /
+          (sqrt((d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+            .cast("double")) *
+            sqrt((d19(col("n")) * d19(col("syy")) - d19(col("sy")) * d19(col("sy")))
+              .cast("double"))))
           .as("corr_xy"))
       .orderBy(col("event_type"))
   }
@@ -143,19 +161,23 @@ object StatsOps extends QueryModule {
         sum(col("x") * col("x")).as("sxx"))
       .select(
         col("event_type"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        ((d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy")))
+          .cast("double") /
+          (d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+            .cast("double"))
           .as("slope"),
-        (((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) / 100.0)
+        (((d19(col("sy")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sxy")))
+          .cast("double") /
+          (d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+            .cast("double")) / 100.0)
           .as("intercept_units"))
       .orderBy(col("event_type"))
   }
 
   private def olsByTypeSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT event_type,
-      |    CAST(ROUND(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 100) AS BIGINT) AS x,
+      |    CAST(ROUND(CAST(json_extract_string(props, '$$.k') AS DOUBLE) * 100) AS BIGINT) AS x,
       |    CAST(ROUND(value * 100) AS BIGINT) AS y
       |  FROM events
       |), m AS (
@@ -166,10 +188,11 @@ object StatsOps extends QueryModule {
       |  FROM q GROUP BY event_type
       |)
       |SELECT event_type, n,
-      |  CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-      |  (CAST(sy * sxx - sx * sxy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS intercept_units
+      |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
+      |    / CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE) AS slope,
+      |  (CAST(${dmul("sy", "sxx")} - ${dmul("sx", "sxy")} AS DOUBLE)
+      |    / CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE)) / 100.0
+      |    AS intercept_units
       |FROM m ORDER BY event_type""".stripMargin
 
   /** Spearman rank correlation per group: ranks from row_number over a
@@ -178,10 +201,11 @@ object StatsOps extends QueryModule {
     * Pearson formula over exact integer rank sums. Two window passes + one
     * aggregate, all on the same group partitioning.
     *
-    * Domain note: Σ rank² ≈ n³/3 stays inside int64 up to n ≈ 3M rows per
-    * group; beyond that the sums need DECIMAL(38,0) accumulation (same
-    * assembly, wider lattice) — the exact-moment pattern scales, the carrier
-    * type is the only change.
+    * Domain note: the [[d19]] assembly makes the products exact at any SF;
+    * the remaining bound is the SUM itself — Σ rank² ≈ n³/3 stays inside
+    * int64 up to n ≈ 3M rows per group, beyond which the accumulators (not
+    * the assembly) move to DECIMAL(38,0). The exact-moment pattern scales;
+    * the carrier type is the only change.
     */
   private def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
     val wx = org.apache.spark.sql.expressions.Window
@@ -202,20 +226,23 @@ object StatsOps extends QueryModule {
         sum(col("ry") * col("ry")).as("syy"))
       .select(
         col("event_type"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        ((d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy")))
+          .cast("double") /
+          (sqrt((d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+            .cast("double")) *
+            sqrt((d19(col("n")) * d19(col("syy")) - d19(col("sy")) * d19(col("sy")))
+              .cast("double"))))
           .as("spearman_rho"))
       .orderBy(col("event_type"))
   }
 
   private def spearmanCorrSql: String =
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT event_type,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
       |         ORDER BY value, event_id) AS BIGINT) AS rx,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-      |         ORDER BY CAST(json_extract_string(props, '$.k') AS DOUBLE), event_id)
+      |         ORDER BY CAST(json_extract_string(props, '$$.k') AS DOUBLE), event_id)
       |         AS BIGINT) AS ry
       |  FROM events
       |), m AS (
@@ -227,9 +254,10 @@ object StatsOps extends QueryModule {
       |  FROM r GROUP BY event_type
       |)
       |SELECT event_type, n,
-      |  CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+      |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
+      |    / (sqrt(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE))
+      |       * sqrt(CAST(${dmul("n", "syy")} - ${dmul("sy", "sy")} AS DOUBLE)))
+      |    AS spearman_rho
       |FROM m ORDER BY event_type""".stripMargin
 
   /** Edit-distance near-dup over the FULL corpus: levenshtein over 24-char
@@ -333,10 +361,10 @@ object StatsOps extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("corr_manual", corrManual, Some(
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT event_type,
         |    CAST(ROUND(value * 100) AS BIGINT) AS x,
-        |    CAST(ROUND(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 100) AS BIGINT) AS y
+        |    CAST(ROUND(CAST(json_extract_string(props, '$$.k') AS DOUBLE) * 100) AS BIGINT) AS y
         |  FROM events
         |), m AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -347,9 +375,10 @@ object StatsOps extends QueryModule {
         |  FROM q GROUP BY event_type
         |)
         |SELECT event_type, n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+        |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
+        |    / (sqrt(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE))
+        |       * sqrt(CAST(${dmul("n", "syy")} - ${dmul("sy", "sy")} AS DOUBLE)))
+        |    AS corr_xy
         |FROM m ORDER BY event_type""".stripMargin)),
     Q("levenshtein_pairs", levenshteinPairs, Some(
       """WITH d AS (
