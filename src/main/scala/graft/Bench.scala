@@ -41,12 +41,18 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // queries that threw during any timed run: a failure's wall-time is a
+    // time-to-crash, not a benchmark — surfacing the set in the JSON keeps a
+    // silent failure from hiding inside a plausible-looking timing
+    val failed = scala.collection.mutable.SortedSet[String]()
+
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink forces full computation of every column (count() would let
       // Catalyst prune the plan down to a row count)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
@@ -108,8 +114,9 @@ object Bench {
     val qs = remeasured.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = remeasured.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
@@ -118,7 +125,7 @@ object Bench {
     // (~3 KB at 69 queries) overflowed it every round, truncating the head
     // and failing the parse. Keep the LAST stdout line compact — total only,
     // well under any tail window; per-query detail lives in BENCH.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${remeasured.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${remeasured.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
