@@ -109,6 +109,39 @@ object StatsOps extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Equi-depth histogram: 10 deciles per event_type via ntile over a TOTAL
+    * order (value, event_id — deterministic bucket boundaries in both
+    * engines), each decile reporting its value range and exact cents sum.
+    * The complement of the equi-width `histogram_buckets`: equi-depth is
+    * what an optimizer's statistics collector actually stores.
+    */
+  private def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  private def equidepthHistogramSql: String =
+    """WITH d AS (
+      |  SELECT event_type, value,
+      |         CAST(NTILE(10) OVER (PARTITION BY event_type
+      |              ORDER BY value, event_id) AS BIGINT) AS decile
+      |  FROM events
+      |)
+      |SELECT event_type, decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(value) AS lo, MAX(value) AS hi,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Pearson correlation from quantized first/second moments — built-in
     * corr() accumulates floating state in engine-specific order, so instead:
     * exact long sums of cents, correlation assembled per-group in double
@@ -335,6 +368,7 @@ object StatsOps extends QueryModule {
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("ols_by_type", olsByType, Some(olsByTypeSql)),
+    Q("equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     Q("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
     Q("train_val_split", trainValSplit, Some(
       """SELECT lang,
