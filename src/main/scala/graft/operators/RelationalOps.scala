@@ -118,10 +118,16 @@ object RelationalOps extends QueryModule {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
-  /** Analytic frame: per-supplier running quantity + lag over ship order. */
+  /** Analytic frame: per-supplier running quantity + lag over ship order.
+    * The window order tie-breaks through l_partkey and l_extendedprice:
+    * (l_orderkey, l_linenumber) is NOT unique in this synthetic lineitem
+    * (118k duplicate pairs at sf0.1, one colliding full sort key) — without
+    * the extra keys the lag between the tied rows is engine-arbitrary and
+    * the sf0.01 oracle pass was data-dependent luck. */
   private def windowRunningSupplier(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
     t(s, dir, "lineitem")
       .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -492,14 +498,17 @@ object RelationalOps extends QueryModule {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
     Q("window_running_supplier", windowRunningSupplier, Some(
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS running_qty,
-        |  LAG(l_quantity, 1) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) OVER w AS DOUBLE)
+        |    / 1e6 AS running_qty,
+        |  LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |             l_extendedprice) AS prev_qty,
         |  CAST(RANK() OVER (PARTITION BY l_suppkey
         |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS INT) AS qty_rank
         |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
     Q("rollup_returns", rollupReturns, Some(
       """SELECT l_returnflag, l_linestatus,
