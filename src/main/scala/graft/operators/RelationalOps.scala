@@ -425,6 +425,27 @@ object RelationalOps extends QueryModule {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // ---- unpivot ------------------------------------------------------------
+
+  /** UNPIVOT (melt): lineitem's four money measures to (measure, value)
+    * rows — the inverse of `pivot_user_events`, via the native `unpivot`
+    * operator (plans as Expand: one pass, no join, 4× rows). Values are
+    * cents-quantized so the long output column hashes exactly.
+    */
+  private def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+        round(col("l_discount") * 100).cast("long").as("discount"),
+        round(col("l_tax") * 100).cast("long").as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "cents")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   // ---- JSON extraction ----------------------------------------------------
 
   /** get_json_object over events.props (≈ the reference's opaque Kafka value
@@ -673,6 +694,17 @@ object RelationalOps extends QueryModule {
         |                ORDER BY o_orderdate, o_orderkey
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    Q("unpivot_measures", unpivotMeasures, Some(
+      """SELECT l_orderkey, l_linenumber, measure, cents
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS quantity,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS discount,
+        |    CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem WHERE l_orderkey < 100
+        |) UNPIVOT (cents FOR measure IN (quantity, extendedprice, discount, tax))
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
     Q("json_props_stats", jsonPropsStats, Some(
       """SELECT event_type,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
