@@ -188,11 +188,46 @@ object DedupOps extends QueryModule {
     * iteration), never data. Termination is guaranteed: labels are a
     * monotone non-increasing sequence over a finite domain.
     */
-  private[graft] def connectedComponents(pairs0: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs0: DataFrame): DataFrame =
+    connectedComponents(pairs0, smallGraphLimit = 1000000L)
+
+  /** @param smallGraphLimit edge-count threshold below which the component
+    *        labels are computed by a driver-side union-find instead of the
+    *        distributed loop. Labels are IDENTICAL either way (min id per
+    *        component); the fast path exists because the distributed
+    *        fixpoint pays ~2 Spark jobs per diameter step — pure scheduler
+    *        overhead when the deduplicated edge list is a few thousand rows
+    *        (the common case: near-dup graphs are far smaller than the
+    *        corpus). At 100 TB the edge list can still be huge → the
+    *        distributed loop remains the default above the threshold, and
+    *        1M edges ≈ 16 MB of longs is comfortably driver-safe below it.
+    */
+  private[graft] def connectedComponents(
+      pairs0: DataFrame, smallGraphLimit: Long): DataFrame = {
     // cache the PAIRS, not just the union: the two unionAll branches are
     // distinct logical subtrees, so without this the expensive pair-finding
     // child executes once per branch (verified in the physical plan)
     val pairs = pairs0.cache()
+    val nEdges = pairs.count()
+    if (nEdges <= smallGraphLimit) {
+      val spark = pairs0.sparkSession
+      import spark.implicits._
+      val edges = pairs
+        .select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .as[(Long, Long)].collect()
+      pairs.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.map(v => (v, find(v)))
+      return labels.toDF("doc_id", "cluster")
+    }
     val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .cache()

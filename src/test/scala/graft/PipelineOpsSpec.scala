@@ -41,12 +41,18 @@ class PipelineOpsSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
       (20L, 21L), (21L, 22L), (20L, 22L),
       (30L, 31L)).toDF("a_id", "b_id")
-    val got = graft.operators.DedupOps.connectedComponents(edges)
+    // smallGraphLimit = 0 forces the DISTRIBUTED fixpoint loop (the default
+    // would take the driver union-find fast path on 10 edges)
+    val got = graft.operators.DedupOps.connectedComponents(edges, 0L)
       .as[(Long, Long)].collect().toMap
     (10L to 16L).foreach(v => assert(got(v) === 10L, s"chain node $v"))
     (20L to 22L).foreach(v => assert(got(v) === 20L))
     assert(got(30L) === 30L && got(31L) === 30L)
     assert(got.size === 12)
+    // and the fast path must produce the identical labeling
+    val fast = graft.operators.DedupOps.connectedComponents(edges, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === got)
   }
 
   test("kmeans_trained centroids are a Lloyd fixpoint within the SQL unroll") {
