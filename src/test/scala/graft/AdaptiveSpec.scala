@@ -52,4 +52,33 @@ class AdaptiveSpec extends SparkSpec {
       case (k, None) => c.unset(k)
     }
   }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test-scale tables are far below the production thresholds
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the SMJ shape
+      val li = Tables.t(spark, sf001, "lineitem")
+      val sel = Tables.t(spark, sf001, "orders")
+        .filter($"o_totalprice" > 400000.0) // selective build side
+      val joined = li.join(sel, $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_quantity", $"o_totalprice")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
 }
