@@ -425,6 +425,41 @@ object RelationalOps extends QueryModule {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Centered moving average: a 7-row (±3) frame over each user's event
+    * sequence — the smoothing-window idiom (frames so far are trailing or
+    * full-partition; this is the symmetric variant). Cents-quantized sum
+    * over the frame, exact count division.
+    */
+  private def windowMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 3)
+    Tables.t(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"),
+        (sum(round(col("value") * 100).cast("long")).over(w).cast("double") /
+          count(lit(1)).over(w) / 100.0).as("centered_avg_7"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Percent-of-total + dense_rank: each customer's share of its market
+    * segment's total balance (cents-exact numerator/denominator, one IEEE
+    * division) and its dense rank by balance. */
+  private def windowShareRank(s: SparkSession, dir: String): DataFrame = {
+    val seg = Window.partitionBy(col("c_mktsegment"))
+    val byBal = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+    t(s, dir, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        (round(col("c_acctbal") * 100).cast("long").cast("double") /
+          sum(round(col("c_acctbal") * 100).cast("long")).over(seg).cast("double"))
+          .as("share_of_segment"),
+        dense_rank().over(byBal).cast("long").as("bal_dense_rank"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   // ---- unpivot ------------------------------------------------------------
 
   /** UNPIVOT (melt): lineitem's four money measures to (measure, value)
@@ -694,6 +729,24 @@ object RelationalOps extends QueryModule {
         |                ORDER BY o_orderdate, o_orderkey
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    Q("window_moving_avg", windowMovingAvg, Some(
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w / 100.0 AS centered_avg_7
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin)),
+    Q("window_share_rank", windowShareRank, Some(
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+        |    / CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+        |           OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |    AS share_of_segment,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+        |       ORDER BY c_acctbal DESC) AS BIGINT) AS bal_dense_rank
+        |FROM customer
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
     Q("unpivot_measures", unpivotMeasures, Some(
       """SELECT l_orderkey, l_linenumber, measure, cents
         |FROM (
