@@ -337,7 +337,85 @@ object TextOps extends QueryModule {
        |    AS chunk_text
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Shingle novelty: the fraction of a document's distinct shingles whose
+    * FIRST corpus occurrence (min doc_id) is this document — the marginal-
+    * contribution metric behind "does this doc add anything new". First
+    * occurrence is one aggregate over the shingle table; novelty is a
+    * broadcast-joinless per-doc ratio (the first-seen table re-joins on the
+    * same (doc, shingle) rows it came from).
+    */
+  private def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingles(s, dir).cache()
+    val firstSeen = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def shingleNoveltySql: String =
+    s"""WITH sh AS (${DedupOps.shinglesSql}),
+       |first_seen AS (
+       |  SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
+       |)
+       |SELECT s.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS novelty
+       |FROM sh s JOIN first_seen f USING (sh)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** Vocabulary growth (the Heaps-law curve): cumulative distinct tokens
+    * after each document in doc_id order. Each token contributes at its
+    * first document (min doc_id) — one aggregate — and the curve is a
+    * running sum over the per-doc new-token counts, windowed over the
+    * (small) docs domain rather than the token stream.
+    */
+  private def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstDoc = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir).select(col("doc_id"))
+      .join(firstDoc, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(w))
+      .filter(col("doc_id") % 50 === 0) // sample the curve, keep output small
+      .orderBy(col("doc_id"))
+  }
+
+  private def vocabGrowthSql: String =
+    """WITH first_doc AS (
+      |  SELECT tok, MIN(doc_id) AS first_doc
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok
+      |), per_doc AS (
+      |  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      |  FROM first_doc GROUP BY 1
+      |), curve AS (
+      |  SELECT d.doc_id,
+      |    COALESCE(p.new_tokens, 0) AS new_tokens,
+      |    CAST(SUM(COALESCE(p.new_tokens, 0)) OVER (ORDER BY d.doc_id
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+      |  FROM (SELECT doc_id FROM documents) d
+      |  LEFT JOIN per_doc p USING (doc_id)
+      |)
+      |SELECT doc_id, new_tokens, vocab_size FROM curve
+      |WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("shingle_novelty", shingleNovelty, Some(shingleNoveltySql)),
+    Q("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Q("sequence_packing", sequencePacking, Some(sequencePackingSql)),
     Q("doc_chunking", docChunking, Some(docChunkingSql)),
     Q("rolling_fingerprint", rollingFingerprint, Some(
