@@ -249,7 +249,65 @@ object AdvancedOps extends QueryModule {
        |FROM b ORDER BY zkey, event_id""".stripMargin
   }
 
+  /** Data-quality audit (the deequ/dbt-test shape): declarative constraint
+    * checks over the star schema, one (check, n_violations) row each —
+    * referential integrity via anti-join, uniqueness via group-having,
+    * range and non-emptiness via filters. Each check is independently
+    * parallel; the union is a tiny constant-width result. The operator a
+    * pipeline runs BEFORE publishing a table.
+    */
+  private def dataQualityReport(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.t(s, dir, n)
+    val orphanLineitems = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_orderkey_refs_orders").as("check_name"), col("n_violations"))
+    val dupCustomers = t("customer")
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
+      .select(lit("customer_custkey_unique").as("check_name"), col("n_violations"))
+    val valueRange = t("events")
+      .filter(col("value") < 0.0 || col("value") > 1000.0)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("events_value_in_range").as("check_name"), col("n_violations"))
+    val nonEmptyDocs = t("documents")
+      .filter(length(col("text")) === 0)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("documents_text_nonempty").as("check_name"), col("n_violations"))
+    val positivePrices = t("orders")
+      .filter(col("o_totalprice") <= 0.0)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_totalprice_positive").as("check_name"), col("n_violations"))
+    orphanLineitems.unionAll(dupCustomers).unionAll(valueRange)
+      .unionAll(nonEmptyDocs).unionAll(positivePrices)
+      .orderBy(col("check_name"))
+  }
+
+  private def dataQualityReportSql: String =
+    """SELECT check_name, n_violations FROM (
+      |  SELECT 'lineitem_orderkey_refs_orders' AS check_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_violations
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT 'customer_custkey_unique',
+      |    CAST(COALESCE(SUM(c), 0) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey
+      |        HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'events_value_in_range', CAST(COUNT(*) AS BIGINT)
+      |  FROM events WHERE value < 0.0 OR value > 1000.0
+      |  UNION ALL
+      |  SELECT 'documents_text_nonempty', CAST(COUNT(*) AS BIGINT)
+      |  FROM documents WHERE length(text) = 0
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_positive', CAST(COUNT(*) AS BIGINT)
+      |  FROM orders WHERE o_totalprice <= 0.0
+      |) ORDER BY check_name""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("data_quality_report", dataQualityReport, Some(dataQualityReportSql)),
     Q("zorder_key", zorderKey, Some(zorderKeySql)),
     Q("merge_upsert", mergeUpsert, Some(
       """WITH target AS (
