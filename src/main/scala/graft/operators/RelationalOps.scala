@@ -460,6 +460,40 @@ object RelationalOps extends QueryModule {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  /** Market-basket co-purchase pairs: part pairs appearing in the same
+    * order, top 20 by support — the association-rules primitive. The
+    * self-join blocks on l_orderkey (pair space bounded by per-order line
+    * count, ~7 lines → ~21 pairs per order, never corpus²); ordered pairs
+    * a<b count each co-occurrence once.
+    */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Month-over-month revenue: decimal-exact monthly totals + lag-based
+    * percent change (round(·,3) absorbs the one cross-engine division
+    * difference — none in practice, but the pattern is the safe one).
+    */
+  private def monthlyRevenueMom(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_pct",
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0, 3))
+      .orderBy(col("month"))
+  }
+
   // ---- unpivot ------------------------------------------------------------
 
   /** UNPIVOT (melt): lineitem's four money measures to (measure, value)
@@ -729,6 +763,27 @@ object RelationalOps extends QueryModule {
         |                ORDER BY o_orderdate, o_orderkey
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    Q("copurchase_pairs", copurchasePairs, Some(
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)),
+    Q("monthly_revenue_mom", monthlyRevenueMom, Some(
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month, revenue,
+        |  LAG(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+        |  ROUND((revenue - LAG(revenue, 1) OVER (ORDER BY month))
+        |        / LAG(revenue, 1) OVER (ORDER BY month) * 100.0, 3) AS mom_pct
+        |FROM m ORDER BY month""".stripMargin)),
     Q("window_moving_avg", windowMovingAvg, Some(
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
