@@ -57,6 +57,22 @@ class StreamJobsSpec extends SparkSpec {
     assert(lines.exists(_.contains("batches): 2")))
   }
 
+  test("complete-mode aggregation re-emits the full state every trigger") {
+    val in = MemoryStream[KafkaShaped]
+    val counts = in.toDF().groupBy($"key").count()
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("cm").start()
+    in.addData(rec("a", "1", 1000, 0), rec("a", "2", 1001, 1))
+    q.processAllAvailable()
+    assert(spark.table("cm").as[(String, Long)].collect().toMap === Map("a" -> 2L))
+    in.addData(rec("b", "3", 1002, 2))
+    q.processAllAvailable()
+    q.stop()
+    // complete mode: the sink holds the WHOLE refreshed state, not a delta
+    assert(spark.table("cm").as[(String, Long)].collect().toMap ===
+      Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("streamStaticEnrich broadcasts the dim and falls back on unmatched keys") {
     val in = MemoryStream[KafkaShaped]
     val dim = Seq(("a", "gold"), ("b", "silver")).toDF("key", "tier")
