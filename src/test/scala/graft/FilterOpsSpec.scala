@@ -222,9 +222,8 @@ class FilterOpsSpec extends SparkSpec {
   test("ols_by_type matches a direct least-squares fit of the raw data") {
     val got = SparkEntry.queries("ols_by_type")(spark, sf001)
       .select($"event_type", $"slope", $"intercept_units")
-      .as[(String, Double, Double)].collect().toMap.map {
-        case (k, (s, i)) => k -> (s, i)
-      }
+      .as[(String, Double, Double)].collect()
+      .map { case (k, s, i) => k -> ((s, i)) }.toMap
     val raw = Tables.t(spark, sf001, "events")
       .select($"event_type",
         round(get_json_object($"props", "$.k").cast("double") * 100).cast("long"),
