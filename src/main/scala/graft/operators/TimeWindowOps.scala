@@ -152,7 +152,44 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("user_id"), col("island"))
   }
 
+  /** DAU / WAU: daily active users and the 7-day rolling DISTINCT user
+    * count. WAU is NOT a rolling sum of DAU — users active on several days
+    * must count once — so each day joins the (day, user) pairs of its
+    * trailing week (a 30-row day table broadcast against the deduplicated
+    * user-day pairs) and re-deduplicates. Pair volume is days × active
+    * users/day, bounded and shuffle-light at any corpus size.
+    */
+  private def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val userDays = events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct().cache()
+    val days = userDays.select(col("day")).distinct()
+      .withColumnRenamed("day", "d")
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days)
+      .join(userDays, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .withColumnRenamed("d", "day")
+    dau.join(wau, "day")
+      .orderBy(col("day"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("dau_wau", dauWau, Some(
+      """WITH user_days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day AS d FROM user_days
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY 1
+        |), wau AS (
+        |  SELECT d AS day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        |  FROM days JOIN user_days u
+        |    ON u.day BETWEEN d - INTERVAL 6 DAY AND d
+        |  GROUP BY 1
+        |)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin)),
     Q("event_type_islands", eventTypeIslands, Some(
       """WITH o AS (
         |  SELECT user_id, event_id, event_type, ts,
