@@ -60,7 +60,8 @@ class PlanShapeSpec extends SparkSpec {
     val bnljAllowed = Set(
       "ann_ivf", "kmeans_trained", "semantic_dedup", "cluster_balanced_sample",
       "cosine_topk", "cosine_topk_fast", "bigram_lm_score", "tf_idf",
-      "source_mixture_weights", "range_join_bands")
+      "source_mixture_weights", "range_join_bands",
+      "dau_wau") // day-table (≈30 rows) broadcast against user-day pairs
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
