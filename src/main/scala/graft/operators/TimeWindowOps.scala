@@ -174,7 +174,45 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** Calendar gap-fill (densification): every day in the observed range
+    * appears exactly once, zero-filled where no event landed — the idiom
+    * behind continuous reporting series (a bare GROUP BY day silently drops
+    * empty days). The day spine is one sequence() explode over the min/max
+    * bounds row; events aggregate BEFORE the join, so the spine joins
+    * per-day totals, not raw rows.
+    */
+  private def dailyGapfill(s: SparkSession, dir: String): DataFrame = {
+    val perDay = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val spine = events(s, dir)
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(perDay, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .orderBy(col("day"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("daily_gapfill", dailyGapfill, Some(
+      """WITH per_day AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), bounds AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        |  FROM events
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds
+        |)
+        |SELECT s.day, COALESCE(p.n, 0) AS n, COALESCE(p.cents, 0) AS cents
+        |FROM spine s LEFT JOIN per_day p USING (day)
+        |ORDER BY s.day""".stripMargin)),
     Q("dau_wau", dauWau, Some(
       """WITH user_days AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
