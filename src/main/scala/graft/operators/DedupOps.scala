@@ -217,9 +217,15 @@ object DedupOps extends QueryModule {
         .as[(Long, Long)].collect()
       pairs.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find + path compression: a recursive find overflows the
+      // stack on path-shaped components (descending-id edge order builds an
+      // O(nodes) parent chain — well inside the 1M-edge envelope)
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+        root
       }
       edges.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

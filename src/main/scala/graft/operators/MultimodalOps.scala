@@ -112,8 +112,12 @@ object MultimodalOps extends QueryModule {
   private def mediaResize(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
       .withColumn("txt", decode(col("payload"), "UTF-8"))
+      // empty-payload guard: Spark's sequence(1, 0, 4) THROWS (start > stop
+      // with positive step) while DuckDB's generate_series(1, 0, 4) is empty
+      // — same divergence class as DedupOps.shingles, same guard
       .withColumn("arr",
-        expr("transform(sequence(1, length(txt), 4), i -> substring(txt, i, 1))"))
+        expr("IF(length(txt) = 0, array(), " +
+          "transform(sequence(1, length(txt), 4), i -> substring(txt, i, 1)))"))
       .select(
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),

@@ -139,7 +139,12 @@ object RelationalOps extends QueryModule {
         lag(col("l_quantity"), 1).over(ord).as("prev_qty"),
         rank().over(Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc,
           col("l_orderkey"), col("l_linenumber"))).as("qty_rank"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      // same tie-break tail as the window: the checker canonicalizes row
+      // order before hashing, but leaving the OUTPUT order engine-arbitrary
+      // for the duplicate (orderkey, linenumber) rows invites future
+      // order-sensitive consumers to inherit the ambiguity
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
   }
 
   // ---- grouping sets / rollup / cube --------------------------------------
@@ -599,7 +604,7 @@ object RelationalOps extends QueryModule {
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin)),
     Q("rollup_returns", rollupReturns, Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

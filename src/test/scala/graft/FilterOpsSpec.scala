@@ -248,6 +248,28 @@ class FilterOpsSpec extends SparkSpec {
       .select($"event_type", $"spearman_rho").as[(String, Double)].collect()
     assert(got.nonEmpty)
     got.foreach { case (_, rho) => assert(rho >= -1.0 && rho <= 1.0) }
+    // direct recompute: rank the raw points with the same total order and
+    // run Pearson over the ranks independently of either engine's SQL
+    val raw = Tables.t(spark, sf001, "events")
+      .select($"event_type", $"event_id", $"value",
+        get_json_object($"props", "$.k").cast("double").as("k"))
+      .as[(String, Long, Double, Double)].collect()
+    val expected = raw.groupBy(_._1).map { case (et, rows) =>
+      def ranks(key: ((String, Long, Double, Double)) => Double): Map[Long, Double] =
+        rows.sortBy(r => (key(r), r._2)).zipWithIndex
+          .map { case (r, i) => r._2 -> (i + 1).toDouble }.toMap
+      val rx = ranks(_._3); val ry = ranks(_._4)
+      val n = rows.length.toDouble
+      val xs = rows.map(r => rx(r._2)); val ys = rows.map(r => ry(r._2))
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = rows.map(r => rx(r._2) * ry(r._2)).sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      et -> (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    got.foreach { case (et, rho) =>
+      assert(math.abs(rho - expected(et)) < 1e-9, s"$et rank fit")
+    }
   }
 
   test("kmv_distinct estimate lands near the exact distinct count") {
