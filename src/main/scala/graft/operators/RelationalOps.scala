@@ -499,6 +499,55 @@ object RelationalOps extends QueryModule {
       .orderBy(col("month"))
   }
 
+  /** Pareto (80/20) analysis: suppliers ranked by revenue with cumulative
+    * share — running cents over the ranked order divided by the partition
+    * total, both exact longs. The curve behind "which 20% of suppliers
+    * carry 80% of revenue"; flags the suppliers inside the 80% head.
+    */
+  private def supplierPareto(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val rankOrd = Window.orderBy(col("cents").desc, col("l_suppkey"))
+    val cum = rankOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSupp
+      .withColumn("rk", row_number().over(rankOrd).cast("long"))
+      .withColumn("cum_cents", sum(col("cents")).over(cum))
+      .withColumn("total_cents", sum(col("cents")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("rk"), col("l_suppkey"), col("cents"),
+        (col("cum_cents").cast("double") / col("total_cents")).as("cum_share"),
+        (col("cum_cents").cast("double") / col("total_cents") <= 0.8)
+          .cast("long").as("in_head_80"))
+      .orderBy(col("rk"))
+  }
+
+  /** RFM segmentation: per customer, recency (days since last order),
+    * frequency (order count), monetary (cents total), each cut into ntile
+    * quartiles over a total order — the classic 3-digit RFM segment code,
+    * fully deterministic. */
+  private def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      .withColumn("recency_days",
+        datediff(lit("1999-01-01").cast("date"), col("last_order").cast("date"))
+          .cast("long"))
+    def quartile(order: org.apache.spark.sql.Column*) =
+      ntile(4).over(Window.orderBy(order: _*)).cast("long")
+    perCust.select(
+      col("o_custkey"), col("recency_days"), col("frequency"), col("monetary_cents"),
+      quartile(col("recency_days"), col("o_custkey")).as("r_q"),
+      quartile(col("frequency").desc, col("o_custkey")).as("f_q"),
+      quartile(col("monetary_cents").desc, col("o_custkey")).as("m_q"))
+      .withColumn("rfm_segment",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy(col("o_custkey"))
+  }
+
   // ---- unpivot ------------------------------------------------------------
 
   /** UNPIVOT (melt): lineitem's four money measures to (measure, value)
@@ -768,6 +817,48 @@ object RelationalOps extends QueryModule {
         |                ORDER BY o_orderdate, o_orderkey
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    Q("supplier_pareto", supplierPareto, Some(
+      """WITH per_supp AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1
+        |), ranked AS (
+        |  SELECT l_suppkey, cents,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, l_suppkey) AS BIGINT) AS rk,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_suppkey
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |    CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+        |  FROM per_supp
+        |)
+        |SELECT rk, l_suppkey, cents,
+        |  CAST(cum_cents AS DOUBLE) / total_cents AS cum_share,
+        |  CAST(CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.8
+        |       THEN 1 ELSE 0 END AS BIGINT) AS in_head_80
+        |FROM ranked ORDER BY rk""".stripMargin)),
+    Q("customer_rfm", customerRfm, Some(
+      """WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    MAX(o_orderdate) AS last_order,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1
+        |), rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(last_order AS DATE), DATE '1999-01-01')
+        |         AS BIGINT) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM per_cust
+        |)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,
+        |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+        |  CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_q,
+        |  CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) * 100
+        |     + NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) * 10
+        |     + NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT)
+        |    AS rfm_segment
+        |FROM rfm ORDER BY o_custkey""".stripMargin)),
     Q("copurchase_pairs", copurchasePairs, Some(
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
