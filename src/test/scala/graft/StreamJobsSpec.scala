@@ -57,6 +57,23 @@ class StreamJobsSpec extends SparkSpec {
     assert(lines.exists(_.contains("batches): 2")))
   }
 
+  test("update-mode aggregation emits only the rows changed by each trigger") {
+    val in = MemoryStream[KafkaShaped]
+    val counts = in.toDF().groupBy($"key").count()
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("um").start()
+    in.addData(rec("a", "1", 1000, 0), rec("b", "2", 1001, 1))
+    q.processAllAvailable()
+    in.addData(rec("a", "3", 1002, 2)) // only 'a' changes in batch 2
+    q.processAllAvailable()
+    q.stop()
+    // update mode appends each trigger's CHANGED rows to the sink: 'a'
+    // appears at counts 1 then 2, 'b' only once — unlike complete mode, the
+    // sink is a changelog, not a snapshot
+    val rows = spark.table("um").as[(String, Long)].collect().sorted.toSeq
+    assert(rows === Seq("a" -> 1L, "a" -> 2L, "b" -> 1L))
+  }
+
   test("complete-mode aggregation re-emits the full state every trigger") {
     val in = MemoryStream[KafkaShaped]
     val counts = in.toDF().groupBy($"key").count()
