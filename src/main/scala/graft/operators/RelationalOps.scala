@@ -500,32 +500,33 @@ object RelationalOps extends QueryModule {
   }
 
   /** Pareto (80/20) analysis: suppliers ranked by revenue with cumulative
-    * share — running cents over the ranked order divided by the partition
-    * total, both exact longs. The curve behind "which 20% of suppliers
-    * carry 80% of revenue"; flags the suppliers inside the 80% head.
+    * share — running cents over the ranked order divided by the total,
+    * both exact longs. The curve behind "which 20% of suppliers carry 80%
+    * of revenue"; flags the suppliers inside the 80% head. Rank, running
+    * sum, and total all come from the two-level prefix sum in [[PrefixOps]]
+    * — the supplier domain is never sorted on a single reducer.
     */
   private def supplierPareto(s: SparkSession, dir: String): DataFrame = {
     val perSupp = t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
-    val rankOrd = Window.orderBy(col("cents").desc, col("l_suppkey"))
-    val cum = rankOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perSupp
-      .withColumn("rk", row_number().over(rankOrd).cast("long"))
-      .withColumn("cum_cents", sum(col("cents")).over(cum))
-      .withColumn("total_cents", sum(col("cents")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("rk"), col("l_suppkey"), col("cents"),
-        (col("cum_cents").cast("double") / col("total_cents")).as("cum_share"),
-        (col("cum_cents").cast("double") / col("total_cents") <= 0.8)
+    PrefixOps.withGlobalPrefix(perSupp, -col("cents"),
+        Seq(col("cents").desc, col("l_suppkey")), sums = Seq("cents"))
+      .select(col("g_rank").as("rk"), col("l_suppkey"), col("cents"),
+        (col("g_run_cents").cast("double") / col("g_tot_cents")).as("cum_share"),
+        (col("g_run_cents").cast("double") / col("g_tot_cents") <= 0.8)
           .cast("long").as("in_head_80"))
       .orderBy(col("rk"))
   }
 
   /** RFM segmentation: per customer, recency (days since last order),
-    * frequency (order count), monetary (cents total), each cut into ntile
-    * quartiles over a total order — the classic 3-digit RFM segment code,
-    * fully deterministic. */
+    * frequency (order count), monetary (cents total), each cut into exact
+    * ntile quartiles over a total order — the classic 3-digit RFM segment
+    * code, fully deterministic. Each quartile is assigned from a two-level
+    * global rank ([[PrefixOps]]) plus ntile arithmetic, so the customer
+    * domain — billions of rows at 100 TB — is never globally sorted on one
+    * reducer (the old `ntile(4).over(Window.orderBy(...))` shape, ×3).
+    */
   private def customerRfm(s: SparkSession, dir: String): DataFrame = {
     val perCust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -536,13 +537,20 @@ object RelationalOps extends QueryModule {
       .withColumn("recency_days",
         datediff(lit("1999-01-01").cast("date"), col("last_order").cast("date"))
           .cast("long"))
-    def quartile(order: org.apache.spark.sql.Column*) =
-      ntile(4).over(Window.orderBy(order: _*)).cast("long")
-    perCust.select(
+    def quartile(df: DataFrame, bucketBy: org.apache.spark.sql.Column,
+        order: Seq[org.apache.spark.sql.Column], as: String): DataFrame =
+      PrefixOps.withGlobalPrefix(df, bucketBy, order)
+        .withColumn(as, PrefixOps.ntileFromRank(col("g_rank"), col("g_n"), 4))
+        .drop("g_rank", "g_n")
+    val withR = quartile(perCust,
+      col("recency_days"), Seq(col("recency_days"), col("o_custkey")), "r_q")
+    val withF = quartile(withR,
+      -col("frequency"), Seq(col("frequency").desc, col("o_custkey")), "f_q")
+    val withM = quartile(withF,
+      -col("monetary_cents"), Seq(col("monetary_cents").desc, col("o_custkey")), "m_q")
+    withM.select(
       col("o_custkey"), col("recency_days"), col("frequency"), col("monetary_cents"),
-      quartile(col("recency_days"), col("o_custkey")).as("r_q"),
-      quartile(col("frequency").desc, col("o_custkey")).as("f_q"),
-      quartile(col("monetary_cents").desc, col("o_custkey")).as("m_q"))
+      col("r_q"), col("f_q"), col("m_q"))
       .withColumn("rfm_segment",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .orderBy(col("o_custkey"))

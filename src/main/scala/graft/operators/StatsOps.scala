@@ -109,18 +109,23 @@ object StatsOps extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket"))
 
-  /** Equi-depth histogram: 10 deciles per event_type via ntile over a TOTAL
-    * order (value, event_id — deterministic bucket boundaries in both
-    * engines), each decile reporting its value range and exact cents sum.
-    * The complement of the equi-width `histogram_buckets`: equi-depth is
-    * what an optimizer's statistics collector actually stores.
+  /** Equi-depth histogram: 10 deciles per event_type over a TOTAL order
+    * (value, event_id — deterministic bucket boundaries in both engines),
+    * each decile reporting its value range and exact cents sum. The
+    * complement of the equi-width `histogram_buckets`: equi-depth is what
+    * an optimizer's statistics collector actually stores. Deciles come
+    * from a two-level per-group rank ([[PrefixOps]]) + ntile arithmetic —
+    * the old shape ran `ntile(10)` over raw rows with only one reducer per
+    * event_type (5 partitions for the whole stream); this one spreads each
+    * event_type across value-range buckets.
     */
-  private def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.t(s, dir, "events")
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+  private def equidepthHistogram(s: SparkSession, dir: String): DataFrame =
+    PrefixOps.withGlobalPrefix(
+        Tables.t(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id")),
+        col("value"), Seq(col("value"), col("event_id")),
+        groupKeys = Seq("event_type"))
+      .withColumn("decile", PrefixOps.ntileFromRank(col("g_rank"), col("g_n"), 10))
       .groupBy(col("event_type"), col("decile"))
       .agg(
         count(lit(1)).as("n"),
@@ -128,7 +133,6 @@ object StatsOps extends QueryModule {
         max(col("value")).as("hi"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
       .orderBy(col("event_type"), col("decile"))
-  }
 
   private def equidepthHistogramSql: String =
     """WITH d AS (

@@ -374,22 +374,23 @@ object TextOps extends QueryModule {
   /** Vocabulary growth (the Heaps-law curve): cumulative distinct tokens
     * after each document in doc_id order. Each token contributes at its
     * first document (min doc_id) — one aggregate — and the curve is a
-    * running sum over the per-doc new-token counts, windowed over the
-    * (small) docs domain rather than the token stream.
+    * running sum over the per-doc new-token counts via the two-level
+    * prefix sum in [[PrefixOps]]: no unpartitioned window, so the cumsum
+    * parallelizes across doc_id buckets instead of funneling the whole
+    * docs domain through one reducer.
     */
   private def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     val firstDoc = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("new_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs(s, dir).select(col("doc_id"))
+    val perDoc = docs(s, dir).select(col("doc_id"))
       .join(firstDoc, col("doc_id") === col("first_doc"), "left")
       .select(col("doc_id"), coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
-      .withColumn("vocab_size", sum(col("new_tokens")).over(w))
+    PrefixOps.withGlobalPrefix(perDoc, col("doc_id"), Seq(col("doc_id")),
+        sums = Seq("new_tokens"))
+      .select(col("doc_id"), col("new_tokens"),
+        col("g_run_new_tokens").as("vocab_size"))
       .filter(col("doc_id") % 50 === 0) // sample the curve, keep output small
       .orderBy(col("doc_id"))
   }

@@ -48,8 +48,36 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("TopKPerKey rewrite covers the aggregate-over-rank idiom when installed") {
-    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
-    assert(plan("kmv_distinct").contains("TopKPerKey"))
+    // isolated session: installing into the shared session would make the
+    // other suites' plan assertions depend on suite execution order
+    val isolated = spark.newSession()
+    org.apache.spark.sql.graft.RowNumberTopKRewrite.install(isolated)
+    val p = SparkEntry.queries("kmv_distinct")(isolated, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"))
+  }
+
+  test("no query in the catalog plans an unpartitioned WindowExec over an " +
+      "unbounded domain") {
+    // A WindowExec with an empty partitionSpec funnels its whole input
+    // through ONE reducer. The only survivors are calendar-bucket
+    // pre-aggregates whose domain is bounded by elapsed wall-clock time
+    // (hours / months), not by data volume; everything data-proportional
+    // (customer_rfm, supplier_pareto, equidepth_histogram, vocab_growth)
+    // runs through PrefixOps' two-level prefix sum instead.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allowed = Set("monthly_revenue_mom", "batch_summary")
+    // AQE off so executedPlan is a plain traversable tree (restored after)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf001).queryExecution.executedPlan
+      val unpartitioned = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (unpartitioned.nonEmpty)
+        assert(allowed(name), s"$name plans an unpartitioned WindowExec:\n" +
+          unpartitioned.head.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("no query in the catalog plans a cartesian product, and nested-loop " +
@@ -61,7 +89,9 @@ class PlanShapeSpec extends SparkSpec {
       "ann_ivf", "kmeans_trained", "semantic_dedup", "cluster_balanced_sample",
       "cosine_topk", "cosine_topk_fast", "bigram_lm_score", "tf_idf",
       "source_mixture_weights", "range_join_bands",
-      "dau_wau") // day-table (≈30 rows) broadcast against user-day pairs
+      "dau_wau", // day-table (≈30 rows) broadcast against user-day pairs
+      // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
+      "customer_rfm", "supplier_pareto", "vocab_growth")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
