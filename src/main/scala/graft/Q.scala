@@ -12,6 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               so the DuckDB oracle hash-matches bit-for-bit.
   * @param oracle equivalent ANSI SQL runnable by DuckDB over the same parquet tables
   *               (None for non-SQL-expressible operators -> rows-only check).
+  *
+  * Caching contract: `fn` may `.cache()` subtrees its plan consumes more than
+  * once (shingle sets, minhash signatures, distinct user-days). Those pins
+  * outlive the returned DataFrame's action on purpose — a repeated action
+  * reuses them — so SWEEP harnesses (Verify, Bench) call
+  * `spark.catalog.clearCache()` between queries; an embedder holding one
+  * session across many queries should do the same or unpersist selectively.
   */
 final case class Q(
     name: String,

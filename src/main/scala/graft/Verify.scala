@@ -32,6 +32,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators cache internally-reused subtrees (shingles, signatures,
+      // distinct user-days); without a per-query clear those pins accumulate
+      // across the 100+-query sweep for the whole session (Bench does the
+      // same between timings)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

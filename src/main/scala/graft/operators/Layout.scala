@@ -53,6 +53,10 @@ object Layout {
     }
 
     val before = dataFiles(path)
+    // a valid-but-empty table (e.g. a sink that has committed no batch yet)
+    // has nothing to re-lay; spark.read.parquet on it would fail schema
+    // inference with an unhelpful error, so short-circuit instead
+    if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 

@@ -119,15 +119,17 @@ object RelationalOps extends QueryModule {
   }
 
   /** Analytic frame: per-supplier running quantity + lag over ship order.
-    * The window order tie-breaks through l_partkey and l_extendedprice:
-    * (l_orderkey, l_linenumber) is NOT unique in this synthetic lineitem
-    * (118k duplicate pairs at sf0.1, one colliding full sort key) — without
-    * the extra keys the lag between the tied rows is engine-arbitrary and
-    * the sf0.01 oracle pass was data-dependent luck. */
+    * The window order tie-breaks through l_partkey, l_extendedprice, AND
+    * l_quantity (the value being lagged/summed): (l_orderkey, l_linenumber)
+    * is NOT unique in this synthetic lineitem (118k duplicate pairs at
+    * sf0.1) — without the full tail, rows colliding on every other key but
+    * differing in quantity would make prev_qty/running_qty engine-arbitrary.
+    * Appending the measure itself makes determinism structural rather than
+    * dependent on the current data's key uniqueness. */
   private def windowRunningSupplier(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_extendedprice"))
+        col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
     t(s, dir, "lineitem")
       .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -144,7 +146,7 @@ object RelationalOps extends QueryModule {
       // for the duplicate (orderkey, linenumber) rows invites future
       // order-sensitive consumers to inherit the ambiguity
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_extendedprice"))
+        col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
   }
 
   // ---- grouping sets / rollup / cube --------------------------------------
@@ -654,14 +656,16 @@ object RelationalOps extends QueryModule {
         |    / 1e6 AS running_qty,
         |  LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
-        |             l_extendedprice) AS prev_qty,
+        |             l_extendedprice, l_quantity) AS prev_qty,
         |  CAST(RANK() OVER (PARTITION BY l_suppkey
         |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS INT) AS qty_rank
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |           l_extendedprice, l_quantity
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin)),
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |         l_extendedprice, l_quantity""".stripMargin)),
     Q("rollup_returns", rollupReturns, Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

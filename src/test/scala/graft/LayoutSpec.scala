@@ -29,6 +29,13 @@ class LayoutSpec extends SparkSpec {
       f.getName.endsWith(".compact_staging") || f.getName.endsWith(".old")))
   }
 
+  test("compact on a valid-but-empty directory is a no-op, not a read failure") {
+    val dir = tmp()
+    assert(new java.io.File(dir).mkdirs()) // zero data files, e.g. a fresh sink
+    assert(operators.Layout.compact(spark, dir, 1L << 30) === ((0, 0)))
+    assert(new java.io.File(dir).exists()) // left in place, untouched
+  }
+
   test("compact refuses partitioned directories instead of flattening them") {
     val dir = tmp()
     Tables.t(spark, sf001, "orders")
