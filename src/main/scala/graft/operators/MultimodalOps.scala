@@ -73,14 +73,18 @@ object MultimodalOps extends QueryModule {
   }
 
   /** Metadata + payload stats — relational only, payload length/hash pushed
-    * into codegen'd expressions. */
+    * into codegen'd expressions. The head hash goes through hex before md5:
+    * a raw 16-BYTE slice can split a multi-byte char, and this DuckDB build
+    * has no md5(BLOB)/substring(BLOB), so hex is the canonical byte-slice
+    * representation both engines can hash identically (hostile-fixture
+    * finding — the old md5(substr(text,1,16)) oracle counted CHARS). */
   private def mediaMeta(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
       .select(
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         col("mime"), col("lang"), col("n_chars"),
-        md5(substring(col("payload"), 1, 16)).as("head16_md5"),
+        md5(hex(substring(col("payload"), 1, 16))).as("head16_md5"),
         expr("(length(payload) + 255) div 256").cast("long").as("n_frames"))
       .orderBy(col("doc_id"))
 
@@ -100,7 +104,8 @@ object MultimodalOps extends QueryModule {
       .select(
         col("doc_id"),
         col("frame_id").cast("long").as("frame_id"),
-        expr("md5(substring(payload, frame_id * 256 + 1, 8))").as("frame_head_md5"))
+        // hex-canonical byte slice, same reason as mediaMeta's head16_md5
+        expr("md5(hex(substring(payload, frame_id * 256 + 1, 8)))").as("frame_head_md5"))
       .orderBy(col("doc_id"), col("frame_id"))
 
   /** "Resize": stride-4 decimation of the payload — the downsample analog
@@ -127,6 +132,9 @@ object MultimodalOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("multimodal_resize", mediaResize, Some(
+      // COALESCE: DuckDB's array_to_string over an empty list yields NULL
+      // (not ''), so an empty payload would md5 to NULL while Spark hashes
+      // the empty string — hostile-fixture finding
       """WITH t AS (
         |  SELECT doc_id, text,
         |         list_transform(generate_series(1, length(text), 4),
@@ -136,32 +144,42 @@ object MultimodalOps extends QueryModule {
         |SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(len(arr) AS BIGINT) AS resized_bytes,
-        |  md5(array_to_string(arr, '')) AS resized_md5
+        |  md5(COALESCE(array_to_string(arr, ''), '')) AS resized_md5
         |FROM t ORDER BY doc_id""".stripMargin)),
     Q("multimodal_meta", mediaMeta, Some(
+      // byte slice via hex: substr(text,...) counts CHARS and this DuckDB
+      // has no substring(BLOB); substr of the hex blob IS the byte slice
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS mime, lang, n_chars,
-        |  md5(substr(text, 1, 16)) AS head16_md5,
+        |  md5(substr(hex(encode(text)), 1, 32)) AS head16_md5,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)),
     // The mapPartitions decode path itself isn't SQL, but the STUB's feature
-    // math is (payload = UTF-8 text, ASCII in this corpus, so byte i ==
-    // ascii(char i)); the oracle replays it so the decode plumbing is
-    // hash-checked end-to-end, not just rows-counted.
+    // math is; the oracle replays it over the UTF-8 BYTES (hex-pair
+    // extraction), matching the Spark stub's byte loop — the previous
+    // chars/codepoints form silently assumed an ASCII-only corpus (caught
+    // by the hostile unicode fixture), so the decode plumbing is
+    // hash-checked end-to-end on arbitrary text, not just rows-counted.
     Q("multimodal_features", mediaFeatures, Some(
-      """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN length(hx) > 0
+        |            THEN CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT)
         |            ELSE -1 END AS BIGINT) AS head_byte,
         |  CAST(COALESCE(list_sum(list_transform(
-        |         generate_series(1, length(text)),
-        |         i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS checksum,
-        |  CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)),
+        |         generate_series(1, length(hx) // 2),
+        |         i -> CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT))),
+        |       0) AS BIGINT) AS checksum,
+        |  CAST((length(hx) // 2 + 255) // 256 AS BIGINT) AS n_frames
+        |FROM h ORDER BY doc_id""".stripMargin)),
     Q("multimodal_frame_sample", frameSample, Some(
+      // frame content sliced from the hex blob (2 hex chars per byte) so
+      // frame boundaries count bytes in both engines even mid-codepoint
       """SELECT doc_id, CAST(f.frame_id AS BIGINT) AS frame_id,
-        |  md5(substr(text, CAST(f.frame_id * 256 + 1 AS INT), 8)) AS frame_head_md5
+        |  md5(substr(hex(encode(text)),
+        |      CAST(f.frame_id * 512 + 1 AS INT), 16)) AS frame_head_md5
         |FROM documents,
         |  LATERAL (SELECT unnest(generate_series(0,
         |     (octet_length(encode(text)) + 255) // 256 - 1)) AS frame_id) f

@@ -301,10 +301,20 @@ object StatsOps extends QueryModule {
     * prefixes of same-length-band doc pairs (same integer DP definition in
     * both engines). The length band is the blocking step: pairs only form
     * inside a band (an equi-join), so the pair space is Σ band² instead of
-    * n² — the banding that keeps this linear-ish at 100× scale. */
+    * n² — the banding that keeps this linear-ish at 100× scale.
+    *
+    * Non-ASCII codepoints are folded to a fixed '?' placeholder before the
+    * DP: Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES,
+    * so multi-byte text diverges (found by the hostile fixtures — a unicode
+    * pair at char-distance 10 is byte-distance >12 and vanished from the
+    * oracle). After folding, char length == byte length in both engines and
+    * the distance is exact; distinct non-ASCII chars comparing equal is the
+    * documented approximation. */
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix"),
+      .select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 24), "[^\\x00-\\x7F]", "?")
+          .as("prefix"),
         expr("length(text) div 50").cast("long").as("len_band"))
     val a = d.select(col("doc_id").as("a_id"), col("prefix").as("a_p"), col("len_band"))
     val b = d.select(col("doc_id").as("b_id"), col("prefix").as("b_p"), col("len_band"))
@@ -420,7 +430,9 @@ object StatsOps extends QueryModule {
         |FROM m ORDER BY event_type""".stripMargin)),
     Q("levenshtein_pairs", levenshteinPairs, Some(
       """WITH d AS (
-        |  SELECT doc_id, substr(text, 1, 24) AS prefix,
+        |  SELECT doc_id,
+        |         regexp_replace(substr(text, 1, 24), '[^\x00-\x7F]', '?', 'g')
+        |           AS prefix,
         |         CAST(length(text) // 50 AS BIGINT) AS len_band
         |  FROM documents
         |)

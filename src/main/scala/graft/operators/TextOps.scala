@@ -420,13 +420,18 @@ object TextOps extends QueryModule {
     Q("sequence_packing", sequencePacking, Some(sequencePackingSql)),
     Q("doc_chunking", docChunking, Some(docChunkingSql)),
     Q("rolling_fingerprint", rollingFingerprint, Some(
-      """SELECT doc_id,
+      // iterate UTF-8 BYTES via hex pairs: the RollingHash expression hashes
+      // bytes, while ascii(substr(text,i,1)) walks CODEPOINTS — identical on
+      // ASCII, divergent on multi-byte text (hostile-fixture finding)
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        |SELECT doc_id,
         |  CAST(list_reduce(
         |    list_prepend(CAST(0 AS HUGEINT),
-        |      list_transform(generate_series(1, length(text)),
-        |        i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+        |      list_transform(generate_series(1, length(hx) // 2),
+        |        i -> CAST(CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT)
+        |                  AS HUGEINT))),
         |    (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp_roll
-        |FROM documents ORDER BY doc_id""".stripMargin)),
+        |FROM h ORDER BY doc_id""".stripMargin)),
     Q("contamination_check", contaminationCheck, Some(
       s"""WITH sh AS (${DedupOps.shinglesSql}),
          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
