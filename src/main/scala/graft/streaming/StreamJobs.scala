@@ -260,6 +260,43 @@ object StreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("key"), col("n"))
 
+  /** Trending items per event-time window: per-(window, key) counts with a
+    * watermark, top-k per CLOSED window — the "what's hot right now" query
+    * every streaming analytics user asks for first.
+    *
+    * The windowed aggregation is incremental (state = one count per
+    * in-flight (window, key), watermark-evicted). Append mode emits a
+    * window's counts exactly once — all in the micro-batch where the
+    * watermark passes the window's end — so the foreachBatch rank sees
+    * every count of each closed window together and the emitted ranks are
+    * FINAL. Rows later than the watermark are dropped by the aggregation
+    * itself and can never reopen a closed window. Ranking happens after
+    * aggregation over per-window partitions (no global sort, no raw-event
+    * state): state is bounded by watermark horizon × active keys, output
+    * by k × windows per trigger.
+    */
+  def windowedTopK(
+      input: DataFrame,
+      window_ : String,
+      watermark: String,
+      k: Int,
+      out: TopicTableSink,
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val counts = windowedCounts(input, window_, watermark)
+    val base = counts.writeStream.outputMode("append").trigger(trigger)
+    checkpoint.foreach(base.option("checkpointLocation", _))
+    base.foreachBatch { (df: DataFrame, _: Long) =>
+      if (!df.isEmpty) {
+        val w = Window.partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("key"))
+        out.append(df.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= k))
+      }
+      ()
+    }.start()
+  }
+
   /** Cross-batch streaming dedup with watermark (D1 generalized). */
   def streamingDedup(input: DataFrame, watermark: String): DataFrame =
     input

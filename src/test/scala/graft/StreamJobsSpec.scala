@@ -140,6 +140,50 @@ class StreamJobsSpec extends SparkSpec {
     assert(rows(200L) === 1L)
   }
 
+  test("windowedTopK: closed-window trending equals the batch top-k; " +
+      "late rows cannot resurface a closed window") {
+    val in = MemoryStream[KafkaShaped]
+    val out = new TopicTableSink(tmp() + "/topk")
+    val q = StreamJobs.windowedTopK(in.toDF(), "10 seconds", "10 seconds", 2, out)
+    // window [100,110): a×3, b×2, c×1 → top-2 should be a(3), b(2)
+    in.addData(rec("a", "1", 100, 0), rec("a", "2", 101, 1), rec("a", "3", 102, 2),
+      rec("b", "4", 103, 3), rec("b", "5", 104, 4), rec("c", "6", 105, 5))
+    q.processAllAvailable()
+    in.addData(rec("x", "7", 200, 6)) // watermark → 190, closes [100,110)
+    q.processAllAvailable()
+    // five late c-rows: on time they would have made c the window's top key —
+    // behind the watermark they must be dropped, not re-rank the closed window
+    in.addData(rec("c", "l1", 101, 7), rec("c", "l2", 102, 8), rec("c", "l3", 103, 9),
+      rec("c", "l4", 104, 10), rec("c", "l5", 105, 11))
+    q.processAllAvailable()
+    in.addData(rec("y", "8", 300, 12)) // watermark → 290, closes [200,210)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = out.read(spark)
+      .select(unix_timestamp($"window_start").as[Long], $"key".as[String],
+        $"n".as[Long], $"rk".as[Long])
+      .collect().toSeq.sorted
+    // batch oracle: the same top-k over the ON-TIME events of closed windows
+    val onTime = Seq(("a", 100L), ("a", 101L), ("a", 102L), ("b", 103L),
+      ("b", 104L), ("c", 105L), ("x", 200L))
+      .toDF("key", "sec")
+      .withColumn("timestamp", col("sec").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start").orderBy($"n".desc, $"key")
+    val oracle = onTime
+      .groupBy(window($"timestamp", "10 seconds"), $"key")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("window_start"), $"key", $"n")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 2)
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    assert(got === oracle)
+    // and concretely: [100,110) stayed a(1st), b(2nd); c never surfaced
+    assert(got.filter(_._1 == 100L) ===
+      Seq((100L, "a", 3L, 1L), (100L, "b", 2L, 2L)))
+  }
+
   test("streamingDedup dedups across batches within the watermark") {
     val in = MemoryStream[KafkaShaped]
     val q = StreamJobs.streamingDedup(in.toDF(), "1 hour")
