@@ -36,6 +36,34 @@ object AdvancedOps extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** The same point-in-time lookup through the custom physical operator
+    * (org.apache.spark.sql.graft.AsOfJoin): events as the probe side,
+    * error events as the (typically much smaller) build side, backward
+    * as-of on (ts, event_id) per user. One hash exchange per side + an
+    * O(n+m) sorted merge with a last-known carry — the two-table form the
+    * window formulation above cannot express without first unioning the
+    * build side into the probe (fine when the right side IS a filter of
+    * the left, as here; impossible for a genuine second table). The window
+    * formulation stays as the oracle: identical semantics, including the
+    * <= tie (a right row at the probe's exact (ts, id) matches).
+    */
+  private def asofJoinExec(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+    val errors = events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"),
+        col("ts").cast("timestamp_ntz").as("error_ts"),
+        col("event_id").as("e_id"))
+    org.apache.spark.sql.graft.AsOfJoin(ev, errors,
+        Seq(col("user_id")), Seq(col("e_user")),
+        Seq(col("ts"), col("event_id")), Seq(col("error_ts"), col("e_id")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("error_ts").as("asof_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: lineitem priced into literal bands via a broadcast
     * non-equi join (BroadcastNestedLoopJoin against 4 rows — the probe side
     * streams, nothing shuffles). */
@@ -368,6 +396,12 @@ object AdvancedOps extends QueryModule {
         |WHERE rk <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
     Q("asof_join", asofJoin, Some(
+      """SELECT event_id, user_id, ts, event_type,
+        |  LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS asof_error_ts
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("asof_join_exec", asofJoinExec, Some(
       """SELECT event_id, user_id, ts, event_type,
         |  LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id

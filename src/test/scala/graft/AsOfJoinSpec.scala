@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.graft.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** The custom backward as-of join operator: two-table semantics the
+  * catalog's window formulation cannot express (a genuine second table),
+  * pinned on hand-computed fixtures. The catalog query `asof_join_exec` is
+  * the oracle-checked large-scale form.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quotes = Seq(
+    // key, q_ts, price
+    ("A", 10L, 100L), ("A", 20L, 110L), ("A", 30L, 120L),
+    ("B", 15L, 500L)).toDF("q_key", "q_ts", "price")
+  private val trades = Seq(
+    // key, t_ts, trade id
+    ("A", 5L, 1L),   // before any quote -> null
+    ("A", 10L, 2L),  // exactly at quote ts -> 100 (<= matches)
+    ("A", 25L, 3L),  // between quotes -> 110 (latest at-or-before)
+    ("A", 99L, 4L),  // after all -> 120 (last-known carry)
+    ("B", 14L, 5L),  // B's quote is at 15 -> null
+    ("C", 50L, 6L))  // key with no quotes at all -> null
+    .toDF("t_key", "t_ts", "trade_id")
+
+  private def run() = AsOfJoin(trades, quotes,
+      Seq(col("t_key")), Seq(col("q_key")),
+      Seq(col("t_ts")), Seq(col("q_ts")))
+    .select(col("trade_id"), col("price"))
+    .collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("backward as-of carry: ties match, gaps carry, missing keys null-pad") {
+    assert(run() === Map(
+      1L -> None, 2L -> Some(100L), 3L -> Some(110L),
+      4L -> Some(120L), 5L -> None, 6L -> None))
+  }
+
+  test("plan is the sorted-merge operator: one exchange + sort per side, no window") {
+    val df = AsOfJoin(trades, quotes,
+      Seq(col("t_key")), Seq(col("q_key")),
+      Seq(col("t_ts")), Seq(col("q_ts")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), "as-of must not fall back to a window")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("matches the window formulation on the events table (catalog oracle)") {
+    val viaExec = SparkEntry.queries("asof_join_exec")(spark, sf001)
+      .collect().map(_.toSeq.mkString("|")).toSeq
+    val viaWindow = SparkEntry.queries("asof_join")(spark, sf001)
+      .collect().map(_.toSeq.mkString("|")).toSeq
+    assert(viaExec === viaWindow)
+  }
+}

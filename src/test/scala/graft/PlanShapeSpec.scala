@@ -101,6 +101,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("asof_join_exec plans the custom sorted-merge as-of operator") {
+    val p = plan("asof_join_exec")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"),
+      "the exec form must not fall back to the window formulation")
+  }
+
   test("q18_large_orders broadcasts the qualifying keys back to the dims") {
     val p = plan("q18_large_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
