@@ -66,7 +66,14 @@ object PrefixOps {
     val bkt = least(lit((buckets - 1).toLong), greatest(lit(0L),
       floor((bucketBy.cast("double") - col("_lo")) * buckets / span)
         .cast("long")))
-    val bucketed = withStats.withColumn("_bkt", bkt).drop("_lo", "_hi")
+    // The bucketed input feeds BOTH the window pass and the offsets
+    // aggregate (a diamond plan): cache it so one materialization serves
+    // both branches — without this, chained prefix applications (e.g.
+    // customer_rfm's three quartiles) recompute their whole upstream once
+    // per branch, exponentially. Sweep harnesses clear the cache per query
+    // (the Q caching contract); at cluster scale this is the standard
+    // materialize-for-multi-pass trade and spills under memory pressure.
+    val bucketed = withStats.withColumn("_bkt", bkt).drop("_lo", "_hi").cache()
 
     // 2. within-bucket rank + running sums — parallel across buckets
     val localW = Window.partitionBy((gcols :+ col("_bkt")): _*)
