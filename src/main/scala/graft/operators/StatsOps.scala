@@ -11,18 +11,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StatsOps extends QueryModule {
 
-  /** Moment-assembly arithmetic: products of two long sums overflow int64
-    * once n·Σx² passes ~9e18 (measured: the OLS intercept numerator hits
-    * 6.6e19 already at sf0.1). Casting each factor to DECIMAL(19,0) makes
-    * the product an exact DECIMAL(38,0) in BOTH engines (DuckDB widens
-    * 19+19→38, Spark caps 39→38 — our magnitudes ≤ 1e22 fit either way),
-    * and the final decimal→double conversion is correctly-rounded in both.
+  /** Moment arithmetic carrier: 128-bit everywhere. Products of two long
+    * sums overflow int64 once n·Σx² passes ~9e18 (measured: the OLS
+    * intercept numerator hits 6.6e19 already at sf0.1), and with the old
+    * DECIMAL(19,0) factor casts the ACCUMULATORS themselves became the
+    * bound (Σrank² ≈ n³/3 leaves int64 at n ≈ 3M rows/group — a real
+    * per-group count at 100 TB). So: Spark accumulates in DECIMAL(38,0)
+    * and assembles products as decimal(38)×decimal(38) (capped back to 38,
+    * exact while the true value < 1e38); DuckDB accumulates in HUGEINT
+    * (its native SUM(BIGINT) type, int128) and assembles HUGEINT products.
+    * Both decimal/int128 → double conversions are correctly rounded, so
+    * the assembled doubles stay bit-identical. Exactness bounds after this
+    * change: corr/OLS to n ≈ 1e14 rows per group; Spearman (rank moments
+    * grow n³) to n ≈ 3e9 rows per group — beyond that no 128-bit carrier
+    * holds n⁴ and the mean-centered float formulation takes over.
     */
-  private def d19(c: Column): Column = c.cast(DecimalType(19, 0))
+  private def d38(c: Column): Column = c.cast(DecimalType(38, 0))
 
-  /** SQL twin of [[d19]]: exact DECIMAL(38,0) product of two BIGINT sums. */
+  /** SQL twin of [[d38]]: exact HUGEINT (int128) product of two sums. */
   private def dmul(a: String, b: String): String =
-    s"CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))"
+    s"CAST($a AS HUGEINT) * CAST($b AS HUGEINT)"
 
   /** HLL approximate distinct (approx_count_distinct — Spark's
     * HyperLogLog++). Sketch internals differ per engine, so no SQL oracle;
@@ -161,17 +169,19 @@ object StatsOps extends QueryModule {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        // per-row products fit long (cents are row-bounded); the SUMS carry
+        // n and must be 128-bit — see the d38 scaladoc
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("y"))).as("sxy"),
+        sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("y") * col("y"))).as("syy"))
       .select(
         col("event_type"), col("n"),
-        ((d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy")))
+        ((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
           .cast("double") /
-          (sqrt((d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+          (sqrt((d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
             .cast("double")) *
-            sqrt((d19(col("n")) * d19(col("syy")) - d19(col("sy")) * d19(col("sy")))
+            sqrt((d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy")))
               .cast("double"))))
           .as("corr_xy"))
       .orderBy(col("event_type"))
@@ -193,19 +203,19 @@ object StatsOps extends QueryModule {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("y"))).as("sxy"),
+        sum(d38(col("x") * col("x"))).as("sxx"))
       .select(
         col("event_type"), col("n"),
-        ((d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy")))
+        ((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
           .cast("double") /
-          (d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+          (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
             .cast("double"))
           .as("slope"),
-        (((d19(col("sy")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sxy")))
+        (((d38(col("sy")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sxy")))
           .cast("double") /
-          (d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+          (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
             .cast("double")) / 100.0)
           .as("intercept_units"))
       .orderBy(col("event_type"))
@@ -219,9 +229,9 @@ object StatsOps extends QueryModule {
       |  FROM events
       |), m AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx
       |  FROM q GROUP BY event_type
       |)
       |SELECT event_type, n,
@@ -238,11 +248,11 @@ object StatsOps extends QueryModule {
     * Pearson formula over exact integer rank sums. Two window passes + one
     * aggregate, all on the same group partitioning.
     *
-    * Domain note: the [[d19]] assembly makes the products exact at any SF;
-    * the remaining bound is the SUM itself — Σ rank² ≈ n³/3 stays inside
-    * int64 up to n ≈ 3M rows per group, beyond which the accumulators (not
-    * the assembly) move to DECIMAL(38,0). The exact-moment pattern scales;
-    * the carrier type is the only change.
+    * Domain note: accumulators AND assembly both carry 128 bits (see
+    * [[d38]]) — rank moments grow n³, so the per-row products are widened
+    * before summing too. Exact to n ≈ 3e9 rows per group; past that the
+    * n⁴ assembly exceeds any fixed 128-bit carrier and a mean-centered
+    * float formulation is the correct tool.
     */
   private def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
     val wx = org.apache.spark.sql.expressions.Window
@@ -257,17 +267,20 @@ object StatsOps extends QueryModule {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
+        // ranks (unlike cents) grow with n, so even the per-row PRODUCTS
+        // go 128-bit before accumulating: rx·ry ≈ n² leaves int64 at
+        // n ≈ 3e9 rows per group
+        sum(d38(col("rx"))).as("sx"), sum(d38(col("ry"))).as("sy"),
+        sum(d38(col("rx")) * col("ry")).as("sxy"),
+        sum(d38(col("rx")) * col("rx")).as("sxx"),
+        sum(d38(col("ry")) * col("ry")).as("syy"))
       .select(
         col("event_type"), col("n"),
-        ((d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy")))
+        ((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
           .cast("double") /
-          (sqrt((d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+          (sqrt((d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
             .cast("double")) *
-            sqrt((d19(col("n")) * d19(col("syy")) - d19(col("sy")) * d19(col("sy")))
+            sqrt((d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy")))
               .cast("double"))))
           .as("spearman_rho"))
       .orderBy(col("event_type"))
@@ -284,10 +297,10 @@ object StatsOps extends QueryModule {
       |  FROM events
       |), m AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
-      |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
-      |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-      |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+      |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+      |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+      |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+      |    SUM(CAST(ry AS HUGEINT) * ry) AS syy
       |  FROM r GROUP BY event_type
       |)
       |SELECT event_type, n,
@@ -416,10 +429,10 @@ object StatsOps extends QueryModule {
         |  FROM events
         |), m AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
         |  FROM q GROUP BY event_type
         |)
         |SELECT event_type, n,
