@@ -169,6 +169,103 @@ object DedupOps extends QueryModule {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.QOps.ordered1(minhashLshCore(s, dir), col("a_id"), col("b_id"))
 
+  /** Incremental dedup — the shape a DAILY ingest actually runs: probe an
+    * increment of new documents against the HISTORICAL corpus's LSH band
+    * index instead of re-deduplicating the whole corpus. The increment is
+    * the deterministic 10% slice `doc_id % 10 = 0` (standing in for
+    * "today's crawl"); the corpus is the rest. Every increment doc reports
+    * its best corpus match (max Jaccard, ties to the lowest corpus id) or
+    * a no-match row.
+    *
+    * Scale posture (100 TB): the corpus appears ONLY through its
+    * (band, key) index — one row per (doc, band), persisted once in a real
+    * deployment — and the probe is an equi-join of increment bands against
+    * it: cost O(increment + touched buckets) per day, never corpus² and
+    * never a corpus rescan. Exact-Jaccard verification touches candidate
+    * pairs only.
+    */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = minhashSig(s, dir).cache()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(bnd =>
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+    val inc = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+    val corpusIdx = bands.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("old_id"), col("band"), col("key"))
+    val cand = inc.join(corpusIdx, Seq("band", "key"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh")), "new_id")
+      .join(sh.select(col("doc_id").as("old_id"), col("sh")), Seq("old_id", "sh"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(sizes.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("n_sh", "nn"), "new_id")
+      .join(sizes.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("n_sh", "no"), "old_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nn") + col("no") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("old_id"))
+    val best = verified
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("new_id"), col("old_id").as("dup_of"), col("jaccard"))
+    docs(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
+      .orderBy(col("new_id"))
+  }
+
+  private def incrementalDedupSql: String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+       |), sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.new_id, c.old_id, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.new_id
+       |  JOIN sh sb ON sb.doc_id = c.old_id AND sb.sh = sa.sh
+       |  GROUP BY 1, 2
+       |), verified AS (
+       |  SELECT i.new_id, i.old_id,
+       |         i.inter * 1.0 / (sn.n_sh + so.n_sh - i.inter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sn ON sn.doc_id = i.new_id
+       |  JOIN sizes so ON so.doc_id = i.old_id
+       |  WHERE i.inter * 1.0 / (sn.n_sh + so.n_sh - i.inter) >= 0.3
+       |), best AS (
+       |  SELECT new_id, old_id AS dup_of, jaccard
+       |  FROM (SELECT v.*, ROW_NUMBER() OVER (PARTITION BY new_id
+       |          ORDER BY jaccard DESC, old_id) AS rk FROM verified v)
+       |  WHERE rk = 1
+       |)
+       |SELECT d.doc_id AS new_id, b.dup_of, b.jaccard,
+       |  CAST(CASE WHEN b.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_dup
+       |FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY new_id""".stripMargin
+  }
+
   /** Connected components of an undirected edge list (a_id, b_id) columns:
     * min-label propagation iterated to a FIXPOINT — every node ends labeled
     * with its component's minimum id, whatever the component diameter (the
@@ -492,6 +589,7 @@ object DedupOps extends QueryModule {
          |ORDER BY a_id, b_id""".stripMargin)),
     Q("minhash_signatures", minhashSig, Some(minhashSigSql + "\nORDER BY doc_id")),
     Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),
+    Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
     Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),

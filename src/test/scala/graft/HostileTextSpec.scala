@@ -27,7 +27,8 @@ class HostileTextSpec extends SparkSpec {
     "repetition_score", "gopher_quality_filter", "boilerplate_shingles",
     "contamination_check", "exact_dedup", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
-    "dedup_clusters", "cluster_keep_best", "levenshtein_pairs",
+    "dedup_clusters", "cluster_keep_best", "incremental_dedup",
+    "levenshtein_pairs",
     "multimodal_meta", "multimodal_features", "multimodal_resize",
     "multimodal_frame_sample", "source_mixture_weights")
 
