@@ -35,10 +35,14 @@ object PrefixOps {
     *   - `g_n`     — total row count of the group
     *   - `g_run_c` / `g_tot_c` for each c in `sums` — running / total sum
     *
-    * @param bucketBy  numeric column, monotone NON-DECREASING in `order`
-    *                  (pass the negated column for a descending primary
-    *                  key). Rows equal on `bucketBy` may tie; `order` must
-    *                  still be a total order for determinism.
+    * @param bucketBy  numeric NON-NULL column, monotone NON-DECREASING in
+    *                  `order` (pass the negated column for a descending
+    *                  primary key). Rows equal on `bucketBy` may tie;
+    *                  `order` must still be a total order for determinism.
+    *                  A null bucket key would land in bucket 0 (Spark's
+    *                  `greatest` skips nulls), which is only consistent
+    *                  with NULLS FIRST ascending order — coalesce nulls
+    *                  explicitly before calling if they can occur.
     * @param order     the full window order (including tie-breaks)
     * @param groupKeys optional partition keys (the window's PARTITION BY)
     * @param sums      long/decimal columns to running-sum over the order

@@ -391,6 +391,66 @@ object StreamJobs {
       }
   }
 
+  /** One tagged row of the merged dim-update/event stream. */
+  case class TemporalTagged(key: String, kind: String, value: String, tsMs: Long)
+  /** An event enriched with the dim version in force at its event time. */
+  case class EnrichedEvent(key: String, value: String,
+      dim_value: String, tsMs: Long)
+
+  /** Streaming temporal (backward as-of) enrichment — the state-store form
+    * of the batch `org.apache.spark.sql.graft.AsOfJoin`: a dim-update
+    * stream and an event stream share a key; each event picks up the dim
+    * version with the largest update time at-or-before its own event time,
+    * among updates seen so far (processing order across micro-batches,
+    * event-time order within one — rows are sorted per group per batch,
+    * updates before events on ties so a same-instant update applies).
+    *
+    * State per key: the last `maxVersions` (ts, value) dim versions — a
+    * bounded mini history, so an out-of-order event inside the retained
+    * horizon still gets its correct version, and state is O(keys ×
+    * maxVersions) regardless of stream volume. Events with no version
+    * at-or-before them emit a null dim (left-outer, like the batch
+    * operator).
+    */
+  def temporalEnrich(
+      updates: DataFrame,
+      events: DataFrame,
+      maxVersions: Int = 32): org.apache.spark.sql.Dataset[EnrichedEvent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val tagEnc: Encoder[TemporalTagged] = Encoders.product[TemporalTagged]
+    implicit val outEnc: Encoder[EnrichedEvent] = Encoders.product[EnrichedEvent]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[Seq[(Long, String)]] =
+      Encoders.kryo[Seq[(Long, String)]]
+    def tag(df: DataFrame, kind: String) = df.select(
+        coalesce(col("key"), lit("")).as("key"), lit(kind).as("kind"),
+        col("value"), (unix_timestamp(col("timestamp")) * 1000).as("tsMs"))
+      .as[TemporalTagged]
+    tag(updates, "u").union(tag(events, "e"))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[(Long, String)], EnrichedEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Seq[(Long, String)]]) =>
+          var versions = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[EnrichedEvent]
+          // event-time order within the batch; updates beat events on ties
+          rows.toSeq.sortBy(r => (r.tsMs, if (r.kind == "u") 0 else 1))
+            .foreach { r =>
+              if (r.kind == "u") {
+                versions = ((r.tsMs, r.value) +: versions.filterNot(_._1 == r.tsMs))
+                  .sortBy(_._1).takeRight(maxVersions)
+              } else {
+                val dim = versions.reverseIterator.find(_._1 <= r.tsMs)
+                out += EnrichedEvent(key, r.value, dim.map(_._2).orNull, r.tsMs)
+              }
+            }
+          state.update(versions)
+          out.result().iterator
+      }
+  }
+
   /** One closed user session: bounded by a processing-time gap timeout. */
   case class SessionSummary(key: String, n_events: Long,
       first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

@@ -36,6 +36,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * unique id) for deterministic carries. Unmatched left rows emit
   * null-padded right columns (left-outer semantics). Semantically identical
   * to the window formulation, which stays as the DuckDB oracle.
+  *
+  * Null keys: the merge compares projected key bytes, so a null left key
+  * MATCHES a null right key (row-equality, like a window PARTITION BY
+  * grouping nulls together) — not SQL join semantics, where null never
+  * equals null. Filter or coalesce null keys first if join semantics are
+  * required.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,

@@ -445,6 +445,45 @@ class StreamJobsSpec extends SparkSpec {
     assert(rows.contains(("u2", None)), rows.toString) // null-padded outer row
   }
 
+  test("temporalEnrich assigns each event the dim version in force at event time") {
+    val upd = MemoryStream[KafkaShaped]
+    val ev = MemoryStream[KafkaShaped]
+    val q = StreamJobs.temporalEnrich(upd.toDF(), ev.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("te").start()
+    upd.addData(rec("u1", "v1", 100, 0), rec("u1", "v2", 200, 1))
+    ev.addData(rec("u1", "e-early", 50, 0), rec("u1", "e-mid", 150, 1),
+      rec("u1", "e-tie", 200, 2), rec("u1", "e-late", 250, 3))
+    q.processAllAvailable()
+    // batch 2: out-of-order event inside the retained horizon still picks
+    // the version in force at ITS time, not the latest; fresh key u2 too
+    ev.addData(rec("u1", "e-ooo", 120, 4), rec("u2", "e-nodim", 300, 5))
+    upd.addData(rec("u2", "w1", 100, 2))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("select value, dim_value from te")
+      .as[(String, Option[String])].collect().toMap
+    assert(rows("e-early") === None)          // left-outer: no version yet
+    assert(rows("e-mid") === Some("v1"))
+    assert(rows("e-tie") === Some("v2"))      // same-instant update applies
+    assert(rows("e-late") === Some("v2"))
+    assert(rows("e-ooo") === Some("v1"))      // late event, correct old version
+    assert(rows("e-nodim") === Some("w1"))    // update sorts before event in-batch
+  }
+
+  test("temporalEnrich bounds state to maxVersions, evicting oldest versions") {
+    val upd = MemoryStream[KafkaShaped]
+    val ev = MemoryStream[KafkaShaped]
+    val q = StreamJobs.temporalEnrich(upd.toDF(), ev.toDF(), maxVersions = 2)
+      .writeStream.outputMode("append").format("memory").queryName("tev").start()
+    upd.addData(rec("k", "v1", 100, 0), rec("k", "v2", 200, 1), rec("k", "v3", 300, 2))
+    q.processAllAvailable()
+    ev.addData(rec("k", "behind-horizon", 150, 0), rec("k", "in-horizon", 250, 1))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("select value, dim_value from tev")
+      .as[(String, Option[String])].collect().toMap
+    assert(rows("behind-horizon") === None)   // v1 evicted: bounded state
+    assert(rows("in-horizon") === Some("v2"))
+  }
+
   test("ForeachWriter lifecycle processes every record (O2 analog)") {
     val in = MemoryStream[KafkaShaped]
     val id = "t" + System.nanoTime()
