@@ -73,9 +73,94 @@ object RollingHash {
   }
 }
 
+/** Exact levenshtein distance via Myers' bit-parallel algorithm (Hyyrö's
+  * formulation): the whole DP column is one machine word, so a pattern of
+  * length m ≤ 64 costs ~15 word-ops per text character instead of m cell
+  * updates — ~10× fewer ops than the cell DP for the 24-char prefixes the
+  * near-dup pipeline compares. Values are IDENTICAL to `levenshtein()`
+  * (it computes the same DP, just bit-sliced), so the DuckDB oracle is
+  * unchanged. Fast path requires both operands pure-ASCII (byte == char);
+  * non-ASCII or min-length > 64 falls back to the builtin character DP.
+  */
+case class LevenshteinBP(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"levenshtein_bp requires (STRING, STRING), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "levenshtein_bp"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(LevenshteinBP.dist(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LevenshteinBP.dist($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LevenshteinBP {
+  // Peq scratch: one 128-entry table per thread, cleared per call by
+  // zeroing only the pattern's own entries — zero steady-state allocation
+  private val peqTL = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+
+  /** Exact edit distance; bit-parallel when both sides are pure ASCII and
+    * the shorter is ≤ 64 chars, builtin char DP otherwise. */
+  def dist(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.getBytes
+    val b = ub.getBytes
+    // pure-ASCII check: any byte with the high bit set is multi-byte UTF-8
+    var i = 0
+    while (i < a.length) { if (a(i) < 0) return ua.levenshteinDistance(ub); i += 1 }
+    i = 0
+    while (i < b.length) { if (b(i) < 0) return ua.levenshteinDistance(ub); i += 1 }
+    val (p, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val m = p.length
+    if (m == 0) return t.length
+    if (m > 64) return ua.levenshteinDistance(ub)
+    val peq = peqTL.get()
+    i = 0
+    while (i < m) { peq(p(i)) |= 1L << i; i += 1 }
+    var vp = if (m == 64) -1L else (1L << m) - 1
+    var vn = 0L
+    var score = m
+    val highBit = 1L << (m - 1)
+    var j = 0
+    while (j < t.length) {
+      val eq = peq(t(j))
+      val d0 = (((eq & vp) + vp) ^ vp) | eq | vn
+      var hp = vn | ~(d0 | vp)
+      var hn = vp & d0
+      if ((hp & highBit) != 0L) score += 1
+      if ((hn & highBit) != 0L) score -= 1
+      hp = (hp << 1) | 1L
+      hn = hn << 1
+      vp = hn | ~(d0 | hp)
+      vn = hp & d0
+      j += 1
+    }
+    i = 0
+    while (i < m) { peq(p(i)) = 0L; i += 1 }
+    score
+  }
+}
+
 object TextFunctions {
-  /** Register rolling_hash for SQL/expr() use. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register rolling_hash / levenshtein_bp for SQL/expr() use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "levenshtein_bp", exprs => LevenshteinBP(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -324,6 +324,7 @@ object StatsOps extends QueryModule {
     * the distance is exact; distinct non-ASCII chars comparing equal is the
     * documented approximation. */
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"),
         regexp_replace(substring(col("text"), 1, 24), "[^\\x00-\\x7F]", "?")
@@ -333,12 +334,13 @@ object StatsOps extends QueryModule {
     val b = d.select(col("doc_id").as("b_id"), col("prefix").as("b_p"), col("len_band"))
     a.join(b, Seq("len_band"))
       .filter(col("a_id") < col("b_id"))
-      // threshold-bounded DP: O(threshold·len) per pair instead of O(len²),
-      // returns -1 above the bound — values for kept pairs are identical to
-      // the unbounded form, so the oracle SQL is unchanged
+      // bit-parallel Myers DP (graft.functions.LevenshteinBP): the whole DP
+      // column lives in one machine word, ~10× fewer ops than the cell DP
+      // on these 24-char ASCII prefixes; values identical to levenshtein(),
+      // so the oracle SQL is unchanged
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_p"), col("b_p"), 12).cast("long").as("dist"))
-      .filter(col("dist").between(0, 12))
+        expr("levenshtein_bp(a_p, b_p)").cast("long").as("dist"))
+      .filter(col("dist") <= 12)
       // tiny output, banded self-join child → ordered1, not orderBy
       .transform(graft.QOps.ordered1(_, col("a_id"), col("b_id")))
   }

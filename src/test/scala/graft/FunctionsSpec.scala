@@ -20,6 +20,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq === inputs.map(ref))
   }
 
+  test("levenshtein_bp equals builtin levenshtein on random + edge strings") {
+    TextFunctions.register(spark)
+    // deterministic pseudo-random ASCII corpus incl. empty / 1-char /
+    // 64-char boundary / >64 fallback / non-ASCII fallback
+    val rnd = new scala.util.Random(42)
+    def randAscii(n: Int) =
+      (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val pool = Seq("", "a", "ab", "x" * 64, "x" * 65,
+      "caffé", "naïve café", "日本語テキスト") ++
+      (0 until 60).map(_ => randAscii(rnd.nextInt(30))) ++
+      (0 until 10).map(_ => randAscii(60 + rnd.nextInt(10)))
+    val pairs = for (a <- pool; b <- pool) yield (a, b)
+    val rows = pairs.toDF("a", "b")
+      .select(expr("levenshtein_bp(a, b)").as[Int],
+        levenshtein(col("a"), col("b")).as[Int]).collect()
+    rows.foreach { case (bp, ref) => assert(bp === ref) }
+    // interpreted (non-codegen) path agrees too
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.LevenshteinBP.dist(
+      UTF8String.fromString("kitten"), UTF8String.fromString("sitting")) === 3)
+  }
+
   test("rolling_hash is order-sensitive (unlike bag-of-bytes hashes)") {
     TextFunctions.register(spark)
     val Seq(ab, ba) = Seq("ab", "ba").toDF("s")
