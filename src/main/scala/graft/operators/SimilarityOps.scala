@@ -697,7 +697,83 @@ object SimilarityOps extends QueryModule {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 lexical
+    * ranking (TextOps.bm25Scored — fixed term query) with the
+    * embedding-cosine semantic ranking (query = vec_id 0's embedding;
+    * vec_id keys the same id domain as doc_id, docs without embeddings
+    * simply have no semantic arm). Each arm takes its top-50 via
+    * TakeOrdered, then ranks the BOUNDED result inside a pmod(…,1)
+    * partition — never an unpartitioned window over an unbounded domain.
+    * The fused score 1/(60+rk_lex) + 1/(60+rk_sem) is a fixed-order
+    * two-term double expression (no aggregation-order hazard); docs in one
+    * arm only contribute that arm (full outer join, null rank preserved).
+    */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val lexTop = TextOps.bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+    val wl = Window.partitionBy(col("_g0"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = lexTop.withColumn("_g0", pmod(col("doc_id"), lit(1L)))
+      .withColumn("rk_lex", row_number().over(wl).cast("long"))
+      .select(col("doc_id"), col("rk_lex"))
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val semTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("q_emb"), col("embedding")), col("q_norm2"), col("norm2")))
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+    val ws = Window.partitionBy(col("_g0"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val sem = semTop.withColumn("_g0", pmod(col("doc_id"), lit(1L)))
+      .withColumn("rk_sem", row_number().over(ws).cast("long"))
+      .select(col("doc_id"), col("rk_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60L) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("rk_sem")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("rk_lex"), col("rk_sem"), col("rrf"))
+  }
+
+  private def rrfFusionSql: String =
+    s"""WITH ${TextOps.bm25ScoredSql},
+       |lextop AS (
+       |  SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50
+       |), lex AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+       |         AS BIGINT) AS rk_lex
+       |  FROM lextop
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), semtop AS (
+       |  SELECT c.vec_id AS doc_id,
+       |         CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |           / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))
+       |           AS cosine
+       |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+       |  ORDER BY cosine DESC, doc_id LIMIT 50
+       |), sem AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+       |         AS BIGINT) AS rk_sem
+       |  FROM semtop
+       |), fused AS (
+       |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rk_lex, rk_sem,
+       |         COALESCE(1e0 / (60 + rk_lex), 0e0)
+       |           + COALESCE(1e0 / (60 + rk_sem), 0e0) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |)
+       |SELECT doc_id, rk_lex, rk_sem, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     Q("cosine_topk", cosineTopk, Some(cosineTopkSql)),
     Q("cosine_topk_fast", cosineTopkFast, None),
     Q("cosine_near_dup", cosineNearDup, Some(cosineNearDupSql)),

@@ -376,6 +376,46 @@ object StatsOps extends QueryModule {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row gets key = -ln(u)/w where u is an md5-derived
+    * uniform in (0,1) and w its weight (doc length here); the n smallest
+    * keys ARE a weighted sample without replacement. rand()-free — u comes
+    * from a 60-bit md5 slice, so the sample is reproducible across engines,
+    * reruns, and repartitioning, and incremental appends only ever compete
+    * new rows against the incumbents' keys.
+    *
+    * Scale posture: one projection + TakeOrdered(64) — per-partition
+    * bounded heaps, no global sort, no window. Cross-engine exactness: the
+    * uniform (h+0.5)/2^60 and the division by the integer weight are pure
+    * IEEE ops on identical values; ln() is rounded to 9 decimals (the libm
+    * guard) before the division.
+    */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"),
+        h.as("hv"))
+      .filter(col("w") > 0)
+      .withColumn("u", (col("hv") + lit(0.5)) / lit(1152921504606846976e0))
+      .withColumn("skey", (lit(0.0) - round(log(col("u")), 9)) / col("w"))
+      .orderBy(col("skey"), col("doc_id")).limit(64)
+      .select(col("doc_id"), col("w"), col("skey"))
+  }
+
+  private def weightedSampleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS hv
+      |  FROM documents
+      |  WHERE length(text) > 0
+      |)
+      |SELECT doc_id, w,
+      |       (0e0 - ROUND(LN((hv + 0.5e0) / 1152921504606846976e0), 9)) / w
+      |         AS skey
+      |FROM h ORDER BY skey, doc_id LIMIT 64""".stripMargin
+
   /** Stratified deterministic sample: k=3 docs per language, chosen by
     * md5-hash order (not rand()) — reproducible across engines/partitions.
     * The per-group top-k shape (bounded heap at scale via TopKPerKey).
@@ -394,6 +434,7 @@ object StatsOps extends QueryModule {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("ols_by_type", olsByType, Some(olsByTypeSql)),

@@ -82,6 +82,90 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Query terms for the BM25 / hybrid-retrieval queries (fixed, public). */
+  private[operators] val bm25Terms = Seq("spark", "hash", "join", "vector")
+  private[operators] def bm25TermsSql: String =
+    bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  /** Okapi BM25 (k1=1.2, b=0.75) per-document scores for the fixed query
+    * term set — (doc_id, n_terms, bm25), unordered. Cross-engine exact:
+    * tf/df/dl/N stay integer; idf = round(ln(…), 6) is the single libm
+    * call (rounded to absorb ulp drift); each term's contribution is
+    * quantized to a 1e6-scaled long and summed AS LONGS (exact,
+    * order-independent), final /1e6 back to double.
+    *
+    * Scale posture: the token explode collapses in a partial agg keyed by
+    * the ≤|terms| query words, so the shuffle carries only matched
+    * (doc, term, tf) slivers; doc length rides that same pass as a
+    * grouping key (functionally dependent on doc_id — no second
+    * corpus-scale join); df (≤|terms| rows) and the corpus stats (1 row)
+    * are broadcasts.
+    */
+  private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val d = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      split(col("text"), " ").as("toks"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log(((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("s_term", round(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") * col("n_docs") / col("sum_dl")))
+          * lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("s_term")) / lit(1e6)).as("bm25"))
+  }
+
+  /** The same scored CTE, shared verbatim by the bm25 and RRF oracles. */
+  private[operators] def bm25ScoredSql: String =
+    s"""d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |         string_split(text, ' ') AS toks
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN ($bm25TermsSql)
+       |  GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), s_terms AS (
+       |  SELECT tf.doc_id,
+       |    CAST(ROUND(
+       |      ROUND(LN(((n_docs - df) + 0.5e0) / (df + 0.5e0) + 1e0), 6)
+       |      * (tf * (1.2e0 + 1e0))
+       |      / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / sum_dl))
+       |      * 1e6) AS BIGINT) AS s_term
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       |), bm AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |         CAST(SUM(s_term) AS BIGINT) / 1e6 AS bm25
+       |  FROM s_terms GROUP BY 1
+       |)""".stripMargin
+
+  /** BM25 retrieval: top-20 documents for the fixed query (TakeOrdered —
+    * never a global sort). */
+  private def bm25Score(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), col("bm25"))
+
   /** Language ID: stopword-hit ratio per language, argmax with deterministic
     * tie-break; 'und' when nothing matches. N-gram-heuristic family.
     */
@@ -415,6 +499,10 @@ object TextOps extends QueryModule {
       |WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("bm25_score", bm25Score, Some(
+      s"""WITH ${bm25ScoredSql}
+         |SELECT doc_id, n_terms, bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
     Q("shingle_novelty", shingleNovelty, Some(shingleNoveltySql)),
     Q("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Q("sequence_packing", sequencePacking, Some(sequencePackingSql)),

@@ -28,7 +28,7 @@ class HostileTextSpec extends SparkSpec {
     "contamination_check", "exact_dedup", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "cluster_keep_best", "incremental_dedup",
-    "levenshtein_pairs",
+    "levenshtein_pairs", "bm25_score", "weighted_sample",
     "multimodal_meta", "multimodal_features", "multimodal_resize",
     "multimodal_frame_sample", "source_mixture_weights")
 

@@ -90,6 +90,8 @@ class PlanShapeSpec extends SparkSpec {
       "cosine_topk", "cosine_topk_fast", "bigram_lm_score", "tf_idf",
       "source_mixture_weights", "range_join_bands",
       "dau_wau", // day-table (≈30 rows) broadcast against user-day pairs
+      // 1-row corpus-stats / query-embedding broadcasts (same class as tf_idf)
+      "bm25_score", "rrf_fusion",
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
