@@ -486,6 +486,95 @@ object RelationalOps extends QueryModule {
       .limit(20)
   }
 
+  /** PageRank over the undirected co-purchase part graph (same edge
+    * construction as copurchase_pairs, kept in both directions): 5 power
+    * iterations at damping 0.85 in pure scaled-integer arithmetic — rank
+    * is a 1e15-scaled long, the per-edge contribution is floor division
+    * (Spark `div` ≡ DuckDB `//` for non-negative operands), so both
+    * engines compute bit-identical ranks with zero float drift. Top 20
+    * parts by final rank.
+    *
+    * Scale posture: per iteration one equi-join (pr ⋈ edges on src, a
+    * key-partitioned shuffle) and one partial-aggregated groupBy(dst),
+    * each iteration materialized (cache + count) so lineage stays flat —
+    * the dedup_clusters lesson. N reaches the driver as a single count.
+    * The oracle replays all 5 iterations via a recursive CTE.
+    */
+  private val PR_ITERS = 5
+  private val PR_SCALE = 1000000000000000L // 1e15
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    val edges = a.join(b, "l_orderkey")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .cache()
+    val nodes = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg")) // distinct-neighbor degree
+      .select(col("src").as("node"), col("deg")).cache()
+    val n = nodes.count() // one long to the driver
+    val p0 = PR_SCALE / n
+    val base = (15L * p0) / 100L
+    // contribution only ever needs the SOURCE's degree → attach it to the
+    // edge list once, so the loop is one join + one agg per iteration
+    // instead of two joins — one shuffle fewer per iteration
+    val edgesD = edges.join(nodes, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg")).cache()
+    edgesD.count()
+    edges.unpersist()
+    var pr = nodes.select(col("node"), lit(p0).as("pr")).cache()
+    for (_ <- 1 to PR_ITERS) {
+      val next = pr.join(edgesD, col("node") === col("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * cs) div 100")).as("pr"))
+        .cache()
+      next.count() // materialize this iteration before dropping the last
+      pr.unpersist()
+      pr = next
+    }
+    // TakeOrdered over the cached final iteration; edgesD/nodes caches are
+    // released by the sweep's clearCache (the Q caching contract)
+    pr.join(nodes, "node")
+      .select(col("node"), col("deg"), col("pr").as("pr_scaled"))
+      .orderBy(col("pr_scaled").desc, col("node")).limit(20)
+  }
+
+  private def pagerankSql: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey
+       |), degs AS (
+       |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM degs
+       |), pr AS (
+       |  SELECT 0 AS it, node, deg,
+       |         CAST($PR_SCALE // n AS BIGINT) AS pr
+       |  FROM degs CROSS JOIN nn
+       |  UNION ALL
+       |  SELECT p.it + 1, d.node, d.deg,
+       |         CAST((15 * ($PR_SCALE // n)) // 100
+       |              + (85 * CAST(SUM(p.pr // p.deg) AS BIGINT)) // 100
+       |              AS BIGINT)
+       |  FROM pr p
+       |  JOIN edges e ON p.node = e.src
+       |  JOIN degs d ON e.dst = d.node
+       |  CROSS JOIN nn
+       |  WHERE p.it < $PR_ITERS
+       |  GROUP BY p.it, d.node, d.deg, n
+       |)
+       |SELECT node, deg, pr AS pr_scaled FROM pr WHERE it = $PR_ITERS
+       |ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin
+
   /** Month-over-month revenue: decimal-exact monthly totals + lag-based
     * percent change (round(·,3) absorbs the one cross-engine division
     * difference — none in practice, but the pattern is the safe one).
@@ -881,6 +970,7 @@ object RelationalOps extends QueryModule {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)),
+    Q("pagerank", pagerank, Some(pagerankSql)),
     Q("monthly_revenue_mom", monthlyRevenueMom, Some(
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
