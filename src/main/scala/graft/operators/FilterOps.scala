@@ -36,23 +36,37 @@ object FilterOps extends QueryModule {
       .repartition(col("doc_id")) // single-file scan → parallelize the explode
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
-    val tok = base.select(
-      col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    val bg = base.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ",
-          element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
-    val bga = bg.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max(col("c")).as("top_bigram"))
-    tok.join(bga, "doc_id")
+    // bigram stats WITHIN the row: sort the per-doc bigram array and walk
+    // runs with an aggregate HOF — the distinct count and the longest run
+    // (= max per-bigram count) fall out of one pass, so the whole metric is
+    // a projection: no explode fan-out, no groupBy shuffles, no join. The
+    // null-seeded prev handles "" tokens (hostile corpus) that a sentinel
+    // string would collide with.
+    val bgs = sort_array(transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ",
+        element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+    val runStats = aggregate(
+      bgs,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("ndist")),
+      (acc, x) => {
+        val same = acc.getField("prev") === x
+        val newRun = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"),
+          (acc.getField("ndist") + when(same, lit(0L)).otherwise(lit(1L)))
+            .as("ndist"))
+      })
+    base
+      .withColumn("rs", runStats)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        col("rs.ndist").as("n_distinct_bigrams"),
+        col("rs.best").as("top_bigram"))
       .select(
         col("doc_id"), col("n_tokens"),
         ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))

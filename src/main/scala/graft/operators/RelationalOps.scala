@@ -474,12 +474,21 @@ object RelationalOps extends QueryModule {
     * a<b count each co-occurrence once.
     */
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
+    // one shuffle total: collect each order's distinct part set (dedup
+    // happens inside the aggregate — no separate DISTINCT shuffle), then
+    // emit a<b pairs with array HOFs inside codegen instead of a self-join
+    // (which would shuffle lineitem a second time). Per-order sets are
+    // ~7 parts, so the explode fan-out is the same ~21 pairs per order the
+    // join produced — but with two fewer shuffles of the big table.
+    val pairs = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2),
+          greatest(size(col("ps")) - i - lit(1), lit(0))),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
