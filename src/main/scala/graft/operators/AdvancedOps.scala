@@ -36,6 +36,59 @@ object AdvancedOps extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Type-2 slowly-changing-dimension history (SCD2): treat the event
+    * stream as attribute changes per user and build versioned dimension
+    * rows — one row per run of a value, [valid_from, valid_to) with an
+    * open (null) end and an is_current flag on the latest. The classic
+    * warehouse history-build every dimension pipeline needs; the batch
+    * complement of the as-of lookup (asof_join reads such a history,
+    * this query WRITES one from a change log).
+    *
+    * Scale posture: two windows, both partitioned by user_id — one
+    * shuffle, linear per-partition scans; no self-join, no global
+    * window. (ts, event_id) is the total per-user order, so run
+    * boundaries are deterministic even among same-instant events.
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val chOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("change_id"))
+    events(s, dir)
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("event_id").as("change_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(chOrd))
+      .select(col("user_id"), col("change_id"), col("event_type"),
+        col("valid_from").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("valid_to").isNull.cast("long").as("is_current"))
+      .orderBy(col("user_id"), col("change_id"))
+  }
+
+  private def scd2HistorySql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev_type
+      |  FROM events WHERE user_id < 200
+      |), ch AS (
+      |  SELECT user_id, event_type, ts AS valid_from, event_id AS change_id
+      |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+      |), hist AS (
+      |  SELECT user_id, change_id, event_type, valid_from,
+      |         LEAD(valid_from) OVER (PARTITION BY user_id
+      |           ORDER BY valid_from, change_id) AS valid_to
+      |  FROM ch
+      |)
+      |SELECT user_id, change_id, event_type, valid_from, valid_to,
+      |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_current
+      |FROM hist ORDER BY user_id, change_id""".stripMargin
+
   /** The same point-in-time lookup through the custom physical operator
     * (org.apache.spark.sql.graft.AsOfJoin): events as the probe side,
     * error events as the (typically much smaller) build side, backward
@@ -335,6 +388,7 @@ object AdvancedOps extends QueryModule {
       |) ORDER BY check_name""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("data_quality_report", dataQualityReport, Some(dataQualityReportSql)),
     Q("zorder_key", zorderKey, Some(zorderKeySql)),
     Q("merge_upsert", mergeUpsert, Some(

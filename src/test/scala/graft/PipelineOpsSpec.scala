@@ -172,6 +172,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2_history builds contiguous, single-current version chains") {
+    val rows = SparkEntry.queries("scd2_history")(spark, sf001)
+      .select($"user_id", $"change_id", $"event_type",
+        unix_micros($"valid_from".cast("timestamp")),
+        unix_micros($"valid_to".cast("timestamp")))
+      .as[(Long, Long, String, Long, Option[Long])].collect()
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val chain = g.sortBy(_._2)
+      // exactly one open (current) row per user, and it is the last
+      assert(chain.count(_._5.isEmpty) === 1, s"user $u current-row count")
+      assert(chain.last._5.isEmpty, s"user $u open row not last")
+      // contiguity: each row closes exactly where the next opens
+      chain.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u gap between versions")
+          // a run boundary means the value actually changed
+          assert(a._3 !== b._3, s"user $u adjacent versions share a value")
+        case _ => ()
+      }
+    }
+  }
+
   test("stratified_sample yields k deterministic rows per language") {
     val rows = SparkEntry.queries("stratified_sample")(spark, sf001)
       .select($"lang", $"rk", $"doc_id").as[(String, Long, Long)].collect()
