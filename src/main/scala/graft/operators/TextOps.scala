@@ -108,10 +108,14 @@ object TextOps extends QueryModule {
       size(split(col("text"), " ")).cast("long").as("dl"),
       split(col("text"), " ").as("toks"))
     val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // cached: tf feeds both the score join and the df aggregate — without
+    // the cache the corpus scan + explode + aggregate runs twice (the
+    // PrefixOps diamond lesson, confirmed in this query's physical plan)
     val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
