@@ -513,13 +513,17 @@ object RelationalOps extends QueryModule {
   private val PR_SCALE = 1000000000000000L // 1e15
 
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    val edges = a.join(b, "l_orderkey")
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    // directed edge pairs straight from each order's distinct part set
+    // (collect_set dedups inside the aggregate; the pair fan-out happens in
+    // array HOFs) — one shuffle of lineitem instead of a DISTINCT shuffle
+    // plus a self-join shuffle, same trick as copurchase_pairs
+    val edges = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y =!= x),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
       .cache()
     val nodes = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("deg")) // distinct-neighbor degree

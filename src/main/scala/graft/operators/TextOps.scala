@@ -315,6 +315,9 @@ object TextOps extends QueryModule {
           i => concat_ws(" ",
             element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
+      // cached: bg feeds the bigram counts, the unigram counts AND the final
+      // scoring join — without this the corpus scan + explode runs three times
+      .cache()
     val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = docs(s, dir)
