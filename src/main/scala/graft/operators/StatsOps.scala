@@ -255,15 +255,26 @@ object StatsOps extends QueryModule {
     * float formulation is the correct tool.
     */
   private def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
-    val wx = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    val wy = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-      .orderBy(get_json_object(col("props"), "$.k").cast("double"), col("event_id"))
-    Tables.t(s, dir, "events")
-      .select(col("event_type"),
-        row_number().over(wx).cast("long").as("rx"),
-        row_number().over(wy).cast("long").as("ry"))
+    // ranks via the PrefixOps two-level prefix sum, NOT raw-row windows
+    // partitioned by event_type: event_type has a handful of values, so a
+    // plain window funnels the whole corpus through ~5 reducers — the same
+    // bounded-reducer class equidepth_histogram was flagged for. Each
+    // PrefixOps pass buckets by its own monotone rank key, so the sort
+    // parallelism is buckets × groups regardless of group cardinality.
+    // (yk is never null in this corpus — matching the oracle's default
+    // ordering — but the bucket key is coalesced so a null could only
+    // land where NULLS FIRST would put it anyway.)
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("yk"))
+    val rx = PrefixOps.withGlobalPrefix(ev, col("value"),
+        Seq(col("value"), col("event_id")), groupKeys = Seq("event_type"))
+      .withColumnRenamed("g_rank", "rx").drop("g_n")
+    val ranked = PrefixOps.withGlobalPrefix(rx,
+        coalesce(col("yk"), lit(Double.MinValue)),
+        Seq(col("yk"), col("event_id")), groupKeys = Seq("event_type"))
+      .withColumnRenamed("g_rank", "ry").drop("g_n")
+    ranked.select(col("event_type"), col("rx"), col("ry"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
