@@ -62,9 +62,19 @@ object PrefixOps {
     val stats = df.groupBy(gcols: _*)
       .agg(min(bucketBy).cast("double").as("_lo"),
         max(bucketBy).cast("double").as("_hi"))
+    // null-safe key equality (<=>): Window.partitionBy treats NULL as its
+    // own group, so the replacement must too — a plain equi-join would
+    // silently drop every null-group row on re-entry
     val withStats =
       if (groupKeys.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(broadcast(stats), groupKeys)
+      else {
+        val st = stats.select(
+          groupKeys.map(k => col(k).as(s"_st_$k")) ++
+            Seq(col("_lo"), col("_hi")): _*)
+        df.join(broadcast(st),
+            groupKeys.map(k => col(k) <=> col(s"_st_$k")).reduce(_ && _))
+          .drop(groupKeys.map(k => s"_st_$k"): _*)
+      }
     // uniform-width monotone bucketer; floor/least keep it in [0, buckets)
     val span = col("_hi") - col("_lo") + lit(1.0)
     val bkt = least(lit((buckets - 1).toLong), greatest(lit(0L),
@@ -113,8 +123,14 @@ object PrefixOps {
         .withColumn(s"g_tot_$c", sum(col(s"_p_$c")).over(totW)))
       .drop(("_p_n" +: sums.map(c => s"_p_$c")) :+ "_g0": _*)
 
-    // 4. broadcast offsets back; global = bucket offset + local partial
-    val joined = local.join(broadcast(offs), groupKeys :+ "_bkt")
+    // 4. broadcast offsets back (same null-safe keys); global = bucket
+    // offset + local partial
+    val offsRenamed = offs.select(offs.columns.map(c =>
+      if (groupKeys.contains(c) || c == "_bkt") col(c).as(s"_of_$c")
+      else col(c)): _*)
+    val joined = local.join(broadcast(offsRenamed),
+        (groupKeys :+ "_bkt").map(k => col(k) <=> col(s"_of_$k")).reduce(_ && _))
+      .drop((groupKeys :+ "_bkt").map(k => s"_of_$k"): _*)
     val out = sums.foldLeft(
       joined.withColumn("g_rank", col("_goff_n") + col("_lrn")))(
       (d, c) => d.withColumn(s"g_run_$c", col(s"_goff_$c") + col(s"_lrun_$c")))

@@ -25,6 +25,15 @@ case class KafkaShaped(
 final class TopicTableSink(path: String) extends Serializable {
   def append(df: DataFrame): Unit =
     df.write.mode("append").parquet(path)
+  /** Idempotent per-batch write: the batch's rows land in their own
+    * `batch=<id>` subdir with overwrite semantics, so a checkpoint replay
+    * of the same micro-batch rewrites the same files instead of appending
+    * duplicates. Use from foreachBatch sinks that claim exactly-once.
+    * (Don't mix with `append` on one path: read() discovers `batch` as a
+    * partition column only when every file lives under a batch= dir.)
+    */
+  def appendBatch(df: DataFrame, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
@@ -286,12 +295,14 @@ object StreamJobs {
     val counts = windowedCounts(input, window_, watermark)
     val base = counts.writeStream.outputMode("append").trigger(trigger)
     checkpoint.foreach(base.option("checkpointLocation", _))
-    base.foreachBatch { (df: DataFrame, _: Long) =>
+    base.foreachBatch { (df: DataFrame, batchId: Long) =>
       if (!df.isEmpty) {
         val w = Window.partitionBy(col("window_start"))
           .orderBy(col("n").desc, col("key"))
-        out.append(df.withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= k))
+        // batch-keyed overwrite: a post-crash replay of this batch rewrites
+        // the same batch=<id> dir instead of appending duplicate rank rows
+        out.appendBatch(df.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= k), batchId)
       }
       ()
     }.start()
@@ -425,7 +436,10 @@ object StreamJobs {
       Encoders.kryo[Seq[(Long, String)]]
     def tag(df: DataFrame, kind: String) = df.select(
         coalesce(col("key"), lit("")).as("key"), lit(kind).as("kind"),
-        col("value"), (unix_timestamp(col("timestamp")) * 1000).as("tsMs"))
+        // unix_millis, NOT unix_timestamp*1000: the latter truncates to
+        // whole seconds, which would let an update from later in the same
+        // second tie with — and apply to — an earlier event
+        col("value"), unix_millis(col("timestamp")).as("tsMs"))
       .as[TemporalTagged]
     tag(updates, "u").union(tag(events, "e"))
       .groupByKey(_.key)
@@ -435,8 +449,11 @@ object StreamJobs {
         (key, rows, state: GroupState[Seq[(Long, String)]]) =>
           var versions = state.getOption.getOrElse(Seq.empty)
           val out = Seq.newBuilder[EnrichedEvent]
-          // event-time order within the batch; updates beat events on ties
-          rows.toSeq.sortBy(r => (r.tsMs, if (r.kind == "u") 0 else 1))
+          // event-time order within the batch; updates beat events on ties.
+          // value is the final tiebreak so two same-instant updates resolve
+          // identically on every run (max value wins via last-write below)
+          // instead of by shuffle arrival order.
+          rows.toSeq.sortBy(r => (r.tsMs, if (r.kind == "u") 0 else 1, r.value))
             .foreach { r =>
               if (r.kind == "u") {
                 versions = ((r.tsMs, r.value) +: versions.filterNot(_._1 == r.tsMs))

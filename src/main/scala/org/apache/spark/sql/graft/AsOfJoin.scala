@@ -151,7 +151,18 @@ object AsOfJoin {
         case other => other
       }
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // self-join guard: a normal Dataset.join runs DeduplicateRelations, but
+    // this node is spliced in post-analysis, so two sides sharing lineage
+    // would carry the SAME exprIds and output/binding would be ambiguous.
+    // Re-aliasing the right side's output mints fresh ids at its root —
+    // ids below the Project no longer surface in this node's output.
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rPlan0)
     val lRes = resolver(lPlan)
     val rRes = resolver(rPlan)
     ClassicDataset.ofRows(classic, AsOfJoinNode(lPlan, rPlan,

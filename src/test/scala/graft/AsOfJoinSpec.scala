@@ -38,6 +38,27 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some(120L), 5L -> None, 6L -> None))
   }
 
+  test("self-join (shared lineage) resolves: right side re-aliased, no exprId clash") {
+    // both sides carry the SAME un-aliased k/ts attributes (same exprIds) —
+    // exactly the shape the dedup guard must re-alias; output columns are
+    // read positionally (lOut ++ rOut) since both sides expose k/ts by name
+    val base = quotes.select(col("q_key").as("k"), col("q_ts").as("ts"),
+      col("price").as("p"))
+    val left = base.select(col("k"), col("ts"), col("p").as("probe_p"))
+    val right = base.select(col("k"), col("ts"), col("p").as("build_p"))
+    assert(left.queryExecution.analyzed.outputSet
+      .intersect(right.queryExecution.analyzed.outputSet).nonEmpty,
+      "fixture must actually share exprIds across sides")
+    val joined = AsOfJoin(left, right,
+      Seq(col("k")), Seq(col("k")), Seq(col("ts")), Seq(col("ts")))
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(5))).toSet
+    // every row as-of-matches itself (tie at its own ts ⇒ build_p = probe_p)
+    assert(got === Set(
+      ("A", 10L, 100L, 100L), ("A", 20L, 110L, 110L),
+      ("A", 30L, 120L, 120L), ("B", 15L, 500L, 500L)))
+  }
+
   test("plan is the sorted-merge operator: one exchange + sort per side, no window") {
     val df = AsOfJoin(trades, quotes,
       Seq(col("t_key")), Seq(col("q_key")),

@@ -55,6 +55,21 @@ class PrefixOpsSpec extends SparkSpec {
     assert(sizes.isEmpty)
   }
 
+  test("NULL group keys rank as their own group, like the window they replace") {
+    val rows = Seq(
+      (1L, Some("a"), 30L), (2L, Some("a"), 10L), (3L, None, 20L),
+      (4L, None, 5L), (5L, Some("b"), 7L)).toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expected = rows.withColumn("rk", row_number().over(w).cast("long"))
+      .select("id", "rk")
+    val got = PrefixOps.withGlobalPrefix(
+        rows, col("v"), Seq(col("v"), col("id")), groupKeys = Seq("g"),
+        buckets = 4)
+      .select(col("id"), col("g_rank").as("rk"))
+    assert(got.count() === 5, "null-group rows must not be dropped")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("ntileFromRank reproduces ntile for divisible, ragged, and tiny totals") {
     for (total <- Seq(1, 3, 4, 7, 99, 100); n <- Seq(4, 10)) {
       val rows = (1 to total).map(i => (i.toLong, i.toLong)).toDF("id", "v")

@@ -469,6 +469,33 @@ class StreamJobsSpec extends SparkSpec {
     assert(rows("e-nodim") === Some("w1"))    // update sorts before event in-batch
   }
 
+  test("TopicTableSink.appendBatch is idempotent under batch replay") {
+    val sink = new TopicTableSink(tmp() + "/t")
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    sink.appendBatch(df, 7)
+    sink.appendBatch(df, 7) // checkpoint replay of the same batch
+    assert(sink.read(spark).count() === 1)
+    sink.appendBatch(Seq(("b", 2L)).toDF("k", "n"), 8)
+    assert(sink.read(spark).count() === 2)
+  }
+
+  test("temporalEnrich keeps millisecond order (no whole-second truncation)") {
+    val upd = MemoryStream[KafkaShaped]
+    val ev = MemoryStream[KafkaShaped]
+    def ms(key: String, value: String, millis: Long, off: Long) =
+      KafkaShaped(key, value, "page_visits", 0, off, new Timestamp(millis))
+    val q = StreamJobs.temporalEnrich(upd.toDF(), ev.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("tems").start()
+    // update at 1.9s is WITHIN the same whole second as the event at 1.1s —
+    // second-truncated timestamps would tie them and wrongly apply v1
+    upd.addData(ms("k", "v0", 500, 0), ms("k", "v1", 1900, 1))
+    ev.addData(ms("k", "e", 1100, 0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("select value, dim_value from tems")
+      .as[(String, Option[String])].collect().toMap
+    assert(rows("e") === Some("v0"))
+  }
+
   test("temporalEnrich bounds state to maxVersions, evicting oldest versions") {
     val upd = MemoryStream[KafkaShaped]
     val ev = MemoryStream[KafkaShaped]
