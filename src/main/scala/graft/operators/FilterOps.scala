@@ -291,7 +291,62 @@ object FilterOps extends QueryModule {
       |FROM per_source CROSS JOIN totals
       |ORDER BY source""".stripMargin
 
+  /** Temperature-scaled source mixing (T = 2): the data-mixing step that
+    * UP-samples small sources and DOWN-samples dominant ones by drawing
+    * per-source quotas ∝ √n_s (count^(1/T)) and filling each quota with the
+    * md5-first documents of that source. All quota arithmetic is exact:
+    * √n is IEEE-correctly-rounded (unlike ln/exp, sqrt is exact per
+    * IEEE 754), floored to integer millis, and the quota is an integer
+    * ratio — no engine-dependent float path. The per-source rank is a
+    * partitioned window (bounded-heap shape at scale); quotas ride a
+    * broadcast of a sources-sized table.
+    */
+  private def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_milli",
+        floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+    val tot = perSource.agg(sum(col("s_milli")).as("tot_milli"))
+    val quotas = perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(120 * s_milli) div tot_milli").as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("rk"), col("doc_id"), col("quota"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val temperatureMixtureSql: String =
+    """WITH per_source AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT)
+      |      AS s_milli
+      |  FROM documents GROUP BY source
+      |), quotas AS (
+      |  SELECT source, n_docs,
+      |    (120 * s_milli) // (SELECT CAST(SUM(s_milli) AS BIGINT)
+      |                        FROM per_source) AS quota
+      |  FROM per_source
+      |), ranked AS (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      |  FROM documents
+      |)
+      |SELECT source, rk, doc_id, quota
+      |FROM ranked JOIN quotas USING (source)
+      |WHERE rk <= quota
+      |ORDER BY source, rk""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("repetition_score", repetitionScore, Some(repetitionScoreSql)),
     Q("gopher_quality_filter", gopherQualityFilter, Some(gopherQualityFilterSql)),
     Q("boilerplate_shingles", boilerplateShingles, Some(boilerplateShinglesSql)),

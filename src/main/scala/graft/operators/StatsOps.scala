@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -444,7 +445,137 @@ object StatsOps extends QueryModule {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Robust outlier detection per event_type: lower-median, median absolute
+    * deviation (MAD), and the count of values beyond 3·MAD — the robust
+    * z-score data-quality check. Both medians rank the COMPRESSED value
+    * domain (groupBy (type, cents) first, cumulative count over distinct
+    * values), so the windows scan |distinct values| rows, not |events| —
+    * the same scale posture as exact_percentiles. All arithmetic in exact
+    * integer cents; the lower median (smallest value whose cumulative count
+    * reaches ⌈n/2⌉) avoids cross-engine interpolation entirely.
+    */
+  private def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    def lowerMedian(df: DataFrame, valueCol: String, outName: String): DataFrame = {
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= ceil(col("n") / 2.0), col(valueCol)))
+          .as(outName))
+    }
+    val med = lowerMedian(ev, "vc", "med_c")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("vc") - col("med_c")))
+    val mad = lowerMedian(dev, "dev", "mad_c")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med_c")).as("med_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("dev") > lit(3) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("med_c").cast("double") / 100.0).as("median"),
+        (col("mad_c").cast("double") / 100.0).as("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val madOutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), med AS (
+      |  SELECT event_type, MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN vc END) AS med_c
+      |  FROM (SELECT event_type, vc, cnt,
+      |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |                         ROWS UNBOUNDED PRECEDING) AS cum,
+      |          SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |        FROM (SELECT event_type, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2))
+      |  GROUP BY event_type
+      |), dev AS (
+      |  SELECT ev.event_type, ABS(vc - med_c) AS dev, med_c
+      |  FROM ev JOIN med USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN dev END) AS mad_c
+      |  FROM (SELECT event_type, dev, cnt,
+      |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+      |                         ROWS UNBOUNDED PRECEDING) AS cum,
+      |          SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |        FROM (SELECT event_type, dev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2))
+      |  GROUP BY event_type
+      |)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(med_c) AS DOUBLE) / 100.0 AS median,
+      |  CAST(MAX(m.mad_c) AS DOUBLE) / 100.0 AS mad,
+      |  CAST(SUM(CASE WHEN dev > 3 * m.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exponential smoothing (α = ½) of the per-type DAILY value series —
+    * ema_d = ⌊(ema_{d-1} + mean_d) / 2⌋ in exact integer micros. Two-level
+    * shape: the heavy step is one hash-aggregate to (type, day, mean);
+    * the recurrence — inherently sequential, floor-rounded so no scan
+    * reformulation is exact — then folds over a CALENDAR-BOUNDED array
+    * (~30 rows/key here, 365/key/year at any corpus size), never over raw
+    * events. Prefix re-folds are O(days²) per key on post-aggregate data.
+    */
+  private def emaDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 1e6).cast("long"))
+        .cast("long")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("sum_micro div cnt"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("mean_micro"))))
+        .as("xs"))
+      .select(col("event_type"), explode(expr(
+        """transform(sequence(1, size(xs)), d ->
+          |  named_struct(
+          |    'day', xs[d - 1].day,
+          |    'mean_micro', xs[d - 1].mean_micro,
+          |    'ema_micro', aggregate(slice(xs, 1, d), CAST(NULL AS BIGINT),
+          |      (acc, x) -> coalesce((acc + x.mean_micro) div 2,
+          |                           x.mean_micro))))""".stripMargin)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.mean_micro").as("mean_micro"), col("r.ema_micro").as("ema_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val emaDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+      |  FROM events GROUP BY 1, 2
+      |), packed AS (
+      |  SELECT event_type,
+      |    list(day ORDER BY day) AS days,
+      |    list(mean_micro ORDER BY day) AS means
+      |  FROM daily GROUP BY 1
+      |), unrolled AS (
+      |  SELECT event_type, unnest(generate_series(1, len(days))) AS d,
+      |         days, means
+      |  FROM packed
+      |)
+      |SELECT event_type, days[d] AS day, means[d] AS mean_micro,
+      |  list_reduce(list_slice(means, 1, d),
+      |              (acc, x) -> (acc + x) // 2) AS ema_micro
+      |FROM unrolled ORDER BY event_type, day""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("mad_outliers", madOutliers, Some(madOutliersSql)),
+    Q("ema_daily", emaDaily, Some(emaDailySql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),

@@ -510,7 +510,84 @@ object TextOps extends QueryModule {
       |SELECT doc_id, new_tokens, vocab_size FROM curve
       |WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
 
+  /** BPE-training inner step: global counts of ADJACENT token pairs — the
+    * statistic a byte-pair-encoding trainer recomputes each merge round to
+    * pick the next merge. explode → partial hash-agg → pre-shuffle top-k;
+    * the shuffle carries (pair, partial count), never raw text. Docs with
+    * fewer than two tokens are filtered BEFORE the index explode (Spark's
+    * `sequence(1, 0)` runs downward — the known divergence class).
+    */
+  private def bpePairCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(50)
+
+  private val bpePairCountsSql: String =
+    """SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+      |FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      |      FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+      |      WHERE len(toks) >= 2)
+      |GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin
+
+  /** Unigram Shannon entropy per document — the information-density quality
+    * signal (low entropy = templated/repetitive text). Exact cross-engine
+    * arithmetic: per-(doc, term) ln(count) quantized to millis (the
+    * double-round ulp-absorbing pattern from bigram_lm_score), summed as
+    * BIGINT, and H = ln n − Σ c·ln c / n assembled in integer micros with
+    * one final IEEE division. Two hash-aggregates over exploded tokens;
+    * the shuffle carries (doc, term, partial count).
+    */
+  private def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lc_milli",
+        round(round(log(col("c").cast("double")), 3) * 1000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("c") * col("lc_milli")).as("s_milli"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_terms"),
+        ((round(round(log(col("n_tokens").cast("double")), 3) * 1000)
+            .cast("long") * 1000 -
+          expr("(s_milli * 1000) div n_tokens")).cast("double") / 1e6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+
+  private val tokenEntropySql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(c * CAST(ROUND(ROUND(ln(c), 3) * 1000) AS BIGINT))
+      |         AS BIGINT) AS s_milli
+      |  FROM tc GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens, n_terms,
+      |  CAST(CAST(ROUND(ROUND(ln(n_tokens), 3) * 1000) AS BIGINT) * 1000
+      |       - (s_milli * 1000) // n_tokens AS DOUBLE) / 1e6 AS entropy
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
+    Q("token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("bm25_score", bm25Score, Some(
       s"""WITH ${bm25ScoredSql}
          |SELECT doc_id, n_terms, bm25 FROM bm

@@ -93,6 +93,7 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row corpus-stats / query-embedding broadcasts (same class as tf_idf)
       "bm25_score", "rrf_fusion",
       "q22_idle_customers", // 1-row positive-balance mean broadcast
+      "temperature_mixture", // 1-row Σ√n quota denominator broadcast
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

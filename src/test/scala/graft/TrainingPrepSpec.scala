@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 training-prep additions: BPE pair counting, token entropy,
+  * robust (MAD) outliers, daily exponential smoothing, temperature-scaled
+  * source mixing. Each test recomputes the statistic independently in
+  * plain Scala over the collected sf0.001 inputs.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docRows: Seq[(Long, String)] =
+    Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+  test("bpe_pair_counts matches a plain-Scala adjacent-pair count") {
+    val expected = docRows
+      .flatMap { case (_, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < 2) Nil
+        else toks.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("bpe_pair_counts")(spark, sf001)
+      .as[(String, Long)].collect()
+    assert(got.length === math.min(50, expected.size))
+    got.foreach { case (pair, freq) =>
+      assert(expected(pair) === freq, s"pair '$pair'")
+    }
+    // top-50 really is the top: every returned freq >= every excluded freq
+    val floor = got.map(_._2).min
+    val excluded = expected.filter { case (p, _) => !got.exists(_._1 == p) }
+    assert(excluded.values.forall(_ <= floor))
+  }
+
+  test("token_entropy: ln(n) for all-distinct docs, 0 for constant docs, within [0, ln n]") {
+    val byDoc = docRows.toMap
+    val got = SparkEntry.queries("token_entropy")(spark, sf001)
+      .select($"doc_id", $"n_tokens", $"entropy").as[(Long, Long, Double)]
+      .collect()
+    assert(got.length === byDoc.size)
+    got.foreach { case (id, n, h) =>
+      val toks = byDoc(id).split(" ", -1)
+      assert(n === toks.length.toLong)
+      assert(h >= -1e-9 && h <= math.log(n.toDouble) + 1e-3, s"doc $id")
+      if (toks.distinct.length == toks.length)
+        assert(math.abs(h - math.log(n.toDouble)) < 2e-3, s"distinct doc $id")
+      if (toks.distinct.length == 1)
+        assert(math.abs(h) < 1e-9, s"constant doc $id")
+    }
+  }
+
+  test("mad_outliers matches an independent lower-median/MAD computation") {
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"event_type", round($"value" * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((math.ceil(xs.size / 2.0) - 1).toInt)
+    }
+    val got = SparkEntry.queries("mad_outliers")(spark, sf001)
+      .select($"event_type", $"n", $"median", $"mad", $"n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect()
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.map(_._1).toSeq === byType.keys.toSeq.sorted)
+    got.foreach { case (t, n, med, mad, nOut) =>
+      val vs = byType(t)
+      val m = lowerMedian(vs)
+      val d = vs.map(v => math.abs(v - m))
+      val md = lowerMedian(d)
+      assert(n === vs.size.toLong)
+      assert(med === m / 100.0)
+      assert(mad === md / 100.0)
+      assert(nOut === d.count(_ > 3 * md).toLong)
+    }
+  }
+
+  test("ema_daily equals the sequential integer fold of daily means") {
+    val daily = Tables.t(spark, sf001, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg((sum(round($"value" * 1e6).cast("long"))).as("s"), count(lit(1)).as("c"))
+      .select($"event_type", $"day".cast("string"), expr("s div c"))
+      .as[(String, String, Long)].collect().toSeq
+    val got = SparkEntry.queries("ema_daily")(spark, sf001)
+      .select($"event_type", $"day".cast("string"), $"mean_micro", $"ema_micro")
+      .as[(String, String, Long, Long)].collect()
+    val byType = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(x => (x._2, x._3))).toMap
+    byType.foreach { case (t, series) =>
+      var ema = series.head._2
+      val expected = series.zipWithIndex.map { case ((day, mean), i) =>
+        if (i > 0) ema = Math.floorDiv(ema + mean, 2) // positives: = trunc div
+        (day, mean, ema)
+      }
+      val gotT = got.filter(_._1 == t).map(r => (r._2, r._3, r._4)).toSeq
+      assert(gotT === expected, s"type $t")
+    }
+  }
+
+  test("temperature_mixture: sqrt quotas rebalance toward small sources, md5-first fill") {
+    val counts = Tables.t(spark, sf001, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val sMilli = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1000).toLong).toMap
+    val tot = sMilli.values.sum
+    val quotas = sMilli.view.mapValues(s => 120L * s / tot).toMap
+    val got = SparkEntry.queries("temperature_mixture")(spark, sf001)
+      .select($"source", $"rk", $"doc_id", $"quota")
+      .as[(String, Long, Long, Long)].collect()
+    // quota column matches the closed form; every source fills exactly quota rows
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.head._4 === quotas(src))
+      assert(rows.length.toLong === math.min(quotas(src), counts(src)))
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // temperature flattening: sampled share of the smallest source exceeds
+    // its corpus share, and the largest source's is reduced
+    val (minSrc, maxSrc) = (counts.minBy(_._2)._1, counts.maxBy(_._2)._1)
+    if (minSrc != maxSrc && counts(minSrc) < counts(maxSrc)) {
+      val totalDocs = counts.values.sum.toDouble
+      val sampled = got.length.toDouble
+      assert(quotas(minSrc) / sampled >= counts(minSrc) / totalDocs - 1e-9)
+      assert(quotas(maxSrc) / sampled <= counts(maxSrc) / totalDocs + 1e-9)
+    }
+  }
+}
