@@ -877,6 +877,113 @@ object RelationalOps extends QueryModule {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Q2 analog: cheapest supplier per qualifying part in a region. With no
+    * partsupp the supply relation derives from lineitem — per (part,
+    * supplier) the minimum observed unit price in exact cents (IEEE
+    * division of identical doubles, then round — engine-stable). The
+    * correlated MIN-per-part is the classic agg + equality join-back;
+    * part filter and region-filtered supplier dims broadcast.
+    */
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val euro = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val parts = t(s, dir, "part")
+      .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      .select(col("p_partkey"))
+    val wps = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity") * 100)
+        .cast("long")).as("cost_c"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
+    val minc = wps.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost_c")).as("min_c"))
+    wps.join(minc, col("l_partkey") === col("mk") && col("cost_c") === col("min_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"),
+        (col("cost_c").cast("double") / 100.0).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11 analog: parts whose inventory value (shipped value by one
+    * nation's suppliers) exceeds twice the mean
+    * per-part value for that nation — an SF-invariant threshold (the
+    * official query's 0.0001/SF fraction, re-expressed so it survives any
+    * corpus size). The global (total, n_parts) pair is a 1-row broadcast
+    * compared in exact integer cents: value·n > 2·total.
+    */
+  private def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val pv = t(s, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_c"))
+    val tot = pv.agg(sum(col("value_c")).as("tot_c"),
+      count(lit(1)).as("n_parts"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_c") * col("n_parts") > lit(2) * col("tot_c"))
+      .select(col("l_partkey"),
+        (col("value_c").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q12 analog: order-priority mix by shipping speed. The missing
+    * shipmode/receiptdate pair becomes a derived FAST/SLOW band on
+    * ship-lag days; the two-arm conditional count is the official shape.
+    * One fact join, one 2-row aggregate. */
+  private def q12ShipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("speed",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "FAST")
+          .otherwise("SLOW"))
+      .groupBy(col("speed"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("speed"))
+  }
+
+  /** Q20 analog: suppliers shipping an outsized share of some red part —
+    * share > 2× the per-part mean share, i.e. qty·n_supp > 2·total in
+    * exact integer cents over the (part, supplier) aggregate (the
+    * compressed domain; the window never sees raw lineitems). Green-part
+    * filter broadcasts into the fact scan; the qualifying-supplier set
+    * rides a left-semi join. */
+  private def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val greenParts = t(s, dir, "part")
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val qualified = t(s, dir, "lineitem")
+      .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+      .withColumn("tot_c", sum(col("qty_c")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .filter(col("qty_c") * col("n_supp") > lit(2) * col("tot_c"))
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(
       """SELECT l_returnflag, l_linestatus,
@@ -1211,6 +1318,82 @@ object RelationalOps extends QueryModule {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("q2_min_cost_supplier", q2MinCostSupplier, Some(
+      """WITH euro AS (
+        |  SELECT n_nationkey, n_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), wps AS (
+        |  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name, cost_c
+        |  FROM (SELECT l_partkey, l_suppkey,
+        |          MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+        |            AS cost_c
+        |        FROM lineitem GROUP BY 1, 2)
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN euro ON s_nationkey = n_nationkey
+        |  WHERE p_size <= 15 AND p_type = 'LARGE'
+        |)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |  CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+        |FROM wps w1
+        |WHERE cost_c = (SELECT MIN(cost_c) FROM wps w2
+        |                WHERE w2.l_partkey = w1.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)),
+    Q("q11_important_stock", q11ImportantStock, Some(
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS value_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_9')
+        |  GROUP BY 1
+        |)
+        |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+        |FROM pv
+        |WHERE value_c * (SELECT CAST(COUNT(*) AS BIGINT) FROM pv)
+        |      > 2 * (SELECT CAST(SUM(value_c) AS BIGINT) FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin)),
+    Q("q12_shipmode_priority", q12ShipmodePriority, Some(
+      """SELECT speed,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |              CAST(l_shipdate AS DATE)) <= 30
+        |         THEN 'FAST' ELSE 'SLOW' END AS speed
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q20_excess_suppliers", q20ExcessSuppliers, Some(
+      """WITH pq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'red%')
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, qty_c,
+        |      SUM(qty_c) OVER (PARTITION BY l_partkey) AS tot_c,
+        |      COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+        |    FROM pq)
+        |  WHERE qty_c * n_supp > 2 * tot_c
+        |)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM sh)
+        |ORDER BY s_name, s_suppkey""".stripMargin)),
     Q("q4_priority_count", q4PriorityCount, Some(
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         |FROM orders

@@ -471,8 +471,10 @@ object StatsOps extends QueryModule {
           .as(outName))
     }
     val med = lowerMedian(ev, "vc", "med_c")
+    // consumed twice (MAD ranking + the final outlier count) — Q contract
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("vc") - col("med_c")))
+      .cache()
     val mad = lowerMedian(dev, "dev", "mad_c")
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
