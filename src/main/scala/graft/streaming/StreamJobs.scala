@@ -510,6 +510,55 @@ object StreamJobs {
       }
   }
 
+  /** One observed metric sample on a keyed stream. */
+  case class MetricPoint(key: String, tsMs: Long, value: Double)
+  /** An emitted anomaly: the sample plus the state it violated. */
+  case class AnomalyFlag(key: String, tsMs: Long, value: Double,
+      mean: Double, stddev: Double, n_prior: Long)
+
+  /** Streaming per-key anomaly detection via flatMapGroupsWithState — the
+    * online z-score monitor every metrics pipeline runs. State per key is
+    * the Welford triple (n, mean, M2): O(keys), independent of stream
+    * volume, numerically stable (no catastrophic Σx² − (Σx)² cancellation),
+    * and mergeable enough to checkpoint-restart. A sample is flagged when
+    * the key has ≥ `minPrior` prior samples and |x − μ| > `k`·σ against the
+    * PRIOR state; every sample then folds into the state (flagged ones
+    * included — the monitor adapts rather than latching). Rows are folded
+    * in event-time order within each micro-batch (sorted per group), so
+    * replaying the same batch boundaries is deterministic.
+    */
+  def anomalyDetect(input: org.apache.spark.sql.Dataset[MetricPoint],
+      k: Double = 3.0, minPrior: Long = 5L)
+      : org.apache.spark.sql.Dataset[AnomalyFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val stateEnc: Encoder[(Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[AnomalyFlag] = Encoders.product[AnomalyFlag]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double, Double), AnomalyFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[(Long, Double, Double)]) =>
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = Seq.newBuilder[AnomalyFlag]
+          rows.toSeq.sortBy(r => (r.tsMs, r.value)).foreach { r =>
+            if (n >= minPrior) {
+              val sd = math.sqrt(m2 / n)
+              if (math.abs(r.value - mean) > k * sd)
+                out += AnomalyFlag(key, r.tsMs, r.value, mean, sd, n)
+            }
+            n += 1
+            val d = r.value - mean
+            mean += d / n
+            m2 += d * (r.value - mean)
+          }
+          state.update((n, mean, m2))
+          out.result().iterator
+      }
+  }
+
   /** The reference's foreachPartition open/write/close lifecycle
     * (KafkaStreamerToHbase.scala:88-167) as a real ForeachWriter; sinks each
     * record into a per-JVM buffer keyed by a test-supplied id. */

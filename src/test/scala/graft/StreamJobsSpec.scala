@@ -469,6 +469,40 @@ class StreamJobsSpec extends SparkSpec {
     assert(rows("e-nodim") === Some("w1"))    // update sorts before event in-batch
   }
 
+  test("anomalyDetect flags z>3 samples against prior Welford state, per key") {
+    import StreamJobs.MetricPoint
+    val in = MemoryStream[MetricPoint]
+    val q = StreamJobs.anomalyDetect(in.toDS(), k = 3.0, minPrior = 5L)
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    // batch 1: 6 calm samples for key a (the 6th is judged against 5 priors)
+    val calm = (1 to 6).map(i => MetricPoint("a", i * 100L, 10.0 + (i % 2)))
+    in.addData(calm: _*)
+    q.processAllAvailable()
+    // batch 2: one spike for a, a calm tail, and a fresh key b (never
+    // enough priors to judge)
+    in.addData(MetricPoint("a", 700, 99.0), MetricPoint("a", 800, 10.5),
+      MetricPoint("b", 100, 5.0), MetricPoint("b", 200, 500.0))
+    q.processAllAvailable(); q.stop()
+    val flags = spark.sql("select key, tsMs, value, mean, stddev, n_prior from anom")
+      .as[(String, Long, Double, Double, Double, Long)].collect().sortBy(_._2)
+
+    // independent sequential replay with the same batch/ts fold order
+    var (n, mean, m2) = (0L, 0.0, 0.0)
+    val expected = Seq.newBuilder[(String, Long, Double, Double, Double, Long)]
+    (calm ++ Seq(MetricPoint("a", 700, 99.0), MetricPoint("a", 800, 10.5)))
+      .foreach { r =>
+        if (n >= 5 && math.abs(r.value - mean) > 3.0 * math.sqrt(m2 / n))
+          expected += (("a", r.tsMs, r.value, mean, math.sqrt(m2 / n), n))
+        n += 1
+        val d = r.value - mean; mean += d / n; m2 += d * (r.value - mean)
+      }
+    assert(flags.toSeq === expected.result())
+    assert(flags.map(_._1).toSet === Set("a")) // b never reaches minPrior
+    assert(flags.exists(f => f._2 === 700L && f._3 === 99.0))
+    assert(!flags.exists(_._2 === 800L)) // post-spike calm sample: the
+    // monitor adapted (spike folded in) but 10.5 is within 3σ of the new state
+  }
+
   test("TopicTableSink.appendBatch is idempotent under batch replay") {
     val sink = new TopicTableSink(tmp() + "/t")
     val df = Seq(("a", 1L)).toDF("k", "n")
