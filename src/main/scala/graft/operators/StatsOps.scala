@@ -575,7 +575,101 @@ object StatsOps extends QueryModule {
       |              (acc, x) -> (acc + x) // 2) AS ema_micro
       |FROM unrolled ORDER BY event_type, day""".stripMargin
 
+  /** Distribution drift per day vs a day-1 baseline — the population
+    * stability index (PSI) every production ML monitor computes. Decile
+    * boundaries come from the baseline day's COMPRESSED value domain via
+    * [[PrefixOps]] (no unpartitioned window); each event then buckets by
+    * counting boundaries ≤ value (an array fold against a broadcast 9-long
+    * list — no per-row join). PSI = Σ (p−q)·ln(p/q) assembled exactly:
+    * count cross-products in int64, ln(ratio) through the round-milli
+    * pattern, ONE final IEEE division per day. Buckets empty on either
+    * side are skipped (standard PSI practice); `n_buckets` surfaces it.
+    * Carrier bound: c·nq stays int64 to ~3e9 events/day — past that the
+    * d38 DECIMAL carrier pattern applies.
+    */
+  private def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val d1 = ev.filter(col("day") === lit("2024-01-01").cast("date"))
+    val vcCounts = d1.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+    val ranked = PrefixOps.withGlobalPrefix(vcCounts, col("vc"),
+      Seq(col("vc")), sums = Seq("cnt"))
+    val bndAggs = (1 to 9).map { i =>
+      min(when(col("g_run_cnt") >= ceil(col("g_tot_cnt") * i / 10.0),
+        col("vc"))).as(s"b$i")
+    }
+    val bnds = ranked.agg(bndAggs.head, bndAggs.tail: _*)
+      .select(array((1 to 9).map(i => col(s"b$i")): _*).as("bl"))
+    val dayCounts = ev.crossJoin(broadcast(bnds))
+      .withColumn("b",
+        expr("CAST(size(filter(bl, x -> vc >= x)) AS BIGINT)"))
+      .groupBy(col("day"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nd", sum(col("c")).over(Window.partitionBy(col("day"))))
+    val base = dayCounts
+      .filter(col("day") === lit("2024-01-01").cast("date"))
+      .select(col("b"), col("c").as("qc"), col("nd").as("nq"))
+    dayCounts.join(broadcast(base), "b")
+      .withColumn("ln_milli",
+        round(round(log((col("c") * col("nq")).cast("double") /
+          (col("qc") * col("nd")).cast("double")), 3) * 1000).cast("long"))
+      .groupBy(col("day"))
+      .agg(
+        sum((col("c") * col("nq") - col("qc") * col("nd")) * col("ln_milli"))
+          .as("s_scaled"),
+        max(col("nd")).as("nd"), max(col("nq")).as("nq"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("day"), col("n_buckets"),
+        (col("s_scaled").cast("double") /
+          (col("nd") * col("nq")).cast("double") / 1000.0).as("psi"))
+      .orderBy(col("day"))
+  }
+
+  private val psiDriftSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), vc_counts AS (
+      |  SELECT vc, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev
+      |  WHERE day = DATE '2024-01-01' GROUP BY 1
+      |), ranked AS (
+      |  SELECT vc,
+      |    SUM(cnt) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM vc_counts
+      |), bnds AS (
+      |  SELECT list(bv ORDER BY i) AS bl FROM (
+      |    SELECT i, MIN(CASE WHEN cum >= CEIL(n * i / 10.0) THEN vc END) AS bv
+      |    FROM ranked CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i)
+      |    GROUP BY i)
+      |), day_counts AS (
+      |  SELECT day, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT day,
+      |      CAST(len(list_filter((SELECT bl FROM bnds), x -> vc >= x))
+      |           AS BIGINT) AS b
+      |    FROM ev)
+      |  GROUP BY 1, 2
+      |), with_nd AS (
+      |  SELECT day, b, c,
+      |    CAST(SUM(c) OVER (PARTITION BY day) AS BIGINT) AS nd
+      |  FROM day_counts
+      |), base AS (
+      |  SELECT b, c AS qc, nd AS nq FROM with_nd
+      |  WHERE day = DATE '2024-01-01'
+      |)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM((c * nq - qc * nd) *
+      |       CAST(ROUND(ROUND(ln(CAST(c * nq AS DOUBLE)
+      |            / CAST(qc * nd AS DOUBLE)), 3) * 1000) AS BIGINT))
+      |       AS DOUBLE)
+      |    / CAST(MAX(nd) * MAX(nq) AS DOUBLE) / 1000.0 AS psi
+      |FROM with_nd JOIN base USING (b)
+      |GROUP BY day ORDER BY day""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("psi_drift", psiDrift, Some(psiDriftSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("ema_daily", emaDaily, Some(emaDailySql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),

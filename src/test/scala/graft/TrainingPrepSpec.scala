@@ -98,6 +98,41 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("psi_drift: zero on the baseline day, matches an independent recompute") {
+    val ev = Tables.t(spark, sf001, "events")
+      .select(to_date($"ts").cast("string"), round($"value" * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val d1 = ev.filter(_._1 == "2024-01-01").map(_._2).sorted
+    val n = d1.size
+    val bnds = (1 to 9).map(i => d1((math.ceil(n * i / 10.0) - 1).toInt))
+    def bucket(v: Long): Long = bnds.count(v >= _).toLong
+    val byDay = ev.groupBy(_._1).view
+      .mapValues(_.map(x => bucket(x._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap).toMap
+    val q = byDay("2024-01-01")
+    val nq = q.values.sum
+    val got = SparkEntry.queries("psi_drift")(spark, sf001)
+      .select($"day".cast("string"), $"n_buckets", $"psi")
+      .as[(String, Long, Double)].collect()
+    assert(got.length === byDay.size)
+    got.foreach { case (day, nb, psi) =>
+      val p = byDay(day)
+      val shared = p.keySet.intersect(q.keySet)
+      assert(nb === shared.size.toLong)
+      val nd = p.values.sum
+      val s = shared.toSeq.map { b =>
+        val lnMilli = math.round(
+          BigDecimal(math.log(p(b).toDouble * nq / (q(b).toDouble * nd)))
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000)
+        (p(b) * nq - q(b) * nd) * lnMilli
+      }.sum
+      val expected = s.toDouble / (nd.toDouble * nq.toDouble) / 1000.0
+      assert(math.abs(psi - expected) < 1e-12, s"day $day")
+      if (day == "2024-01-01") assert(psi === 0.0)
+      assert(psi >= -1e-12) // PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+    }
+  }
+
   test("temperature_mixture: sqrt quotas rebalance toward small sources, md5-first fill") {
     val counts = Tables.t(spark, sf001, "documents")
       .groupBy($"source").agg(count(lit(1)).as("n"))
