@@ -445,6 +445,48 @@ object StatsOps extends QueryModule {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** The KMV estimate through the custom [[graft.functions.KmvSketchAgg]]
+    * TypedImperativeAggregate instead of the windowed formulation: ONE
+    * aggregation pass — partial sketches on the map side, k·8-byte binary
+    * states across the exchange, merge on the reduce side — no DISTINCT
+    * pre-shuffle at all (dedup happens inside the bounded state). Same
+    * hashes, same estimator, same oracle as `kmv_distinct`.
+    */
+  private def kmvDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"kmv_sketch(h, $KMV_K)").as("kmv_est"))
+      .orderBy(col("event_type"))
+  }
+
+  private def kmvDistinctAggSql: String =
+    s"""WITH dh AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+       |      AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM dh
+       |), counts AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_hashes
+       |  FROM dh GROUP BY 1
+       |), kth AS (
+       |  SELECT event_type, MAX(CASE WHEN rk = $KMV_K THEN h END) AS hk
+       |  FROM r WHERE rk <= $KMV_K GROUP BY 1
+       |)
+       |SELECT c.event_type,
+       |  CASE WHEN k.hk IS NOT NULL
+       |       THEN ${KMV_K - 1}.0 * $TWO_52 / CAST(k.hk + 1 AS DOUBLE)
+       |       ELSE CAST(c.n_distinct_hashes AS DOUBLE) END AS kmv_est
+       |FROM counts c JOIN kth k USING (event_type)
+       |ORDER BY c.event_type""".stripMargin
+
   /** Robust outlier detection per event_type: lower-median, median absolute
     * deviation (MAD), and the count of values beyond 3·MAD — the robust
     * z-score data-quality check. Both medians rank the COMPRESSED value
@@ -675,6 +717,7 @@ object StatsOps extends QueryModule {
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Q("kmv_distinct_agg", kmvDistinctAgg, Some(kmvDistinctAggSql)),
     Q("ols_by_type", olsByType, Some(olsByTypeSql)),
     Q("equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     Q("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{KmvSketchAgg, TextFunctions, VectorFunctions}
 
 /** Custom Catalyst expressions: codegen/eval agreement + reference values. */
 class FunctionsSpec extends SparkSpec {
@@ -111,6 +111,49 @@ class FunctionsSpec extends SparkSpec {
     vecs.zip(got).foreach { case (v, keys) =>
       assert(keys === ref(v, 20, 3))
     }
+  }
+
+  test("KmvSketchAgg: merge-of-partials equals one pass; serde roundtrips; bounded") {
+    val agg = KmvSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 16)
+    val rnd = new scala.util.Random(42)
+    val values = Seq.fill(5000)(rnd.nextLong().abs % 100000L)
+    // one-pass reference
+    val whole = agg.createAggregationBuffer()
+    values.foreach(whole.add)
+    // arbitrary partition split, partial states, serde across the "wire"
+    val merged = agg.createAggregationBuffer()
+    values.grouped(700).foreach { slice =>
+      val part = agg.createAggregationBuffer()
+      slice.foreach(part.add)
+      merged.merge(agg.deserialize(agg.serialize(part)))
+    }
+    assert(merged.set === whole.set)
+    assert(whole.set.size === 16) // bounded, not corpus-sized
+    assert(agg.eval(merged) === agg.eval(whole))
+    // under-k exactness: fewer distinct inputs than k → exact count
+    val small = agg.createAggregationBuffer()
+    Seq(7L, 7L, 8L, 9L).foreach(small.add)
+    assert(agg.eval(small) === 3.0)
+  }
+
+  test("kmv_distinct_agg equals the windowed kmv_distinct estimate") {
+    val viaAgg = SparkEntry.queries("kmv_distinct_agg")(spark, sf001)
+      .as[(String, Double)].collect().toMap
+    val viaWindow = SparkEntry.queries("kmv_distinct")(spark, sf001)
+      .select($"event_type", $"kmv_est").as[(String, Double)].collect().toMap
+    assert(viaAgg === viaWindow)
+  }
+
+  test("kmv_distinct_agg is one aggregation pass: a single hash exchange, no DISTINCT") {
+    val plan = SparkEntry.queries("kmv_distinct_agg")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("kmv_sketch"))
+    // object-typed buffer → ObjectHashAggregate (SortAggregate if spilled)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+    // exactly one data shuffle (partial sketches → final merge); the
+    // windowed kmv_distinct needs a distinct exchange before its window
+    assert("hashpartitioning".r.findAllMatchIn(plan).length === 1)
   }
 
   test("cosine_near_dup plan is an equi-join, not a nested-loop product") {
