@@ -487,6 +487,75 @@ object StatsOps extends QueryModule {
        |FROM counts c JOIN kth k USING (event_type)
        |ORDER BY c.event_type""".stripMargin
 
+  private val CMS_D = 4
+  private val CMS_W = 1024
+
+  /** Bucket j of a term for the Count-Min sketch: the j-th disjoint 16-bit
+    * slice of md5(term), mod w. Four independent-enough hash rows, each
+    * exactly replayable in DuckDB (`CAST('0x'||substr(md5,4j+1,4) AS
+    * BIGINT) % w`).
+    */
+  private def cmsBucket(j: Int, term: Column): Column =
+    conv(substring(md5(term), 4 * j + 1, 4), 16, 10).cast("long") % CMS_W
+
+  /** Heavy-hitter frequency estimation through the custom
+    * [[graft.functions.CmsSketchAgg]] Count-Min sketch: ONE pass over the
+    * token stream builds a fixed 4×1024-counter sketch (partial sketches
+    * per partition, elementwise-add merge across one exchange), then the
+    * top-20 exact terms probe the broadcast sketch —
+    * est = min_j counts[j·w + h_j(term)]. The estimate never undercounts;
+    * collisions only inflate it (FunctionsSpec pins both properties).
+    * Because the hash rows are md5 slices, the DuckDB oracle replays every
+    * counter exactly — the cross-engine-checkable sketch, like
+    * `kmv_distinct` vs the engine-private `hll_distinct`.
+    *
+    * Scale posture: sketch memory is d·w·8 bytes per partition regardless
+    * of corpus size; the exact candidate side is a hash-agg + bounded
+    * top-k. At 100 TB one would take candidates from the sketch itself or
+    * a sampled pass; the exact side here doubles as the accuracy check.
+    */
+  private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val toks = Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sketch = toks
+      .select(array((0 until CMS_D).map(j => cmsBucket(j, col("term"))): _*)
+        .as("bs"))
+      .agg(expr(s"cms_sketch(bs, $CMS_D, $CMS_W)").as("sk"))
+    val cand = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20)
+    cand.crossJoin(broadcast(sketch))
+      .select(col("term"), col("cnt"),
+        least((0 until CMS_D).map(j =>
+          element_at(col("sk"),
+            (lit(j * CMS_W) + cmsBucket(j, col("term")) + lit(1))
+              .cast("int"))): _*).as("cms_est"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  private def cmsHeavyHittersSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |), tc AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+       |), tb AS (
+       |  SELECT term, j,
+       |    CAST(concat('0x', substr(md5(term), 4 * j + 1, 4)) AS BIGINT)
+       |      % $CMS_W AS bucket
+       |  FROM tc, (SELECT unnest([0, 1, 2, 3]) AS j) u
+       |), bc AS (
+       |  SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS bcnt
+       |  FROM tb JOIN tc USING (term) GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 20
+       |)
+       |SELECT c.term, c.cnt, MIN(bc.bcnt) AS cms_est
+       |FROM cand c
+       |JOIN tb ON tb.term = c.term
+       |JOIN bc ON bc.j = tb.j AND bc.bucket = tb.bucket
+       |GROUP BY 1, 2
+       |ORDER BY c.cnt DESC, c.term""".stripMargin
+
   /** Robust outlier detection per event_type: lower-median, median absolute
     * deviation (MAD), and the count of values beyond 3·MAD — the robust
     * z-score data-quality check. Both medians rank the COMPRESSED value
@@ -718,6 +787,7 @@ object StatsOps extends QueryModule {
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("kmv_distinct_agg", kmvDistinctAgg, Some(kmvDistinctAggSql)),
+    Q("cms_heavy_hitters", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     Q("ols_by_type", olsByType, Some(olsByTypeSql)),
     Q("equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     Q("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),

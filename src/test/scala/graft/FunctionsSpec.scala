@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{KmvSketchAgg, TextFunctions, VectorFunctions}
+import graft.functions.{CmsSketchAgg, KmvSketchAgg, TextFunctions, VectorFunctions}
 
 /** Custom Catalyst expressions: codegen/eval agreement + reference values. */
 class FunctionsSpec extends SparkSpec {
@@ -135,6 +135,58 @@ class FunctionsSpec extends SparkSpec {
     val small = agg.createAggregationBuffer()
     Seq(7L, 7L, 8L, 9L).foreach(small.add)
     assert(agg.eval(small) === 3.0)
+  }
+
+  test("CmsSketchAgg: merge-of-partials equals one pass; serde roundtrips; " +
+      "never undercounts") {
+    val agg = CmsSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), d = 4, w = 64)
+    val rnd = new scala.util.Random(7)
+    // 2000 draws over 50 distinct items, zipf-ish
+    val items = Seq.fill(2000)(rnd.nextInt(rnd.nextInt(49) + 1).toLong)
+    def buckets(x: Long): Array[Long] =
+      Array.tabulate(4)(j => (x * (j * 2 + 3) + j * 17) % 64)
+    // one-pass reference
+    val whole = agg.createAggregationBuffer()
+    items.foreach(x => whole.add(buckets(x)))
+    // arbitrary partition split, partial states, serde across the "wire"
+    val merged = agg.createAggregationBuffer()
+    items.grouped(300).foreach { slice =>
+      val part = agg.createAggregationBuffer()
+      slice.foreach(x => part.add(buckets(x)))
+      merged.merge(agg.deserialize(agg.serialize(part)))
+    }
+    assert(merged.counts === whole.counts)
+    assert(whole.counts.sum === 2000L * 4) // each update touches d rows
+    // point estimates: min over rows, >= true count for EVERY item
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+    truth.foreach { case (x, n) =>
+      val est = buckets(x).zipWithIndex
+        .map { case (b, j) => whole.counts(j * 64 + b.toInt) }.min
+      assert(est >= n, s"CMS undercounted item $x: est $est < true $n")
+    }
+  }
+
+  test("cms_heavy_hitters estimates bound true counts and stay within the " +
+      "collision budget") {
+    val rows = SparkEntry.queries("cms_heavy_hitters")(spark, sf001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 20)
+    val total = rows.map(_._2).sum // heavy hitters dominate the stream
+    rows.foreach { case (term, cnt, est) =>
+      assert(est >= cnt, s"CMS undercounted '$term'")
+      // collision mass per row is at most stream/w; with 4 rows and md5
+      // slices the min is tight for heavy hitters at this SF
+      assert(est - cnt <= total, s"implausible CMS inflation for '$term'")
+    }
+  }
+
+  test("cms_heavy_hitters is one sketch pass: ObjectHashAggregate, no " +
+      "per-term shuffle on the sketch side") {
+    val plan = SparkEntry.queries("cms_heavy_hitters")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cms_sketch"))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
   }
 
   test("kmv_distinct_agg equals the windowed kmv_distinct estimate") {

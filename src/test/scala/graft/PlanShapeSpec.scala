@@ -96,6 +96,7 @@ class PlanShapeSpec extends SparkSpec {
       "temperature_mixture", // 1-row Σ√n quota denominator broadcast
       "q11_important_stock", // 1-row (total, n_parts) threshold broadcast
       "psi_drift", // 1-row decile-boundary array broadcast
+      "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
