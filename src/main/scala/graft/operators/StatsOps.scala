@@ -487,6 +487,110 @@ object StatsOps extends QueryModule {
        |FROM counts c JOIN kth k USING (event_type)
        |ORDER BY c.event_type""".stripMargin
 
+  /** KMV sketch SET ALGEBRA: union / intersection / Jaccard estimates for
+    * every pair of event-type user sets, from the k-minimum-values sketches
+    * alone — the θ-sketch trick. For a pair (A, B): X = the k smallest
+    * hashes of K_A ∪ K_B estimates |A∪B| exactly like a single-set KMV
+    * (any x ∈ X that belongs to A is necessarily in K_A, since it is below
+    * A's k-th minimum — so the per-set sketches suffice); ρ = |{x ∈ X :
+    * x ∈ A ∧ x ∈ B}| / |X| is an unbiased Jaccard estimate; intersection =
+    * ρ · union. Every ingredient is integer or a correctly-rounded IEEE
+    * division/product, so DuckDB replays the estimates bit-for-bit.
+    *
+    * Scale posture: per-type k-minimums ride the bounded-heap TopKPerKey
+    * rewrite over the one distinct shuffle; everything downstream is
+    * sketch-sized (≤ k·|types|² rows). The pair generator is a broadcast
+    * self-join of the |types|-row domain — allowlisted BNLJ. When |X| < k
+    * the sketches have seen every hash, and all three outputs reduce to
+    * their exact values (CASE branch both engines).
+    */
+  private def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val dh = Tables.t(s, dir, "events")
+      .select(col("event_type"), h.as("h")).distinct()
+    val wk = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kt = dh.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= KMV_K)
+      .select(col("event_type"), col("h"))
+    val types = dh.select(col("event_type")).distinct()
+    val pairs = types.as("a")
+      .join(broadcast(types.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    val candA = pairs.join(kt, col("ta") === col("event_type"))
+      .select(col("ta"), col("tb"), col("h"),
+        lit(1).as("ina"), lit(0).as("inb"))
+    val candB = pairs.join(kt, col("tb") === col("event_type"))
+      .select(col("ta"), col("tb"), col("h"),
+        lit(0).as("ina"), lit(1).as("inb"))
+    val cand = candA.unionAll(candB)
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val wx = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val agg = cand.withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= KMV_K)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("nx"),
+        max(when(col("rk") === KMV_K, col("h"))).as("hk"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+          .as("nab"))
+    val unionEst = when(col("hk").isNotNull,
+      lit((KMV_K - 1).toDouble * TWO_52) / (col("hk") + lit(1L)).cast("double"))
+      .otherwise(col("nx").cast("double"))
+    val jac = col("nab").cast("double") / col("nx").cast("double")
+    agg.select(col("ta"), col("tb"),
+      unionEst.as("union_est"),
+      (jac * unionEst).as("intersect_est"),
+      jac.as("jaccard_est"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private def kmvSetOpsSql: String =
+    s"""WITH dh AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+       |      AS h
+       |  FROM events
+       |), kt AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |    FROM dh) WHERE rk <= $KMV_K
+       |), ty AS (SELECT DISTINCT event_type FROM dh
+       |), pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM ty a JOIN ty b ON a.event_type < b.event_type
+       |), cand AS (
+       |  SELECT ta, tb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+       |    SELECT p.ta, p.tb, k.h, 1 AS ina, 0 AS inb
+       |    FROM pairs p JOIN kt k ON k.event_type = p.ta
+       |    UNION ALL
+       |    SELECT p.ta, p.tb, k.h, 0 AS ina, 1 AS inb
+       |    FROM pairs p JOIN kt k ON k.event_type = p.tb
+       |  ) GROUP BY 1, 2, 3
+       |), agg AS (
+       |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS nx,
+       |         MAX(CASE WHEN rk = $KMV_K THEN h END) AS hk,
+       |         CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS nab
+       |  FROM (
+       |    SELECT ta, tb, h, ina, inb,
+       |           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+       |    FROM cand) WHERE rk <= $KMV_K
+       |  GROUP BY 1, 2
+       |), est AS (
+       |  SELECT ta, tb,
+       |    CASE WHEN hk IS NOT NULL
+       |         THEN ${KMV_K - 1}.0 * $TWO_52 / CAST(hk + 1 AS DOUBLE)
+       |         ELSE CAST(nx AS DOUBLE) END AS union_est,
+       |    CAST(nab AS DOUBLE) / CAST(nx AS DOUBLE) AS jaccard_est
+       |  FROM agg
+       |)
+       |SELECT ta, tb, union_est, jaccard_est * union_est AS intersect_est,
+       |       jaccard_est
+       |FROM est ORDER BY ta, tb""".stripMargin
+
   private val CMS_D = 4
   private val CMS_W = 1024
 
@@ -787,6 +891,7 @@ object StatsOps extends QueryModule {
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("kmv_distinct_agg", kmvDistinctAgg, Some(kmvDistinctAggSql)),
+    Q("kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),
     Q("cms_heavy_hitters", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     Q("ols_by_type", olsByType, Some(olsByTypeSql)),
     Q("equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),

@@ -97,6 +97,7 @@ class PlanShapeSpec extends SparkSpec {
       "q11_important_stock", // 1-row (total, n_parts) threshold broadcast
       "psi_drift", // 1-row decile-boundary array broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
+      "kmv_set_ops", // |types|-row domain self-paired under a < predicate
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
