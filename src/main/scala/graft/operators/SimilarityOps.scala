@@ -772,7 +772,77 @@ object SimilarityOps extends QueryModule {
        |SELECT doc_id, rk_lex, rk_sem, rrf FROM fused
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  private val KNN_K = 10
+
+  /** Leave-one-out kNN classification: each query vector's label predicted
+    * by majority vote of its [[KNN_K]] nearest cosine neighbors (itself
+    * excluded), ties to the smallest label — the standard embedding-quality
+    * probe a training pipeline runs after every encoder change. Rides the
+    * same quantized-dot broadcast-topk machinery as `cosine_topk` (small
+    * query side broadcast, candidate scan never shuffled); the vote is a
+    * |queries|×|labels|-row aggregate, negligible at any corpus size.
+    */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"), col("label").cast("long").as("true_label"))
+      .filter(col("q_id") < 100)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm2").as("c_norm2"), col("label").cast("long").as("c_label"))
+    val wNn = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("pred_label"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("q_emb"), col("c_emb")), col("q_norm2"), col("c_norm2")))
+      .withColumn("rk", row_number().over(wNn))
+      .filter(col("rk") <= KNN_K)
+      .groupBy(col("q_id"), col("true_label"), col("c_label").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("n_votes"),
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy(col("q_id"))
+  }
+
+  private def knnClassifySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), nn AS (
+       |  SELECT q_id, true_label, c_label FROM (
+       |    SELECT q.vec_id AS q_id, q.label AS true_label, c.label AS c_label,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |               / (sqrt(CAST(q.norm2 AS DOUBLE))
+       |                  * sqrt(CAST(c.norm2 AS DOUBLE))) DESC,
+       |             c.vec_id) AS rk
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 100)
+       |  WHERE rk <= $KNN_K
+       |), votes AS (
+       |  SELECT q_id, true_label, c_label AS pred_label,
+       |         CAST(COUNT(*) AS BIGINT) AS n_votes
+       |  FROM nn GROUP BY 1, 2, 3
+       |)
+       |SELECT q_id, true_label, pred_label, n_votes,
+       |  CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT)
+       |    AS correct
+       |FROM (
+       |  SELECT q_id, true_label, pred_label, n_votes,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY n_votes DESC, pred_label) AS vr
+       |  FROM votes)
+       |WHERE vr = 1 ORDER BY q_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("knn_classify", knnClassify, Some(knnClassifySql)),
     Q("rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     Q("cosine_topk", cosineTopk, Some(cosineTopkSql)),
     Q("cosine_topk_fast", cosineTopkFast, None),

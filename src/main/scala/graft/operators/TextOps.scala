@@ -433,6 +433,92 @@ object TextOps extends QueryModule {
        |    AS chunk_text
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  private val DUP_GRAM = 5
+
+  /** Exact-substring dedup by duplicated-span REMOVAL (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" shape,
+    * applied at token-gram granularity): any [[DUP_GRAM]]-token gram that
+    * also appears in an earlier document (min doc_id keeps its copy) marks
+    * its token span for removal; the output is the cleaned text with all
+    * covered positions dropped, plus removal counts. Unlike
+    * `shingle_novelty` (a per-doc metric), this is the TRANSFORMATION — a
+    * user gets back a de-duplicated corpus, not a score.
+    *
+    * Scale posture: grams are hashed to 64 bits before the shuffle, so the
+    * duplicate-detection exchange carries (doc_id, pos, 8-byte key) — never
+    * gram strings (at 100 TB real pipelines hash 50-grams the same way; a
+    * ~2⁻⁶⁰ collision over-masks one span, the standard trade). First-
+    * occurrence is one hash aggregate; masked spans flatten into a per-doc
+    * covered-position array (bounded by doc length) with NO per-position
+    * explode on the rebuild side — the cleaned text is a single indexed
+    * `filter` HOF over the original token array, codegen'd, shuffle-free.
+    */
+  private def dupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .repartition(col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+    // <DUP_GRAM tokens → no gram; guard against Spark's downward sequence
+    val grams = base.filter(col("n") >= DUP_GRAM)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - (DUP_GRAM - 1)),
+          p => struct(p.as("p"),
+            conv(substring(md5(array_join(
+              slice(col("toks"), p, lit(DUP_GRAM)), " ")), 1, 15), 16, 10)
+              .cast("long").as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.gh").as("gh"))
+    val firstDoc = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val cov = grams.join(firstDoc, "gh")
+      .filter(col("doc_id") > col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(collect_list(
+        sequence(col("p"), col("p") + (DUP_GRAM - 1)))).as("cov"))
+    base.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept",
+        expr("filter(toks, (t, i) -> NOT array_contains(cov, i + 1))"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dupSpanRemovalSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, p,
+       |    CAST(concat('0x', substr(md5(
+       |      array_to_string(toks[p:p + ${DUP_GRAM - 1}], ' ')), 1, 15))
+       |      AS BIGINT) AS gh
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |           unnest(generate_series(1, n - ${DUP_GRAM - 1})) AS p
+       |    FROM d WHERE n >= $DUP_GRAM)
+       |), fd AS (
+       |  SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
+       |), covpos AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT g.doc_id,
+       |           unnest(generate_series(g.p, g.p + ${DUP_GRAM - 1})) AS pos
+       |    FROM grams g JOIN fd USING (gh) WHERE g.doc_id > fd.first_doc)
+       |), covl AS (
+       |  SELECT doc_id, list(pos) AS cov FROM covpos GROUP BY doc_id
+       |), kept AS (
+       |  SELECT d.doc_id, d.n,
+       |    list_filter(d.toks,
+       |      (t, i) -> NOT list_contains(COALESCE(c.cov, CAST([] AS BIGINT[])), i))
+       |      AS kept
+       |  FROM d LEFT JOIN covl c USING (doc_id)
+       |)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(n - len(kept) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+       |FROM kept ORDER BY doc_id""".stripMargin
+
   /** Shingle novelty: the fraction of a document's distinct shingles whose
     * FIRST corpus occurrence (min doc_id) is this document — the marginal-
     * contribution metric behind "does this doc add anything new". First
@@ -593,6 +679,7 @@ object TextOps extends QueryModule {
          |SELECT doc_id, n_terms, bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
     Q("shingle_novelty", shingleNovelty, Some(shingleNoveltySql)),
+    Q("dup_span_removal", dupSpanRemoval, Some(dupSpanRemovalSql)),
     Q("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Q("sequence_packing", sequencePacking, Some(sequencePackingSql)),
     Q("doc_chunking", docChunking, Some(docChunkingSql)),

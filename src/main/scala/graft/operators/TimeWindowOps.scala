@@ -197,7 +197,46 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every (src → dst) adjacent event-type pair, its count and the
+    * row-normalized transition probability — the behavioral-model /
+    * next-event-prediction primitive. One lead() over the (user, time)
+    * partitioning (the same shuffle every sequence op here rides), then a
+    * hash aggregate whose output is |types|² rows; the normalizing sum runs
+    * partitioned by src, so no global window. The probability is one IEEE
+    * division of two exact longs — bit-identical across engines.
+    */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(byTime).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))).cast("double"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private val eventTransitionsSql: String =
+    """WITH seqd AS (
+      |  SELECT event_type AS src,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS dst
+      |  FROM events
+      |), cnt AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seqd WHERE dst IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT src, dst, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+      |FROM cnt ORDER BY src, dst""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("daily_gapfill", dailyGapfill, Some(
       """WITH per_day AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,

@@ -23,7 +23,8 @@ class HostileTextSpec extends SparkSpec {
   private val docQueries = Seq(
     "token_stats", "quality_score", "lang_id", "term_frequencies", "tf_idf",
     "doc_fingerprint", "rolling_fingerprint", "sequence_packing",
-    "doc_chunking", "shingle_novelty", "vocab_growth", "bigram_lm_score",
+    "doc_chunking", "shingle_novelty", "dup_span_removal", "vocab_growth",
+    "bigram_lm_score",
     "repetition_score", "gopher_quality_filter", "boilerplate_shingles",
     "contamination_check", "exact_dedup", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
