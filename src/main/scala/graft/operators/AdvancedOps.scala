@@ -117,6 +117,56 @@ object AdvancedOps extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Last-touch attribution: every purchase credited to the user's latest
+    * preceding click/view — the marketing-analytics shape behind every
+    * "which channel drove this revenue" report, and the second consumer of
+    * the custom backward as-of physical operator (this one a GENUINE
+    * two-table form: the touch side carries columns the probe side lacks).
+    * Purchases probe, touches build; one hash exchange per side and an
+    * O(n+m) sorted merge with last-known carry. Purchases with no prior
+    * touch stay unattributed (left-outer nulls → 'none').
+    */
+  private def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val purchases = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"),
+        col("ts").cast("timestamp_ntz").as("touch_ts"),
+        col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"))
+    org.apache.spark.sql.graft.AsOfJoin(purchases, touches,
+        Seq(col("user_id")), Seq(col("t_user")),
+        Seq(col("purchase_ts"), col("purchase_id")),
+        Seq(col("touch_ts"), col("touch_id")))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("touch_id"), coalesce(col("touch_type"), lit("none")).as("touch_type"),
+        col("cents"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private def attributionLastTouchSql: String =
+    """WITH o AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+      |                    THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS touch_id,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+      |                    THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS touch_type
+      |  FROM events
+      |)
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |       touch_id, COALESCE(touch_type, 'none') AS touch_type,
+      |       CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |FROM o WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   /** Range join: lineitem priced into literal bands via a broadcast
     * non-equi join (BroadcastNestedLoopJoin against 4 rows — the probe side
     * streams, nothing shuffles). */
@@ -461,6 +511,8 @@ object AdvancedOps extends QueryModule {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS asof_error_ts
         |FROM events ORDER BY event_id""".stripMargin)),
+    Q("attribution_last_touch", attributionLastTouch,
+      Some(attributionLastTouchSql)),
     Q("range_join_bands", rangeJoinBands, Some(
       """SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents

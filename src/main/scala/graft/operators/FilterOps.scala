@@ -345,7 +345,61 @@ object FilterOps extends QueryModule {
       |WHERE rk <= quota
       |ORDER BY source, rk""".stripMargin
 
+  /** Quality-budgeted corpus selection (top-p by score): within each source,
+    * rank documents by a deterministic quality score (alpha-token fraction,
+    * in exact milli units) and select from the top until half the source's
+    * tokens are spent — the data-selection step behind "train on the best
+    * X% of the crawl" pipelines. A document is kept iff it STARTS before the
+    * budget boundary, so the output is a deterministic prefix of the ranked
+    * order.
+    *
+    * Scale posture: the per-source running token sum rides
+    * [[PrefixOps.withGlobalPrefix]] with `source` as the group key — two-
+    * level prefix sum, no per-source single-reducer window even when one
+    * source holds billions of documents (the shape the plain
+    * `Window.partitionBy(source).orderBy(score)` would degrade to).
+    */
+  private def corpusToppSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        round(lit(1000.0) * regexp_count(col("text"), lit("[a-z]+"))
+          / size(split(col("text"), " "))).cast("long").as("score_milli"))
+    PrefixOps.withGlobalPrefix(scored,
+        bucketBy = -col("score_milli"),
+        order = Seq(col("score_milli").desc, col("doc_id")),
+        groupKeys = Seq("source"),
+        sums = Seq("n_tokens"))
+      .select(col("source"), col("doc_id"), col("score_milli"),
+        col("g_rank").as("rk"), col("g_run_n_tokens").as("run_tokens"),
+        when(col("g_run_n_tokens") - col("n_tokens")
+          < expr("g_tot_n_tokens div 2"), 1L).otherwise(0L).as("selected"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private def corpusToppSelectSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(ROUND(1000.0 * len(regexp_extract_all(text, '[a-z]+'))
+      |         / len(string_split(text, ' '))) AS BIGINT) AS score_milli
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT source, doc_id, score_milli, n_tokens,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+      |    CAST(SUM(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS run_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS tot
+      |  FROM scored
+      |  WINDOW w AS (PARTITION BY source ORDER BY score_milli DESC, doc_id)
+      |)
+      |SELECT source, doc_id, score_milli, rk, run_tokens,
+      |  CAST(CASE WHEN run_tokens - n_tokens < tot // 2 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS selected
+      |FROM ranked ORDER BY source, rk""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("corpus_topp_select", corpusToppSelect, Some(corpusToppSelectSql)),
     Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("repetition_score", repetitionScore, Some(repetitionScoreSql)),
     Q("gopher_quality_filter", gopherQualityFilter, Some(gopherQualityFilterSql)),

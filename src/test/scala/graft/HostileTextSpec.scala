@@ -31,7 +31,7 @@ class HostileTextSpec extends SparkSpec {
     "dedup_clusters", "cluster_keep_best", "incremental_dedup",
     "levenshtein_pairs", "bm25_score", "weighted_sample",
     "bpe_pair_counts", "token_entropy", "temperature_mixture",
-    "cms_heavy_hitters",
+    "cms_heavy_hitters", "corpus_topp_select",
     "multimodal_meta", "multimodal_features", "multimodal_resize",
     "multimodal_frame_sample", "source_mixture_weights")
 

@@ -117,6 +117,13 @@ class PlanShapeSpec extends SparkSpec {
       "the exec form must not fall back to the window formulation")
   }
 
+  test("attribution_last_touch rides the custom as-of operator, not a window") {
+    val p = plan("attribution_last_touch")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"),
+      "attribution must not fall back to the window formulation")
+  }
+
   test("q18_large_orders broadcasts the qualifying keys back to the dims") {
     val p = plan("q18_large_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
