@@ -80,17 +80,25 @@ object Tables {
     }
     perSession.computeIfAbsent((dir, name), { _ =>
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-        // default; read it as a long and truncate to µs — exactly what DuckDB's
-        // TIMESTAMP (µs) read of the same file yields, so oracle values match.
-        // Only touch session conf when the entry point didn't already set it
-        // (one-time, not per-call — the conf applies at scan planning time).
+        // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        // generations (Spark 4 rejects those by default — read as long,
+        // truncate to µs) and as plain TIMESTAMP(MICROS) in others (Spark
+        // reads that as TIMESTAMP_NTZ — cast to TIMESTAMP, identical µs under
+        // the UTC session zone). Both branches land on exactly what DuckDB's
+        // TIMESTAMP (µs) read of the same file yields, so oracle values
+        // match whichever generation is on disk. Only touch session conf when
+        // the entry point didn't already set it (one-time, not per-call —
+        // the conf applies at scan planning time).
         if (!spark.conf.getOption(NanosKey).contains("true"))
           spark.conf.set(NanosKey, "true")
+        import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+        import org.apache.spark.sql.types.{LongType, TimestampType}
         val raw = spark.read.parquet(s"$dir/$name.parquet")
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+        raw.schema("ts").dataType match {
+          case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampType => raw
+          case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
   }

@@ -52,10 +52,16 @@ object Sources {
       topic: String = "page_visits"): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // readStream needs the schema up front; peek at the file with a batch
+    // read to learn which testdata generation is on disk (TIMESTAMP(NANOS)
+    // read as long vs TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) and declare
+    // the matching source schema. Both branches normalize ts to TIMESTAMP
+    // (µs under the UTC session zone), same as Tables.t.
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val raw = spark.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType),
-        StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+        StructField("ts", tsType),
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType),
@@ -63,6 +69,11 @@ object Sources {
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-    project(raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))), topic)
+    val normalized = tsType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    project(normalized, topic)
   }
 }
