@@ -495,6 +495,43 @@ object RelationalOps extends QueryModule {
       .limit(20)
   }
 
+  /** Frequent brand triples (market-basket itemsets of size 3): brand
+    * triples co-occurring in an order, support ≥ 10, top 20 — the
+    * association-rules step past pairwise co-purchase. Same scale shape as
+    * copurchase_pairs: part is a broadcast dimension, the only wide shuffle
+    * collects each order's distinct brand set, and the C(n,3) fan-out
+    * happens in array HOFs inside codegen (n ≈ 4 brands/order, so ~4
+    * triples per order — never corpus²). The sorted set makes b1<b2<b3
+    * canonical, counting each co-occurrence once.
+    */
+  private def frequentTriples(s: SparkSession, dir: String): DataFrame = {
+    // nested index-tracking slices: y ranges over elements after x (original
+    // index i+1+j), z over elements after y — all three slice lengths are
+    // clamped ≥ 0 so sub-3-element sets produce no descending-sequence forms
+    val triples = flatten(transform(col("bs"), (x, i) =>
+      flatten(transform(
+        slice(col("bs"), i + lit(2),
+          greatest(size(col("bs")) - i - lit(1), lit(0))), (y, j) =>
+        transform(
+          slice(col("bs"), i + j + lit(3),
+            greatest(size(col("bs")) - i - j - lit(2), lit(0))),
+          z => struct(x.as("b1"), y.as("b2"), z.as("b3")))))))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .select(explode(triples).as("tr"))
+      .select(col("tr.b1"), col("tr.b2"), col("tr.b3"))
+      .groupBy(col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 10)
+      .orderBy(col("support").desc, col("b1"), col("b2"), col("b3"))
+      .limit(20)
+  }
+
   /** PageRank over the undirected co-purchase part graph (same edge
     * construction as copurchase_pairs, kept in both directions): 5 power
     * iterations at damping 0.85 in pure scaled-integer arithmetic — rank
@@ -1270,6 +1307,19 @@ object RelationalOps extends QueryModule {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)),
+    Q("frequent_triples", frequentTriples, Some(
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |)
+        |SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+        |       CAST(COUNT(*) AS BIGINT) AS support
+        |FROM ob a
+        |JOIN ob b ON b.l_orderkey = a.l_orderkey AND b.p_brand > a.p_brand
+        |JOIN ob c ON c.l_orderkey = a.l_orderkey AND c.p_brand > b.p_brand
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) >= 10
+        |ORDER BY support DESC, b1, b2, b3 LIMIT 20""".stripMargin)),
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("monthly_revenue_mom", monthlyRevenueMom, Some(
       """WITH m AS (

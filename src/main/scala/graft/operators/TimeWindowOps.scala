@@ -221,6 +221,106 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Shared base for the interval-analytics queries below: per-user gap
+    * sessions (same definition as session_windows) reduced to their
+    * [start, end) span in epoch-µs longs — integer-exact interval bounds
+    * both engines agree on.
+    */
+  private def sessionSpans(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window").getField("start")).as("s_us"),
+        unix_micros(col("session_window").getField("end")).as("e_us"))
+
+  /** The sessionization prefix shared by the interval-analytics oracles —
+    * identical to the session_windows oracle, reduced to µs spans. */
+  private val sessSpansSqlPrefix: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN prev_ts IS NULL
+      |                OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM o
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id,
+      |         epoch_us(MIN(ts)) AS s_us,
+      |         epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS e_us
+      |  FROM numbered GROUP BY user_id, sid
+      |)""".stripMargin
+
+  private val ConcurrencyBucketUs = 600000000L // 10 minutes
+  private val OverlapBucketUs = 3600000000L // 1 hour
+
+  /** Concurrency curve: per 10-minute bucket, how many sessions were active
+    * and how many distinct users they belong to — the "live now" series.
+    * Interval aggregation WITHOUT a join: each session explodes to the
+    * buckets its [start, end) span covers (fan-out bounded by session
+    * duration / bucket width, ~5 buckets for a gap-capped session), then
+    * one hash aggregate per bucket. The classic scale-safe alternative to
+    * stabbing every bucket against every interval.
+    */
+  private def sessionConcurrency(s: SparkSession, dir: String): DataFrame =
+    sessionSpans(s, dir)
+      .select(col("user_id"), explode(sequence(
+        expr(s"s_us div $ConcurrencyBucketUs"),
+        expr(s"(e_us - 1) div $ConcurrencyBucketUs"))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        (col("bucket") * lit(600L)).as("bucket_start_sec"),
+        col("n_sessions"), col("n_users"))
+      .orderBy(col("bucket_start_sec"))
+
+  /** Interval self-overlap: for every session, how many sessions of OTHER
+    * users overlap it in time — the concurrency-attribution / contention
+    * primitive. The pair generator is a banded equi-join: both sides explode
+    * to 1-hour buckets, join on the bucket (a key-partitioned shuffle, never
+    * interval × interval), the exact overlap predicate filters inside the
+    * bucket, and each qualifying pair counts exactly ONCE at the bucket
+    * containing the overlap start (= max of the two starts — an instant both
+    * sessions occupy, so both sides generated that bucket). Sessions with no
+    * overlap survive via the left join back onto the session list.
+    */
+  private def sessionOverlapPairs(s: SparkSession, dir: String): DataFrame = {
+    // cached: drives both explode sides and the final join-back (the Q
+    // per-query caching contract — the sweep clears between queries)
+    val sess = sessionSpans(s, dir).cache()
+    val occ = sess.select(col("user_id"), col("s_us"), col("e_us"),
+      explode(sequence(
+        expr(s"s_us div $OverlapBucketUs"),
+        expr(s"(e_us - 1) div $OverlapBucketUs"))).as("bucket"))
+    val a = occ.select(col("user_id").as("ua"), col("s_us").as("sa"),
+      col("e_us").as("ea"), col("bucket"))
+    val b = occ.select(col("user_id").as("ub"), col("s_us").as("sb"),
+      col("e_us").as("eb"), col("bucket"))
+    val cnt = a.join(b, Seq("bucket"))
+      .filter(col("ua") =!= col("ub") &&
+        col("sa") < col("eb") && col("sb") < col("ea") &&
+        expr(s"greatest(sa, sb) div $OverlapBucketUs") === col("bucket"))
+      .groupBy(col("ua"), col("sa"))
+      .agg(count(lit(1)).as("n_overlap"))
+    sess.join(cnt,
+        sess("user_id") === cnt("ua") && sess("s_us") === cnt("sa"), "left")
+      .select(
+        col("user_id"),
+        timestamp_micros(col("s_us")).cast("timestamp_ntz").as("session_start"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   private val eventTransitionsSql: String =
     """WITH seqd AS (
       |  SELECT event_type AS src,
@@ -237,6 +337,33 @@ object TimeWindowOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    Q("session_concurrency", sessionConcurrency, Some(
+      sessSpansSqlPrefix +
+        s""", occ AS (
+           |  SELECT user_id,
+           |         unnest(generate_series(s_us // $ConcurrencyBucketUs,
+           |                                (e_us - 1) // $ConcurrencyBucketUs)) AS bucket
+           |  FROM sess
+           |)
+           |SELECT bucket * 600 AS bucket_start_sec,
+           |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("session_overlap_pairs", sessionOverlapPairs, Some(
+      sessSpansSqlPrefix +
+        """, cnt AS (
+          |  SELECT a.user_id AS ua, a.s_us AS sa,
+          |         CAST(COUNT(*) AS BIGINT) AS n_overlap
+          |  FROM sess a JOIN sess b
+          |    ON a.user_id <> b.user_id
+          |   AND a.s_us < b.e_us AND b.s_us < a.e_us
+          |  GROUP BY 1, 2
+          |)
+          |SELECT s.user_id,
+          |  make_timestamp(s.s_us) AS session_start,
+          |  COALESCE(c.n_overlap, 0) AS n_overlap
+          |FROM sess s LEFT JOIN cnt c ON s.user_id = c.ua AND s.s_us = c.sa
+          |ORDER BY s.user_id, session_start""".stripMargin)),
     Q("daily_gapfill", dailyGapfill, Some(
       """WITH per_day AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
