@@ -342,6 +342,74 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** PMI-ranked collocations (phrase mining): token bigrams whose observed
+    * count most exceeds what independent word frequencies predict —
+    * PMI = ln(c_ab·N / (c_a·c_b)) — the standard phrase-extraction signal
+    * for tokenizer/vocab curation. Unigram margins are counts of appearing
+    * as a bigram's first/second word, so N, c_a, c_b, c_ab are all exact
+    * longs from the SAME bigram relation; the ranking value is the PMI
+    * argument as ONE IEEE division of two exact long products —
+    * bit-identical across engines (ln would rank identically; the raw
+    * ratio skips the transcendental). Min support 5, top 50.
+    *
+    * Scale posture: the corpus-sized explode aggregates immediately
+    * (map-side partial) into the pair/margin count tables; the support
+    * filter shrinks the pair table BEFORE the margin joins. The margins
+    * are broadcast here (vocabulary-sized, fine at bench SF); at a 100 TB
+    * corpus swap to plain equi-joins on the aggregated domains —
+    * vocabulary-keyed shuffles, never corpus-keyed.
+    */
+  private def bigramCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .repartition(col("doc_id")) // single-file scan → parallelize the explode
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2) // sequence(1, 0) guard, as bigram_lm_score
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .cache() // feeds the pair counts AND both margins (the Q contract)
+    val cab = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    val cb = bg.groupBy(col("w2")).agg(count(lit(1)).as("c_b"))
+    val n = bg.agg(count(lit(1)).as("n_bg"))
+    cab.filter(col("c_ab") >= 5)
+      .join(broadcast(ca), "w1")
+      .join(broadcast(cb), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_ratio",
+        (col("c_ab") * col("n_bg")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  private val bigramCollocationsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), bg AS (
+      |  SELECT list_extract(toks, i) AS w1, list_extract(toks, i + 1) AS w2
+      |  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      |  WHERE len(toks) >= 2
+      |), cab AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+      |), ca AS (
+      |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_a FROM bg GROUP BY 1
+      |), cb AS (
+      |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS c_b FROM bg GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg
+      |)
+      |SELECT w1, w2, c_ab, c_a, c_b,
+      |  CAST(c_ab * n_bg AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS pmi_ratio
+      |FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+      |WHERE c_ab >= 5
+      |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50""".stripMargin
+
   // ---- training-prep: packing + chunking ----------------------------------
 
   private val PACK_BIN = 2048L
@@ -708,6 +776,7 @@ object TextOps extends QueryModule {
          |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id >= 10
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+    Q("bigram_collocations", bigramCollocations, Some(bigramCollocationsSql)),
     Q("bigram_lm_score", bigramLmScore, Some(
       """WITH bg AS (
         |  SELECT doc_id,

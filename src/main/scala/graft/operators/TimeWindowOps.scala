@@ -221,6 +221,54 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Second-order path analysis: the top 20 three-step event-type paths
+    * (e1 → e2 → e3) across per-user sequences — the "what do users do next"
+    * extension of event_transitions. Two stacked lead() calls over the SAME
+    * per-user (ts, event_id) total order — one shuffle, one Window operator
+    * — then a hash aggregate whose domain is |types|³ (125 here), top-20
+    * with full-path tie-break.
+    */
+  private def topPaths3(s: SparkSession, dir: String): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(byTime).as("e2"),
+        lead(col("event_type"), 2).over(byTime).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** Cohort LTV curve: per first-seen-day cohort, purchase revenue (exact
+    * cents) and its running cumulative at day offsets 0-7, plus the users
+    * active at each offset. The cumulative window runs over the
+    * PRE-AGGREGATED (cohort, offset) domain — ≤ 8 rows per cohort
+    * partition — never over raw events; the cohort label is a window min
+    * like retention_cohorts (no groupBy + join back).
+    */
+  private def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(lit(0L)).as("cents"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("cum_cents", sum(col("cents")).over(cum))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Shared base for the interval-analytics queries below: per-user gap
     * sessions (same definition as session_windows) reduced to their
     * [start, end) span in epoch-µs longs — integer-exact interval bounds
@@ -337,6 +385,42 @@ object TimeWindowOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    Q("top_paths_3", topPaths3, Some(
+      """WITH seqd AS (
+        |  SELECT event_type AS e1,
+        |         LEAD(event_type, 1) OVER w AS e2,
+        |         LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seqd WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin)),
+    Q("cohort_ltv", cohortLtv, Some(
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(ROUND(value * 100) AS BIGINT)
+        |              ELSE 0 END AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, day, cents,
+        |         MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM d
+        |), agged AS (
+        |  SELECT cohort_day,
+        |         CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |         CAST(SUM(cents) AS BIGINT) AS cents,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM c
+        |  WHERE date_diff('day', cohort_day, day) <= 7
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort_day, day_offset, cents, n_users,
+        |  CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |FROM agged ORDER BY cohort_day, day_offset""".stripMargin)),
     Q("session_concurrency", sessionConcurrency, Some(
       sessSpansSqlPrefix +
         s""", occ AS (

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral-sequence and phrase-mining queries (round 5): 3-step paths,
+  * cohort LTV, PMI collocations — each against a plain-Scala recount at
+  * sf0.001.
+  */
+class BehaviorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events: Seq[(Long, Long, Long, String, Double)] =
+    Tables.t(spark, sf001, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+
+  test("top_paths_3 equals brute-force sliding-window counting") {
+    val got = SparkEntry.queries("top_paths_3")(spark, sf001)
+      .as[(String, String, String, Long)].collect().toSeq
+    val paths = events.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).filter(_.size == 3)
+        .map(p => (p(0), p(1), p(2))).toSeq
+    }
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20)
+    assert(got === expected)
+  }
+
+  test("cohort_ltv cumulative equals per-cohort running sum of exact cents") {
+    val got = SparkEntry.queries("cohort_ltv")(spark, sf001)
+      .select($"cohort_day".cast("string"), $"day_offset", $"cents", $"n_users",
+        $"cum_cents")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // running sum is consistent within each cohort and starts at its first row
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.foldLeft(0L) { (acc, r) =>
+        val next = acc + r._3
+        assert(r._5 === next, s"cum mismatch at $r")
+        next
+      }
+    }
+    // cents recount: purchases only, first 8 offset days per user cohort
+    val us = 86400000000L // µs per day (events are well inside epoch days)
+    val byUser = events.groupBy(_._1)
+    val firstDay = byUser.view.mapValues(_.map(e => e._2 / us).min).toMap
+    val expCents = events
+      .map(e => (e._1, e._2 / us, if (e._4 == "purchase") math.round(e._5 * 100) else 0L))
+      .map { case (u, d, c) => ((firstDay(u), d - firstDay(u)), c) }
+      .filter(_._1._2 <= 7)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val gotCents = got.map(r => ((toEpochDay(r._1), r._2), r._3)).toMap
+    assert(gotCents === expCents)
+  }
+
+  private def toEpochDay(date: String): Long =
+    java.time.LocalDate.parse(date).toEpochDay
+
+  test("bigram_collocations PMI ratio and margins recount") {
+    val got = SparkEntry.queries("bigram_collocations")(spark, sf001)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val bigrams = Tables.t(spark, sf001, "documents")
+      .select($"text").as[String].collect().toSeq
+      .map(_.split(" ", -1).toSeq).filter(_.size >= 2)
+      .flatMap(toks => toks.zip(toks.tail))
+    val cab = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.size.toLong
+    val expected = cab.toSeq.filter(_._2 >= 5)
+      .map { case ((a, b), c) =>
+        (a, b, c, ca(a), cb(b), (c * n).toDouble / (ca(a) * cb(b)).toDouble)
+      }
+      .sortBy { case (a, b, _, _, _, r) => (-r, a, b) }.take(50)
+    assert(got === expected)
+    assert(got.head._6 > 1.0, "top collocation should beat independence")
+  }
+}
