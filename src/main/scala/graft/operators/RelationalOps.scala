@@ -660,6 +660,37 @@ object RelationalOps extends QueryModule {
       .orderBy(col("rk"))
   }
 
+  /** 2-D skyline (pareto front): parts not dominated on (price low, size
+    * high) — the multi-objective shortlist query. Never the n² dominance
+    * test: the domain first compresses to max-size-per-distinct-price (one
+    * hash aggregate — a same-price part below that max is dominated by the
+    * max), then skyline membership is a strict-prefix max over the ~|distinct
+    * prices| compressed rows (allowlisted unpartitioned window over a
+    * pre-aggregated domain, like monthly_revenue_mom), and the surviving
+    * skyline points broadcast back against part. The oracle proves
+    * equivalence to the quadratic NOT EXISTS dominance definition.
+    */
+  private def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val perPrice = t(s, dir, "part")
+      .select(round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size"))
+      .groupBy(col("cents")).agg(max(col("p_size")).as("smax"))
+    val strictlyCheaper = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perPrice
+      .withColumn("prevmax", max(col("smax")).over(strictlyCheaper))
+      .filter(col("prevmax").isNull || col("prevmax") < col("smax"))
+      .select(col("cents"), col("smax"))
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size"))
+      .join(broadcast(sky), Seq("cents"))
+      .filter(col("p_size") === col("smax"))
+      .select(col("p_partkey"), col("cents"), col("p_size"))
+      .orderBy(col("cents"), col("p_partkey"))
+  }
+
   /** RFM segmentation: per customer, recency (days since last order),
     * frequency (order count), monetary (cents total), each cut into exact
     * ntile quartiles over a total order — the classic 3-digit RFM segment
@@ -1307,6 +1338,19 @@ object RelationalOps extends QueryModule {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)),
+    Q("skyline_parts", skylineParts, Some(
+      """SELECT p.p_partkey,
+        |       CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS cents,
+        |       p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE ROUND(q.p_retailprice * 100) <= ROUND(p.p_retailprice * 100)
+        |    AND q.p_size >= p.p_size
+        |    AND (ROUND(q.p_retailprice * 100) < ROUND(p.p_retailprice * 100)
+        |         OR q.p_size > p.p_size)
+        |)
+        |ORDER BY cents, p_partkey""".stripMargin)),
     Q("frequent_triples", frequentTriples, Some(
       """WITH ob AS (
         |  SELECT DISTINCT l_orderkey, p_brand

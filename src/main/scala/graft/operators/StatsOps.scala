@@ -369,6 +369,67 @@ object StatsOps extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy(col("user_id"))
 
+  /** Gini coefficient of revenue concentration per nation — the inequality
+    * metric behind "how concentrated is each market". Suppliers rank by
+    * exact revenue cents WITHIN their nation (a partitioned window — no
+    * global sort), then the closed form
+    * G = (2·Σrk·x − (n+1)·Σx) / (n·Σx) assembles from exact long sums with
+    * ONE IEEE division — bit-identical across engines. Ties rank by
+    * (cents, suppkey) so the rank assignment is total. Long carriers hold
+    * to ~10⁶ suppliers/nation × 10¹¹ total cents; swap the two products to
+    * DECIMAL(38,0) beyond that.
+    */
+  private def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .join(broadcast(Tables.t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    val byNation = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("cents"), col("l_suppkey"))
+    perSupp
+      .withColumn("rk", row_number().over(byNation).cast("long"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("tot_cents"),
+        sum(col("rk") * col("cents")).as("rc"))
+      .withColumn("gini",
+        (lit(2L) * col("rc") - (col("n_suppliers") + lit(1L)) * col("tot_cents"))
+          .cast("double") /
+          (col("n_suppliers") * col("tot_cents")).cast("double"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("tot_cents"), col("gini"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Join-key skew diagnostics — the report you run BEFORE picking a join
+    * strategy at 100 TB: for lineitem.l_partkey, total rows, distinct keys,
+    * the hottest key and its frequency, and the skew ratio
+    * max_freq·n_keys/n_rows (1.0 = perfectly uniform). All counts exact
+    * longs off one hash aggregate; the hottest key is a deterministic
+    * TakeOrdered(1) (freq desc, key asc), 1-row cross-broadcast; the two
+    * ratios are single IEEE divisions of exact longs.
+    */
+  private def keySkewReport(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("freq"))
+      .cache() // feeds the totals AND the argmax (the Q contract)
+    val hot = freq.orderBy(col("freq").desc, col("l_partkey")).limit(1)
+      .select(col("l_partkey").as("hot_key"))
+    freq.agg(
+        sum(col("freq")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("freq")).as("max_freq"))
+      .crossJoin(broadcast(hot))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_freq"), col("hot_key"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("avg_freq"),
+        ((col("max_freq") * col("n_keys")).cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
+  }
+
   /** Deterministic train/val/test split — the assignment every training-data
     * pipeline needs: bucket = md5-derived 64-bit hash of doc_id mod 10,
     * 0-7 → train, 8 → val, 9 → test. Hash-based (not random) so the split is
@@ -896,6 +957,44 @@ object StatsOps extends QueryModule {
     Q("ols_by_type", olsByType, Some(olsByTypeSql)),
     Q("equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     Q("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
+    Q("gini_concentration", giniConcentration, Some(
+      """WITH ps AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem GROUP BY 1
+        |), r AS (
+        |  SELECT s_nationkey, cents,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |                                 ORDER BY cents, l_suppkey) AS BIGINT) AS rk
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |), a AS (
+        |  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |         CAST(SUM(cents) AS BIGINT) AS tot_cents,
+        |         CAST(SUM(rk * cents) AS BIGINT) AS rc
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT s_nationkey, n_suppliers, tot_cents,
+        |  CAST(2 * rc - (n_suppliers + 1) * tot_cents AS DOUBLE)
+        |    / CAST(n_suppliers * tot_cents AS DOUBLE) AS gini
+        |FROM a ORDER BY s_nationkey""".stripMargin)),
+    Q("key_skew_report", keySkewReport, Some(
+      """WITH f AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM lineitem GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(SUM(freq) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(MAX(freq) AS BIGINT) AS max_freq
+        |  FROM f
+        |), h AS (
+        |  SELECT l_partkey AS hot_key FROM f
+        |  ORDER BY freq DESC, l_partkey LIMIT 1
+        |)
+        |SELECT n_rows, n_keys, max_freq, hot_key,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_freq,
+        |  CAST(max_freq * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio
+        |FROM a CROSS JOIN h""".stripMargin)),
     Q("train_val_split", trainValSplit, Some(
       """SELECT lang,
         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 <= 7

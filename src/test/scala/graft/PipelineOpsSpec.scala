@@ -194,6 +194,67 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("skyline_parts equals the quadratic dominance definition") {
+    val parts = Tables.t(spark, sf001, "part")
+      .select($"p_partkey", round($"p_retailprice" * 100).cast("long"), $"p_size")
+      .as[(Long, Long, Int)].collect().toSeq
+    val expected = parts.filter { case (_, c, sz) =>
+      !parts.exists { case (_, c2, s2) =>
+        c2 <= c && s2 >= sz && (c2 < c || s2 > sz)
+      }
+    }.map { case (k, c, sz) => (k, c, sz) }.sortBy(t => (t._2, t._1))
+    val got = SparkEntry.queries("skyline_parts")(spark, sf001)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the front is strictly improving in size as price rises
+    got.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(b > a, "front must strictly improve")
+      case _         => ()
+    }
+  }
+
+  test("gini_concentration matches a plain-Scala closed form") {
+    val perSupp = Tables.t(spark, sf001, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .join(Tables.t(spark, sf001, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey", $"l_suppkey", $"cents")
+      .as[(Int, Long, Long)].collect().toSeq
+    val expected = perSupp.groupBy(_._1).toSeq.map { case (nat, g) =>
+      val xs = g.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.size.toLong
+      val tot = xs.sum
+      val rc = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (nat, n, tot, (2 * rc - (n + 1) * tot).toDouble / (n * tot).toDouble)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("gini_concentration")(spark, sf001)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // Gini is always within [0, 1) for non-negative revenues
+    got.foreach { case (nat, _, _, g) =>
+      assert(g >= 0.0 && g < 1.0, s"nation $nat gini $g out of range")
+    }
+  }
+
+  test("key_skew_report counts and hottest key recount") {
+    val freqs = Tables.t(spark, sf001, "lineitem")
+      .groupBy($"l_partkey").agg(count(lit(1)).as("freq"))
+      .as[(Long, Long)].collect().toSeq
+    val nRows = freqs.map(_._2).sum
+    val maxF = freqs.map(_._2).max
+    val hot = freqs.filter(_._2 == maxF).map(_._1).min
+    val got = SparkEntry.queries("key_skew_report")(spark, sf001)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r._1 === nRows && r._2 === freqs.size.toLong && r._3 === maxF)
+    assert(r._4 === hot)
+    assert(r._5 === nRows.toDouble / freqs.size)
+    assert(r._6 === (maxF * freqs.size).toDouble / nRows)
+  }
+
   test("stratified_sample yields k deterministic rows per language") {
     val rows = SparkEntry.queries("stratified_sample")(spark, sf001)
       .select($"lang", $"rk", $"doc_id").as[(String, Long, Long)].collect()

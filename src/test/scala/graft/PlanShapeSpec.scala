@@ -66,7 +66,10 @@ class PlanShapeSpec extends SparkSpec {
     // (customer_rfm, supplier_pareto, equidepth_histogram, vocab_growth)
     // runs through PrefixOps' two-level prefix sum instead.
     import org.apache.spark.sql.execution.window.WindowExec
-    val allowed = Set("monthly_revenue_mom", "batch_summary")
+    // skyline_parts: strict-prefix max over the max-size-per-distinct-price
+    // pre-aggregate — bounded by the price domain (~2k cents values), not
+    // by part count
+    val allowed = Set("monthly_revenue_mom", "batch_summary", "skyline_parts")
     // AQE off so executedPlan is a plain traversable tree (restored after)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -96,6 +99,8 @@ class PlanShapeSpec extends SparkSpec {
       "q22_idle_customers", // 1-row positive-balance mean broadcast
       "temperature_mixture", // 1-row Σ√n quota denominator broadcast
       "q11_important_stock", // 1-row (total, n_parts) threshold broadcast
+      "bigram_collocations", // 1-row total-bigram-count broadcast
+      "key_skew_report", // 1-row hottest-key broadcast
       "psi_drift", // 1-row decile-boundary array broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
