@@ -167,6 +167,80 @@ object AdvancedOps extends QueryModule {
       |FROM o WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  /** Position-based (U-shaped) multi-touch attribution: each purchase's
+    * credit splits over the user's click/view touches since the previous
+    * purchase — 40% to the first touch, 40% to the last, 20% spread over
+    * the middles (1000 millis total per attributed window; 1 touch takes
+    * all, 2 take 500/500). Credits are exact integer millis: middles get
+    * floor(200/(k−2)) each, with the remainder distributed +1 to the
+    * earliest middles — so window credit sums to exactly 1000 and every
+    * engine computes identical splits. The complement of last-touch
+    * attribution (attribution_last_touch) when budget, not credit order,
+    * is the question.
+    *
+    * Scale posture: window ids are a running purchase count over the SAME
+    * per-user (ts, event_id) shuffle every sequence op rides; position/size
+    * window over (user, window id) sub-partitions; the per-user purchase
+    * total is an aggregated-domain equi-join. Output is |touch types| rows.
+    */
+  private def attributionPosition(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("w", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(byTime.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val np = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+    val byWin = Window.partitionBy(col("user_id"), col("w"))
+      .orderBy(col("ts"), col("event_id"))
+    val winAll = Window.partitionBy(col("user_id"), col("w"))
+    ev.filter(col("event_type").isin("click", "view"))
+      .join(np, Seq("user_id"))
+      .filter(col("w") < col("np")) // only windows closed by a purchase
+      .withColumn("pos", row_number().over(byWin).cast("long"))
+      .withColumn("k", count(lit(1)).over(winAll))
+      .withColumn("credit_milli",
+        when(col("k") === 1L, lit(1000L))
+          .when(col("k") === 2L, lit(500L))
+          .when(col("pos") === 1L || col("pos") === col("k"), lit(400L))
+          .otherwise(expr(
+            "200 div (k - 2) + (CASE WHEN pos - 1 <= 200 % (k - 2) THEN 1 ELSE 0 END)")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_milli")).as("credit_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  private def attributionPositionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS w
+      |  FROM events
+      |), np AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+      |), t AS (
+      |  SELECT e.event_type,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id, e.w
+      |                            ORDER BY e.ts, e.event_id) AS BIGINT) AS pos,
+      |    CAST(COUNT(*) OVER (PARTITION BY e.user_id, e.w) AS BIGINT) AS k
+      |  FROM ev e JOIN np USING (user_id)
+      |  WHERE e.event_type IN ('click', 'view') AND e.w < np.np
+      |)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(CASE WHEN k = 1 THEN 1000
+      |                WHEN k = 2 THEN 500
+      |                WHEN pos = 1 OR pos = k THEN 400
+      |                ELSE 200 // (k - 2)
+      |                     + CASE WHEN pos - 1 <= 200 % (k - 2) THEN 1 ELSE 0 END
+      |           END) AS BIGINT) AS credit_milli
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Range join: lineitem priced into literal bands via a broadcast
     * non-equi join (BroadcastNestedLoopJoin against 4 rows — the probe side
     * streams, nothing shuffles). */
@@ -513,6 +587,8 @@ object AdvancedOps extends QueryModule {
         |FROM events ORDER BY event_id""".stripMargin)),
     Q("attribution_last_touch", attributionLastTouch,
       Some(attributionLastTouchSql)),
+    Q("attribution_position", attributionPosition,
+      Some(attributionPositionSql)),
     Q("range_join_bands", rangeJoinBands, Some(
       """SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -369,6 +369,47 @@ object StatsOps extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy(col("user_id"))
 
+  /** Two-proportion z-test over a deterministic hash split — the A/B
+    * experiment readout: users split into arms by md5(user_id) mod 2 (the
+    * same rand()-free assignment as train_val_split, so arms are stable
+    * under reruns and appends), conversion = user made a high-value
+    * purchase (value > 95 — "any purchase" saturates to 100% and makes
+    * the test degenerate), z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    * Counts are exact longs; the rates and z chain only IEEE
+    * correctly-rounded ops (÷, ×, −, √) written with IDENTICAL association
+    * in both engines, so the floats hash-match like the single-division
+    * cases do. A degenerate pool (p̂ ∈ {0, 1} ⇒ zero standard error)
+    * yields NULL rather than an ANSI divide-by-zero.
+    */
+  private def abTestZscore(s: SparkSession, dir: String): DataFrame = {
+    val arm = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(2L))
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 95.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", arm)
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("x_b"))
+      .withColumn("rate_a", col("x_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b", col("x_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p_pool",
+        (col("x_a") + col("x_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z",
+        when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+          (col("rate_a") - col("rate_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("rate_a"), col("rate_b"), col("z"))
+  }
+
   /** Gini coefficient of revenue concentration per nation — the inequality
     * metric behind "how concentrated is each market". Suppliers rank by
     * exact revenue cents WITHIN their nation (a partitioned window — no
@@ -957,6 +998,38 @@ object StatsOps extends QueryModule {
     Q("ols_by_type", olsByType, Some(olsByTypeSql)),
     Q("equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     Q("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
+    Q("ab_test_zscore", abTestZscore, Some(
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 95
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM events GROUP BY 1
+        |), armed AS (
+        |  SELECT converted,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 2 AS arm
+        |  FROM pu
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM armed
+        |), rates AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+        |  FROM agg
+        |)
+        |SELECT n_a, x_a, n_b, x_b, rate_a, rate_b,
+        |  CASE WHEN p_pool > 0 AND p_pool < 1 THEN
+        |    (rate_a - rate_b) /
+        |      SQRT(p_pool * (1.0 - p_pool) *
+        |           (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM rates""".stripMargin)),
     Q("gini_concentration", giniConcentration, Some(
       """WITH ps AS (
         |  SELECT l_suppkey,

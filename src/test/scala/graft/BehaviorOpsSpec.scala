@@ -57,6 +57,65 @@ class BehaviorOpsSpec extends SparkSpec {
   private def toEpochDay(date: String): Long =
     java.time.LocalDate.parse(date).toEpochDay
 
+  test("attribution_position credits sum to 1000 per attributed window " +
+      "and match a sequential recount") {
+    val got = SparkEntry.queries("attribution_position")(spark, sf001)
+      .as[(String, Long, Long)].collect().toSeq
+    // sequential replay: per user, walk events in time order, buffering
+    // touches; each purchase closes a window and splits 1000 millis
+    val credits = scala.collection.mutable.Map[String, Long]()
+    val counts = scala.collection.mutable.Map[String, Long]()
+    var windows = 0L
+    events.groupBy(_._1).values.foreach { evs =>
+      var buf = Vector.empty[String] // touch types in order
+      evs.sortBy(e => (e._2, e._3)).foreach { e =>
+        e._4 match {
+          case "click" | "view" => buf :+= e._4
+          case "purchase" =>
+            val k = buf.size
+            if (k > 0) windows += 1
+            buf.zipWithIndex.foreach { case (t, i) =>
+              val pos = i + 1L
+              val c =
+                if (k == 1) 1000L
+                else if (k == 2) 500L
+                else if (pos == 1 || pos == k) 400L
+                else 200L / (k - 2) + (if (pos - 1 <= 200 % (k - 2)) 1L else 0L)
+              credits(t) = credits.getOrElse(t, 0L) + c
+              counts(t) = counts.getOrElse(t, 0L) + 1L
+            }
+            buf = Vector.empty
+          case _ => ()
+        }
+      }
+    }
+    val expected = credits.keys.toSeq.sorted.map(t => (t, counts(t), credits(t)))
+    assert(got === expected)
+    assert(got.map(_._3).sum === 1000L * windows, "credit conservation")
+  }
+
+  test("ab_test_zscore matches an exact recount of the hash-split arms") {
+    val got = SparkEntry.queries("ab_test_zscore")(spark, sf001)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    val perUser = events.groupBy(_._1).toSeq.map { case (u, evs) =>
+      val arm = BigInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16).toLong % 2
+      (arm, if (evs.exists(e => e._4 == "purchase" && e._5 > 95.0)) 1L else 0L)
+    }.toSeq
+    val (na, xa) = (perUser.count(_._1 == 0).toLong,
+      perUser.filter(_._1 == 0).map(_._2).sum)
+    val (nb, xb) = (perUser.count(_._1 == 1).toLong,
+      perUser.filter(_._1 == 1).map(_._2).sum)
+    assert((got._1, got._2, got._3, got._4) === ((na, xa, nb, xb)))
+    val (ra, rb) = (xa.toDouble / na, xb.toDouble / nb)
+    val p = (xa + xb).toDouble / (na + nb)
+    val z = (ra - rb) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(got._5 === ra && got._6 === rb)
+    assert(got._7 === z)
+  }
+
   test("bigram_collocations PMI ratio and margins recount") {
     val got = SparkEntry.queries("bigram_collocations")(spark, sf001)
       .as[(String, String, Long, Long, Long, Double)].collect().toSeq
