@@ -350,7 +350,10 @@ object TextOps extends QueryModule {
     * longs from the SAME bigram relation; the ranking value is the PMI
     * argument as ONE IEEE division of two exact long products —
     * bit-identical across engines (ln would rank identically; the raw
-    * ratio skips the transcendental). Min support 5, top 50.
+    * ratio skips the transcendental). Min support 5, top 50. Long product
+    * carriers hold while c_ab·N and c_a·c_b stay under 2⁶³ (≈ 10¹²-bigram
+    * corpora with ≤ 10⁶-count pairs); past that, cast the two products to
+    * DECIMAL(38,0) before the division, as gini_concentration prescribes.
     *
     * Scale posture: the corpus-sized explode aggregates immediately
     * (map-side partial) into the pair/margin count tables; the support

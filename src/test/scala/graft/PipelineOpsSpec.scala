@@ -207,10 +207,12 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(got === expected)
     assert(got.nonEmpty)
-    // the front is strictly improving in size as price rises
-    got.map(_._3).sliding(2).foreach {
-      case Seq(a, b) => assert(b > a, "front must strictly improve")
-      case _         => ()
+    // the front strictly improves in size across DISTINCT price points
+    // (several parts may legitimately tie on (cents, size) within one point)
+    got.map(t => (t._2, t._3)).distinct.sliding(2).foreach {
+      case Seq((c1, s1), (c2, s2)) =>
+        assert(c2 > c1 && s2 > s1, "front must strictly improve")
+      case _ => ()
     }
   }
 
