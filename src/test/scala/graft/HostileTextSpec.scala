@@ -24,7 +24,7 @@ class HostileTextSpec extends SparkSpec {
     "token_stats", "quality_score", "lang_id", "term_frequencies", "tf_idf",
     "doc_fingerprint", "rolling_fingerprint", "sequence_packing",
     "doc_chunking", "shingle_novelty", "dup_span_removal", "vocab_growth",
-    "bigram_lm_score",
+    "bigram_lm_score", "bigram_collocations",
     "repetition_score", "gopher_quality_filter", "boilerplate_shingles",
     "contamination_check", "exact_dedup", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
