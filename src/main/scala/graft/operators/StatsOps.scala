@@ -892,6 +892,74 @@ object StatsOps extends QueryModule {
       |              (acc, x) -> (acc + x) // 2) AS ema_micro
       |FROM unrolled ORDER BY event_type, day""".stripMargin
 
+  /** One-sided CUSUM change detection on the per-type daily mean series —
+    * the classic sequential test for "did this metric's level shift up".
+    * S_d = max(0, S_{d-1} + (x_d − μ − κ)) with μ the per-type mean of the
+    * daily means and slack κ = μ/20, all in exact integer micros
+    * (floor-div on non-negative operands, so both engines agree). Like
+    * [[emaDaily]], the inherently-sequential recurrence folds over a
+    * CALENDAR-BOUNDED per-type day array (heavy lifting = one hash-agg to
+    * (type, day); the fold touches ≤ |days| elements however large the
+    * corpus) — DuckDB replays it via list_reduce with a prepended zero
+    * accumulator. `alarm` fires when the cumulated excess tops one day's
+    * mean.
+    */
+  private def cusumShift(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 1e6).cast("long"))
+        .cast("long")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("sum_micro div cnt"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("mean_micro"))))
+        .as("xs"))
+      .withColumn("mu",
+        expr("aggregate(xs, 0L, (a, x) -> a + x.mean_micro) div size(xs)"))
+      .withColumn("kap", expr("mu div 20"))
+      .select(col("event_type"), col("mu").as("mu_micro"), explode(expr(
+        """transform(sequence(1, size(xs)), d ->
+          |  named_struct(
+          |    'day', xs[d - 1].day,
+          |    'mean_micro', xs[d - 1].mean_micro,
+          |    'cusum_micro', aggregate(slice(xs, 1, d), 0L,
+          |      (acc, x) -> greatest(0L, acc + x.mean_micro - mu - kap))))"""
+          .stripMargin)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.mean_micro").as("mean_micro"),
+        col("r.cusum_micro").as("cusum_micro"),
+        (col("r.cusum_micro") > col("mu_micro")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val cusumShiftSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+      |  FROM events GROUP BY 1, 2
+      |), packed AS (
+      |  SELECT event_type,
+      |    list(day ORDER BY day) AS days,
+      |    list(mean_micro ORDER BY day) AS means
+      |  FROM daily GROUP BY 1
+      |), st AS (
+      |  SELECT event_type, days, means,
+      |    list_sum(means) // len(means) AS mu
+      |  FROM packed
+      |), unrolled AS (
+      |  SELECT event_type, unnest(generate_series(1, len(days))) AS d,
+      |         days, means, mu, mu // 20 AS kap
+      |  FROM st
+      |)
+      |SELECT event_type, days[d] AS day, means[d] AS mean_micro,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(means, 1, d)),
+      |              (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x - mu - kap))
+      |    AS cusum_micro,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(means, 1, d)),
+      |              (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x - mu - kap))
+      |    > mu AS alarm
+      |FROM unrolled ORDER BY event_type, day""".stripMargin
+
   /** Distribution drift per day vs a day-1 baseline — the population
     * stability index (PSI) every production ML monitor computes. Decile
     * boundaries come from the baseline day's COMPRESSED value domain via
@@ -989,6 +1057,7 @@ object StatsOps extends QueryModule {
     Q("psi_drift", psiDrift, Some(psiDriftSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("ema_daily", emaDaily, Some(emaDailySql)),
+    Q("cusum_shift", cusumShift, Some(cusumShiftSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),

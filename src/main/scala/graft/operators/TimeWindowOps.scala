@@ -197,6 +197,90 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** Autocorrelation function (ACF) of the daily purchase-count series at
+    * lags 1-7 — the seasonality / self-similarity diagnostic run before any
+    * forecasting model. The series is the zero-filled calendar spine (so a
+    * lag is always exactly k calendar days), centered in units of 1/n:
+    * c_d = n·x_d − S (an exact long — no float mean subtraction), and
+    * ACF_k = Σ c_d·c_{d+k} / Σ c_d² with both sums carried as
+    * DECIMAL(19,0)-factor products (the ols_by_type overflow lesson) and
+    * ONE final IEEE division. The lag pairing is an equi-join of the tiny
+    * per-day aggregate against itself shifted k days (fan-out 7 on the
+    * day domain, never on raw events); the 1-row (n, S) and denominator
+    * aggregates cross-broadcast like tf_idf's corpus stats.
+    */
+  private def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perDay = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = events(s, dir)
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    // consumed by the stats row and both join sides — Q caching contract
+    val series = spine.join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x")).cache()
+    val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val cd = series.crossJoin(broadcast(st))
+      .select(col("day"),
+        (col("n") * col("x") - col("sx")).cast(DecimalType(19, 0)).as("c"))
+      .cache()
+    val den = cd.agg(sum(col("c") * col("c")).as("den"))
+    val lhs = cd.select(col("day"), col("c").as("ca"),
+        explode(sequence(lit(1), lit(7))).as("k"))
+      .select(date_add(col("day"), col("k")).as("tday"),
+        col("ca"), col("k").cast("long").as("k"))
+    val rhs = cd.select(col("day").as("tday"), col("c").as("cb"))
+    lhs.join(rhs, "tday")
+      .groupBy(col("k"))
+      .agg(sum(col("ca") * col("cb")).as("num"), count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("k"))
+  }
+
+  /** Linear-interpolation gap-fill: a sparse daily series (a deterministic
+    * md5 1/256 sample of purchase events, so most calendar days have no
+    * observation) densified by interpolating between the nearest observed
+    * neighbors — the imputation idiom for irregular telemetry. prev/next
+    * observed points come from ignoreNulls last/first windows over the
+    * calendar spine (a wall-clock-bounded domain like monthly_revenue_mom,
+    * never data-proportional); the interpolated value is the exact integer
+    * lerp (prev·gapR + next·gapL) div gap — every term non-negative, so
+    * truncating and floor division agree across engines. Days outside the
+    * observed hull stay NULL.
+    */
+  private def dailyInterp(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val perDay = events(s, dir)
+      .filter(col("event_type") === "purchase" &&
+        substring(md5(col("event_id").cast("string")), 1, 2) === "00")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val spine = events(s, dir)
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val back = W.orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val fwd = W.orderBy(col("day"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    spine.join(perDay, Seq("day"), "left")
+      .withColumn("prev_d", last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(back))
+      .withColumn("prev_c", last(col("cents"), ignoreNulls = true).over(back))
+      .withColumn("next_d", first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+      .withColumn("next_c", first(col("cents"), ignoreNulls = true).over(fwd))
+      .select(col("day"), col("cents"),
+        when(col("cents").isNotNull, lit(1L)).otherwise(lit(0L)).as("observed"),
+        when(col("cents").isNotNull, col("cents"))
+          .otherwise(expr(
+            """(prev_c * datediff(next_d, day) + next_c * datediff(day, prev_d))
+              |  div datediff(next_d, prev_d)""".stripMargin))
+          .as("interp_cents"))
+      .orderBy(col("day"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * for every (src → dst) adjacent event-type pair, its count and the
     * row-normalized transition probability — the behavioral-model /
@@ -384,6 +468,71 @@ object TimeWindowOps extends QueryModule {
       |FROM cnt ORDER BY src, dst""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("acf_daily", acfDaily, Some(
+      """WITH per_day AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), bounds AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        |  FROM events
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds
+        |), series AS (
+        |  SELECT s.day, COALESCE(p.x, 0) AS x
+        |  FROM spine s LEFT JOIN per_day p USING (day)
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        |  FROM series
+        |), cd AS (
+        |  SELECT day, CAST(n * x - sx AS DECIMAL(19,0)) AS c FROM series, st
+        |), den AS (
+        |  SELECT SUM(c * c) AS den FROM cd
+        |), lhs AS (
+        |  SELECT day + CAST(k AS INTEGER) AS tday, c AS ca, CAST(k AS BIGINT) AS k
+        |  FROM cd, (SELECT unnest(generate_series(1, 7)) AS k)
+        |), agged AS (
+        |  SELECT k, SUM(ca * cb) AS num, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM lhs JOIN (SELECT day AS tday, c AS cb FROM cd) b USING (tday)
+        |  GROUP BY k
+        |)
+        |SELECT k, n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+        |FROM agged, den ORDER BY k""".stripMargin)),
+    Q("daily_interp", dailyInterp, Some(
+      """WITH per_day AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) = '00'
+        |  GROUP BY 1
+        |), bounds AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        |  FROM events
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds
+        |), joined AS (
+        |  SELECT s.day, p.cents,
+        |    LAST_VALUE(CASE WHEN p.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev_d,
+        |    LAST_VALUE(p.cents IGNORE NULLS)
+        |      OVER (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev_c,
+        |    FIRST_VALUE(CASE WHEN p.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND
+        |            UNBOUNDED FOLLOWING) AS next_d,
+        |    FIRST_VALUE(p.cents IGNORE NULLS)
+        |      OVER (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND
+        |            UNBOUNDED FOLLOWING) AS next_c
+        |  FROM spine s LEFT JOIN per_day p USING (day)
+        |)
+        |SELECT day, cents,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       ELSE (prev_c * date_diff('day', day, next_d)
+        |             + next_c * date_diff('day', prev_d, day))
+        |            // date_diff('day', prev_d, next_d) END AS interp_cents
+        |FROM joined ORDER BY day""".stripMargin)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("top_paths_3", topPaths3, Some(
       """WITH seqd AS (

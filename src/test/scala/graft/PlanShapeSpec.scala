@@ -69,7 +69,10 @@ class PlanShapeSpec extends SparkSpec {
     // skyline_parts: strict-prefix max over the max-size-per-distinct-price
     // pre-aggregate — bounded by the price domain (~2k cents values), not
     // by part count
-    val allowed = Set("monthly_revenue_mom", "batch_summary", "skyline_parts")
+    // daily_interp: ignoreNulls last/first over the calendar day spine —
+    // bounded by elapsed wall-clock days, same class as monthly_revenue_mom
+    val allowed = Set("monthly_revenue_mom", "batch_summary", "skyline_parts",
+      "daily_interp")
     // AQE off so executedPlan is a plain traversable tree (restored after)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -102,6 +105,7 @@ class PlanShapeSpec extends SparkSpec {
       "bigram_collocations", // 1-row total-bigram-count broadcast
       "key_skew_report", // 1-row hottest-key broadcast
       "psi_drift", // 1-row decile-boundary array broadcast
+      "acf_daily", // 1-row (n, S) + denominator broadcasts over the day spine
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
