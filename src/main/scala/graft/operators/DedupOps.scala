@@ -567,7 +567,102 @@ object DedupOps extends QueryModule {
        |JOIN e e2 ON e1.b_id = e2.a_id
        |JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id""".stripMargin
 
+  /** Set-similarity join with PREFIX FILTERING (the PPJoin/AllPairs family,
+    * Chaudhuri et al. ICDE'06): 3-shingle-set Jaccard ≥ 0.6 pairs, found
+    * without comparing all doc pairs AND without the full inverted-index
+    * self-join that [[ngramJaccard]] blocks through. Shingle hashes sort by
+    * global rarity (document frequency, hash tie-break); a doc with s
+    * shingles only exposes its first s − ⌈τ·s⌉ + 1 rarest — if two sets
+    * have Jaccard ≥ τ, their prefixes MUST share an element (lossless,
+    * unlike LSH banding), so the prefix equi-join is a COMPLETE candidate
+    * generator. A 5·min ≥ 3·max size filter prunes inside the join; the
+    * exact intersection verifies with integer cross-multiplication
+    * (5·inter ≥ 3·union ⇔ J ≥ 0.6) — the one IEEE division is the reported
+    * jaccard itself.
+    *
+    * Scale posture: candidate volume is Σ df² over PREFIX occurrences only
+    * — at τ=0.6 each doc exposes 40% of its shingles, the rarest ones, so
+    * high-df shingles (the df² bombs of the full inverted-index join)
+    * never pair unless a doc is tiny. Sets travel as 64-bit hashes, not
+    * strings (same h64 both engines, so the oracle replays exactly).
+    * DedupOps' PipelineOpsSpec test proves completeness against the
+    * quadratic definition at sf0.001.
+    */
+  private val PPJ_TAU_NUM = 3L // τ = 3/5
+  private val PPJ_TAU_DEN = 5L
+
+  private def jaccardPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = shingles(s, dir).select(col("doc_id"), h64(col("sh")).as("h"))
+      .distinct()
+    val dfreq = base.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc shingle-hash array in global (df, h) rarity order; cached —
+    // feeds the prefix explode AND the pair verify (Q caching contract)
+    val arr = base.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
+        x => x.getField("h")).as("ta"))
+      .withColumn("sz", size(col("ta")).cast("long"))
+      .cache()
+    // prefix length s − ⌈τs⌉ + 1 with ⌈3s/5⌉ = (3s+4) div 5 (s ≥ 0)
+    val pre = arr.select(col("doc_id"), col("sz"),
+      explode(expr(
+        s"slice(ta, 1, CAST(sz - (($PPJ_TAU_NUM * sz + ${PPJ_TAU_DEN - 1}) div $PPJ_TAU_DEN) + 1 AS INT))"))
+        .as("h"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          lit(PPJ_TAU_DEN) * least(col("a.sz"), col("b.sz")) >=
+            lit(PPJ_TAU_NUM) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val ver = cand
+      .join(arr.select(col("doc_id").as("a_id"), col("ta").as("taa"),
+        col("sz").as("sza")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("ta").as("tab"),
+        col("sz").as("szb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("taa"), col("tab"))).cast("long"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(lit(PPJ_TAU_DEN) * col("inter") >= lit(PPJ_TAU_NUM) * col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+    graft.QOps.ordered1(ver, col("a_id"), col("b_id"))
+  }
+
+  private def jaccardPrefixJoinSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |base AS (
+       |  SELECT DISTINCT doc_id, ${h64Sql("sh")} AS h FROM sh
+       |), dfreq AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM base GROUP BY 1
+       |), arr AS (
+       |  SELECT doc_id, list(h ORDER BY df, h) AS ta,
+       |    CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM base JOIN dfreq USING (h) GROUP BY doc_id
+       |), pre AS (
+       |  SELECT doc_id, sz,
+       |    unnest(list_slice(ta, 1,
+       |      sz - (($PPJ_TAU_NUM * sz + ${PPJ_TAU_DEN - 1}) // $PPJ_TAU_DEN) + 1)) AS h
+       |  FROM arr
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pre a JOIN pre b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |   AND $PPJ_TAU_DEN * LEAST(a.sz, b.sz) >= $PPJ_TAU_NUM * GREATEST(a.sz, b.sz)
+       |), ver AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(x.ta, y.ta)) AS BIGINT) AS inter,
+       |    x.sz + y.sz - CAST(len(list_intersect(x.ta, y.ta)) AS BIGINT) AS uni
+       |  FROM cand
+       |  JOIN arr x ON x.doc_id = a_id
+       |  JOIN arr y ON y.doc_id = b_id
+       |)
+       |SELECT a_id, b_id, inter, uni,
+       |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+       |FROM ver WHERE $PPJ_TAU_DEN * inter >= $PPJ_TAU_NUM * uni
+       |ORDER BY a_id, b_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("jaccard_prefix_join", jaccardPrefixJoin, Some(jaccardPrefixJoinSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
     Q("exact_dedup", exactDedup, Some(
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies

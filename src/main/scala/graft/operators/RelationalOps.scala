@@ -625,6 +625,67 @@ object RelationalOps extends QueryModule {
        |SELECT node, deg, pr AS pr_scaled FROM pr WHERE it = $PR_ITERS
        |ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin
 
+  /** Multi-hop BFS shortest-path distances from a seed node over the
+    * undirected co-purchase part graph (same distinct edge list as
+    * [[pagerank]]) — the "how far is everything from X" graph primitive
+    * (blast radius, reachability tiers). Level-synchronous frontier
+    * expansion to depth 4: each level is ONE equi-join (frontier ⋈ edges on
+    * src) + distinct + an anti-join against the visited set, materialized
+    * before the next level (the dedup_clusters lesson — lineage stays flat,
+    * any diameter). BFS levels are minimal distances by construction, so
+    * no min-aggregation pass is needed. The seed (min part key in the edge
+    * set) reaches the driver as a single long, like pagerank's node count;
+    * the oracle replays the expansion as a recursive CTE with a MIN(d)
+    * rollup.
+    */
+  private val BFS_DEPTH = 4
+
+  private def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y =!= x),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
+      .cache()
+    val seed = edges.agg(min(col("src"))).head.getLong(0) // one long
+    var dist = edges.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("dist")).cache()
+    var frontier = dist.select(col("node"))
+    for (d <- 1 to BFS_DEPTH) {
+      val nxt = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d.toLong))
+        .cache()
+      nxt.count() // materialize this level before extending lineage
+      val merged = dist.union(nxt).cache()
+      merged.count()
+      dist.unpersist()
+      dist = merged
+      frontier = nxt.select(col("node"))
+    }
+    dist.orderBy(col("node"))
+  }
+
+  private def bfsHopsSql: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey
+       |), r AS (
+       |  SELECT (SELECT MIN(src) FROM edges) AS node, 0 AS d
+       |  UNION
+       |  SELECT e.dst, r.d + 1
+       |  FROM r JOIN edges e ON e.src = r.node
+       |  WHERE r.d < $BFS_DEPTH
+       |)
+       |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+       |FROM r GROUP BY node ORDER BY node""".stripMargin
+
   /** Month-over-month revenue: decimal-exact monthly totals + lag-based
     * percent change (round(·,3) absorbs the one cross-engine division
     * difference — none in practice, but the pattern is the safe one).
@@ -1365,6 +1426,7 @@ object RelationalOps extends QueryModule {
         |HAVING COUNT(*) >= 10
         |ORDER BY support DESC, b1, b2, b3 LIMIT 20""".stripMargin)),
     Q("pagerank", pagerank, Some(pagerankSql)),
+    Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("monthly_revenue_mom", monthlyRevenueMom, Some(
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -34,6 +34,59 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("jaccard_prefix_join equals the quadratic all-pairs definition") {
+    // brute force: per-doc distinct shingle-hash sets, every pair, exact
+    // Jaccard ≥ 3/5 — prefix filtering must lose NO qualifying pair
+    val sets = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))""".stripMargin))
+        .as("sh"))
+      .select($"doc_id",
+        (conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long") % 2147483647L)
+          .as("h"))
+      .distinct()
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b)).size.toLong
+      uni = sets(a).size + sets(b).size - inter
+      if 5 * inter >= 3 * uni
+    } yield (a, b, inter, uni)).toSet
+    val got = SparkEntry.queries("jaccard_prefix_join")(spark, sf001)
+      .select($"a_id", $"b_id", $"inter", $"uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("bfs_hops equals a sequential BFS over the co-purchase edges") {
+    val li = Tables.t(spark, sf001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val adj = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.toSeq.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = adj.keys.min
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (d <- 1L to 4L) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= nxt.map(_ -> d)
+      frontier = nxt
+    }
+    val got = SparkEntry.queries("bfs_hops")(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    assert(got === dist)
+  }
+
   test("connectedComponents converges past diameter 3 (chain + forest)") {
     // a diameter-6 path, a disjoint triangle, and an isolated edge: the
     // fixed-K=3 unrolled form mislabeled exactly this path shape
