@@ -495,6 +495,71 @@ object RelationalOps extends QueryModule {
       .limit(20)
   }
 
+  /** Item-item collaborative-filtering similarity: top 20 part pairs by
+    * co-occurrence cosine c_ab / √(c_a·c_b) — the "customers who bought X
+    * also bought Y" primitive, normalizing raw co-purchase support by both
+    * items' popularity. One cached per-order part-set aggregate feeds BOTH
+    * the a<b pair fan-out (array HOFs inside codegen, bounded by per-order
+    * set size — the copurchase_pairs shape) and the per-part margins; a
+    * support ≥ 5 filter shrinks the pair table BEFORE the margin joins
+    * (per-part equi-joins — broadcast-sized at bench SF, vocabulary-keyed
+    * at corpus scale). Ranking uses the exact integer argument
+    * c_ab²·10⁶ div (c_a·c_b) (monotone in cosine — no float in the order);
+    * the reported cosine itself is the identically-associated IEEE
+    * √-then-÷ of exact longs, bit-equal across engines.
+    */
+  private def itemItemSim(s: SparkSession, dir: String): DataFrame = {
+    val pairsHof = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2),
+          greatest(size(col("ps")) - i - lit(1), lit(0))),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    // cached: drives the pair fan-out and the margin counts (Q contract)
+    val orderSets = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .cache()
+    val pairCnt = orderSets
+      .select(explode(pairsHof).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    val margins = orderSets
+      .select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("c"))
+    pairCnt
+      .join(margins.select(col("part").as("part_a"), col("c").as("c_a")), "part_a")
+      .join(margins.select(col("part").as("part_b"), col("c").as("c_b")), "part_b")
+      .withColumn("score_ppm",
+        expr("(c_ab * c_ab * 1000000L) div (c_a * c_b)"))
+      .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("score_ppm"),
+        (col("c_ab").cast("double") /
+          sqrt((col("c_a") * col("c_b")).cast("double"))).as("cosine"))
+      .orderBy(col("score_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  private val itemItemSimSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pair_cnt AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |         CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |), margins AS (
+      |  SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1
+      |)
+      |SELECT part_a, part_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+      |  (c_ab * c_ab * 1000000) // (ma.c * mb.c) AS score_ppm,
+      |  CAST(c_ab AS DOUBLE) / sqrt(CAST(ma.c * mb.c AS DOUBLE)) AS cosine
+      |FROM pair_cnt
+      |JOIN margins ma ON ma.part = part_a
+      |JOIN margins mb ON mb.part = part_b
+      |ORDER BY score_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
+
   /** Frequent brand triples (market-basket itemsets of size 3): brand
     * triples co-occurring in an order, support ≥ 10, top 20 — the
     * association-rules step past pairwise co-purchase. Same scale shape as
@@ -1427,6 +1492,7 @@ object RelationalOps extends QueryModule {
         |ORDER BY support DESC, b1, b2, b3 LIMIT 20""".stripMargin)),
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
+    Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
     Q("monthly_revenue_mom", monthlyRevenueMom, Some(
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

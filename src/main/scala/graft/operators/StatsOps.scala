@@ -840,6 +840,70 @@ object StatsOps extends QueryModule {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Winsorization per event_type: exact p05/p95 cut points, values clipped
+    * into [p05, p95], and the robust (winsorized) mean — the standard
+    * outlier-taming transform before training-statistics aggregation. The
+    * cut points are exact order statistics (smallest value whose cumulative
+    * count reaches ⌈p·n⌉, ⌈·⌉ as integer (p·n + d−1) div d) ranked over the
+    * COMPRESSED (type, cents) domain like [[madOutliers]] — the windows
+    * scan |distinct values| rows, not |events|. Cuts broadcast back; the
+    * winsorized mean is an exact integer micros division (Σclipped·10⁴
+    * stays int64 to ~9e14 cents per type; DECIMAL carrier past that).
+    */
+  private def winsorizeClip(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cuts = ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 19) div 20"), col("vc"))).as("lo_c"),
+        min(when(col("cum") >= expr("(n * 19 + 19) div 20"), col("vc")))
+          .as("hi_c"))
+    ev.join(broadcast(cuts), "event_type")
+      .withColumn("clipped", least(greatest(col("vc"), col("lo_c")), col("hi_c")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("lo_c")).as("lo_c"),
+        max(col("hi_c")).as("hi_c"),
+        sum(when(col("vc") < col("lo_c") || col("vc") > col("hi_c"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        expr("(sum(clipped) * 10000L) div count(1)").as("win_mean_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val winsorizeClipSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), cuts AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN vc END) AS lo_c,
+      |    MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN vc END) AS hi_c
+      |  FROM (SELECT event_type, vc, cnt,
+      |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |                         ROWS UNBOUNDED PRECEDING) AS cum,
+      |          SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |        FROM (SELECT event_type, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2))
+      |  GROUP BY event_type
+      |)
+      |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(lo_c) AS BIGINT) AS lo_c,
+      |  CAST(MAX(hi_c) AS BIGINT) AS hi_c,
+      |  CAST(SUM(CASE WHEN vc < lo_c OR vc > hi_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  CAST(SUM(LEAST(GREATEST(vc, lo_c), hi_c)) * 10000 AS BIGINT) // COUNT(*)
+      |    AS win_mean_micro
+      |FROM ev JOIN cuts USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exponential smoothing (α = ½) of the per-type DAILY value series —
     * ema_d = ⌊(ema_{d-1} + mean_d) / 2⌋ in exact integer micros. Two-level
     * shape: the heavy step is one hash-aggregate to (type, day, mean);
@@ -1058,6 +1122,7 @@ object StatsOps extends QueryModule {
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("ema_daily", emaDaily, Some(emaDailySql)),
     Q("cusum_shift", cusumShift, Some(cusumShiftSql)),
+    Q("winsorize_clip", winsorizeClip, Some(winsorizeClipSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),

@@ -87,6 +87,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === dist)
   }
 
+  test("item_item_sim margins, score argument, and cosine recount") {
+    val li = Tables.t(spark, sf001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val margins = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCnt = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("item_item_sim")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = pairCnt.filter(_._2 >= 3).toSeq
+      .map { case ((a, b), cab) =>
+        (a, b, cab, margins(a), margins(b),
+          cab * cab * 1000000L / (margins(a) * margins(b)))
+      }
+      .sortBy { case (a, b, _, _, _, score) => (-score, a, b) }.take(20)
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) === expected)
+    got.foreach { case (_, _, cab, ca, cb, _, cos) =>
+      assert(cos === cab.toDouble / math.sqrt((ca * cb).toDouble))
+    }
+  }
+
   test("connectedComponents converges past diameter 3 (chain + forest)") {
     // a diameter-6 path, a disjoint triangle, and an isolated edge: the
     // fixed-K=3 unrolled form mislabeled exactly this path shape

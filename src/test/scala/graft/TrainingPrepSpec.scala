@@ -76,6 +76,29 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("winsorize_clip cut points are exact order statistics and the " +
+      "winsorized mean is the clipped-sum division") {
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"event_type", round($"value" * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val got = SparkEntry.queries("winsorize_clip")(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.map(_._1).toSeq === byType.keys.toSeq.sorted)
+    got.foreach { case (t, n, lo, hi, nClip, winMean) =>
+      val vs = byType(t)
+      val sorted = vs.sorted
+      def orderStat(num: Long, den: Long): Long = // smallest v with cum ≥ ⌈num·n/den⌉
+        sorted((((num * vs.size + den - 1) / den) - 1).toInt)
+      assert(n === vs.size.toLong)
+      assert(lo === orderStat(1, 20), s"$t p05")
+      assert(hi === orderStat(19, 20), s"$t p95")
+      assert(nClip === vs.count(v => v < lo || v > hi).toLong)
+      val clippedSum = vs.map(v => math.min(math.max(v, lo), hi)).sum
+      assert(winMean === clippedSum * 10000L / vs.size)
+    }
+  }
+
   test("ema_daily equals the sequential integer fold of daily means") {
     val daily = Tables.t(spark, sf001, "events")
       .groupBy($"event_type", to_date($"ts").as("day"))
