@@ -841,7 +841,123 @@ object SimilarityOps extends QueryModule {
        |  FROM votes)
        |WHERE vr = 1 ORDER BY q_id""".stripMargin
 
+  // ---- JL random projection + mutual-kNN -------------------------------
+
+  private val JL_K = 8
+
+  /** ±1 sign for the Johnson-Lindenstrauss projection matrix, md5-derived
+    * at query-construction time and baked as a literal into BOTH engines'
+    * expressions (the planeWeight trick) — no engine ever hashes. */
+  private def jlSign(j: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 1)
+    if (Integer.parseInt(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Johnson-Lindenstrauss random projection: every 64-dim embedding
+    * compressed to 8 dims through a fixed ±1 sign matrix — the standard
+    * cheap dimensionality reduction before ANN indexing or sketched
+    * distance computation (distances are preserved within ~1/√k in
+    * expectation; SimilaritySpec checks the ratio band empirically).
+    * y_j = Σ_i s_ji·q_i over the 1e6-quantized elements is pure int64
+    * arithmetic (|y| ≤ 64·1e6·10³ ≪ 2⁶³) — bit-exact on any engine. A
+    * narrow per-row projection: no shuffle, no join, codegen end to end;
+    * the one ordering is the output's own vec_id sort.
+    */
+  private def jlProjection(s: SparkSession, dir: String): DataFrame = {
+    val cols = (0 until JL_K).map { j =>
+      val terms = (0 until DIM).map { i =>
+        s"CAST(ROUND(CAST(element_at(embedding, ${i + 1}) AS DOUBLE) * 1e6) AS BIGINT) * (${jlSign(j, i)})"
+      }.mkString(" + ")
+      expr(terms).as(s"y$j")
+    }
+    emb(s, dir)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  private def jlProjectionSql: String = {
+    val cols = (0 until JL_K).map { j =>
+      val terms = (0 until DIM).map { i =>
+        s"CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) * (${jlSign(j, i)})"
+      }.mkString(" + ")
+      s"($terms) AS y$j"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  /** Mutual (reciprocal) kNN graph over the bounded query set: pairs where
+    * EACH vector ranks in the other's cosine top-10 — the
+    * reciprocal-neighbor criterion that tightens plain kNN edges into the
+    * high-precision graph SemDeDup-style diversity filters and
+    * clustering-by-RNN build on. Neighbor lists ride the same
+    * broadcast-bounded brute-force relation as [[knnClassify]] (queries
+    * vec_id < 100, candidates = full corpus; at corpus scale the candidate
+    * side comes from an ANN index instead — the criterion is unchanged);
+    * the reciprocity check is a self-equi-join of the k·|Q|-row neighbor
+    * relation on the swapped key. Cosine is symmetric (per-element rounded
+    * products, order-independent sum), so one direction's value reports.
+    */
+  private def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2")).filter(col("q_id") < 100)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm2").as("c_norm2"))
+    val wNn = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    // cached: both sides of the reciprocity self-join (Q caching contract)
+    val nn = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("q_emb"), col("c_emb")), col("q_norm2"), col("c_norm2")))
+      .withColumn("rk", row_number().over(wNn))
+      .filter(col("rk") <= KNN_K)
+      .select(col("q_id"), col("c_id"), col("rk").cast("long").as("rk"),
+        col("cosine"))
+      .cache()
+    nn.as("x").join(nn.as("y"),
+        col("x.q_id") === col("y.c_id") && col("x.c_id") === col("y.q_id") &&
+          col("x.q_id") < col("x.c_id"))
+      .select(col("x.q_id").as("a_id"), col("x.c_id").as("b_id"),
+        col("x.rk").as("rank_ab"), col("y.rk").as("rank_ba"),
+        col("x.cosine").as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def mutualKnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), nn AS (
+       |  SELECT q_id, c_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |           CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |             / (sqrt(CAST(q.norm2 AS DOUBLE))
+       |                * sqrt(CAST(c.norm2 AS DOUBLE))) AS cosine,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |               / (sqrt(CAST(q.norm2 AS DOUBLE))
+       |                  * sqrt(CAST(c.norm2 AS DOUBLE))) DESC,
+       |             c.vec_id) AS rk
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 100)
+       |  WHERE rk <= $KNN_K
+       |)
+       |SELECT x.q_id AS a_id, x.c_id AS b_id,
+       |       x.rk AS rank_ab, y.rk AS rank_ba, x.cosine AS cosine
+       |FROM nn x JOIN nn y
+       |  ON x.q_id = y.c_id AND x.c_id = y.q_id AND x.q_id < x.c_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("jl_projection", jlProjection, Some(jlProjectionSql)),
+    Q("mutual_knn", mutualKnn, Some(mutualKnnSql)),
     Q("knn_classify", knnClassify, Some(knnClassifySql)),
     Q("rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     Q("cosine_topk", cosineTopk, Some(cosineTopkSql)),

@@ -93,7 +93,8 @@ class PlanShapeSpec extends SparkSpec {
     // sets, the non-equi range join) — documented in each operator's scaladoc
     val bnljAllowed = Set(
       "ann_ivf", "kmeans_trained", "semantic_dedup", "cluster_balanced_sample",
-      "cosine_topk", "cosine_topk_fast", "knn_classify", "bigram_lm_score",
+      "cosine_topk", "cosine_topk_fast", "knn_classify", "mutual_knn",
+      "bigram_lm_score",
       "tf_idf",
       "source_mixture_weights", "range_join_bands",
       "dau_wau", // day-table (≈30 rows) broadcast against user-day pairs

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Embedding-pipeline operators added in round 5: JL random projection and
+  * the mutual-kNN graph — exact recomputes plus the JL distance-preservation
+  * property at sf0.001.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+  private val JlK = 8
+  private val KnnK = 10
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def jlSign(j: Int, i: Int): Long =
+    if (Integer.parseInt(md5hex(s"jl:$j:$i").substring(0, 1), 16) % 2 == 0) 1L
+    else -1L
+
+  private lazy val raw: Map[Long, Array[Float]] =
+    Tables.t(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+
+  // 1e6-quantized elements — what jl_projection sums
+  private lazy val embs: Map[Long, Array[Long]] =
+    raw.view.mapValues(_.map(x => math.round(x.toDouble * 1e6))).toMap
+
+  test("jl_projection equals the baked sign-matrix sum, and preserves " +
+      "pairwise distances within the JL band") {
+    val got = SparkEntry.queries("jl_projection")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (1 to JlK).map(r.getLong).toArray)
+      .toMap
+    assert(got.keySet === embs.keySet)
+    // exact recompute
+    got.foreach { case (id, ys) =>
+      val q = embs(id)
+      (0 until JlK).foreach { j =>
+        val expect = (0 until Dim).map(i => jlSign(j, i) * q(i)).sum
+        assert(ys(j) === expect, s"vec $id dim $j")
+      }
+    }
+    // distance preservation: E[||ya−yb||²] = (k/1)·... with ±1 signs the
+    // estimator is ||ya−yb||²/k ≈ ||qa−qb||²; check the mean ratio over a
+    // deterministic pair sample sits in a loose band
+    val ids = embs.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+      d2 = (0 until Dim).map(i => BigInt(embs(a)(i) - embs(b)(i)).pow(2)).sum
+      if d2 > 0
+      p2 = (0 until JlK).map(j => BigInt(got(a)(j) - got(b)(j)).pow(2)).sum
+    } yield (BigDecimal(p2) / BigDecimal(JlK) / BigDecimal(d2)).toDouble
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"mean distance ratio $mean")
+  }
+
+  test("mutual_knn pairs are exactly the reciprocal top-10 neighbor pairs") {
+    // the engine's quantized dot works on the RAW float values (cast to
+    // double), not on the 1e6-quantized elements
+    def dotQ(x: Array[Float], y: Array[Float]): Long =
+      (0 until Dim).map(i =>
+        math.round(x(i).toDouble * y(i).toDouble * 1e16)).sum
+    def cosine(a: Long, b: Long): Double =
+      dotQ(raw(a), raw(b)).toDouble /
+        (math.sqrt(dotQ(raw(a), raw(a)).toDouble) *
+          math.sqrt(dotQ(raw(b), raw(b)).toDouble))
+    val qids = raw.keys.filter(_ < 100).toSeq.sorted
+    val all = raw.keys.toSeq.sorted
+    val nn: Map[Long, Seq[(Long, Long)]] = qids.map { q =>
+      val ranked = all.filter(_ != q)
+        .map(c => (c, cosine(q, c)))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(KnnK).zipWithIndex
+        .map { case ((c, _), idx) => (c, idx + 1L) }
+      q -> ranked
+    }.toMap
+    val expected = (for {
+      a <- qids; (b, rab) <- nn(a) if a < b && nn.contains(b)
+      rba <- nn(b).collectFirst { case (`a`, r) => r }
+    } yield (a, b, rab, rba)).toSet
+    val got = SparkEntry.queries("mutual_knn")(spark, sf001)
+      .select($"a_id", $"b_id", $"rank_ab", $"rank_ba")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+}
