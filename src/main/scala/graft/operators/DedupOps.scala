@@ -169,6 +169,102 @@ object DedupOps extends QueryModule {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.QOps.ordered1(minhashLshCore(s, dir), col("a_id"), col("b_id"))
 
+  /** MinHash ESTIMATOR CALIBRATION over the LSH candidate pairs: per pair,
+    * the sketch-estimated Jaccard (matching signature rows / 16) against
+    * the exact shingle Jaccard, with the absolute error — the diagnostics
+    * report a pipeline owner reads before trusting sketch-only dedup at
+    * scale (is k=16 enough for this corpus?). All three quantities are
+    * exact integer millis (matches·1000 div 16, inter·1000 div uni), so the
+    * report hash-matches cross-engine; sketches and shingle sets are the
+    * SAME cached subtrees the LSH join already builds. Unlike
+    * minhash_lsh_pairs this keeps every candidate (no ≥0.3 cut) — the
+    * low-similarity tail is exactly where the estimator error shows.
+    */
+  private def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir).cache()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(bnd =>
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val matchCnt = (0 until 16).map(j =>
+      when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigA = sig.select(col("doc_id").as("a_id") +:
+      (0 until 16).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+    val sigB = sig.select(col("doc_id").as("b_id") +:
+      (0 until 16).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val out = cand
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+      .join(sigA, "a_id").join(sigB, "b_id")
+      .withColumn("matches", matchCnt)
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("est_milli", expr("(matches * 1000) div 16"))
+      .withColumn("jac_milli", expr("(inter * 1000) div uni"))
+      .select(col("a_id"), col("b_id"), col("matches"), col("inter"),
+        col("uni"), col("est_milli"), col("jac_milli"),
+        abs(col("est_milli") - col("jac_milli")).as("err_milli"))
+    graft.QOps.ordered1(out, col("a_id"), col("b_id"))
+  }
+
+  private def minhashCalibrationSql: String = {
+    val matchSum = (0 until 16).map(j =>
+      s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.a_id
+       |  JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.a_id, c.b_id,
+       |  CAST($matchSum AS BIGINT) AS matches,
+       |  COALESCE(i.inter, 0) AS inter,
+       |  sza.n_sh + szb.n_sh - COALESCE(i.inter, 0) AS uni,
+       |  (CAST($matchSum AS BIGINT) * 1000) // 16 AS est_milli,
+       |  (COALESCE(i.inter, 0) * 1000)
+       |    // (sza.n_sh + szb.n_sh - COALESCE(i.inter, 0)) AS jac_milli,
+       |  ABS((CAST($matchSum AS BIGINT) * 1000) // 16
+       |      - (COALESCE(i.inter, 0) * 1000)
+       |        // (sza.n_sh + szb.n_sh - COALESCE(i.inter, 0))) AS err_milli
+       |FROM cand c
+       |LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+       |JOIN sizes sza ON sza.doc_id = c.a_id
+       |JOIN sizes szb ON szb.doc_id = c.b_id
+       |JOIN sig sa ON sa.doc_id = c.a_id
+       |JOIN sig sb ON sb.doc_id = c.b_id
+       |ORDER BY c.a_id, c.b_id""".stripMargin
+  }
+
   /** Incremental dedup — the shape a DAILY ingest actually runs: probe an
     * increment of new documents against the HISTORICAL corpus's LSH band
     * index instead of re-deduplicating the whole corpus. The increment is
@@ -684,6 +780,7 @@ object DedupOps extends QueryModule {
          |ORDER BY a_id, b_id""".stripMargin)),
     Q("minhash_signatures", minhashSig, Some(minhashSigSql + "\nORDER BY doc_id")),
     Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),
+    Q("minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),

@@ -560,6 +560,89 @@ object RelationalOps extends QueryModule {
       |JOIN margins mb ON mb.part = part_b
       |ORDER BY score_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** Association rules from the co-purchase pairs: top 20 DIRECTED rules
+    * a→b by confidence c_ab/c_a, with support and lift c_ab·N/(c_a·c_b) —
+    * the classic market-basket output on top of [[itemItemSim]]'s counts.
+    * Both ranking arguments are exact integers (confidence_ppm and
+    * lift_ppm via floor-div of long products), so no float enters the
+    * order; N (orders with ≥1 part) is a 1-row broadcast like tf_idf's
+    * corpus stats. Support ≥ 3 prunes the pair table before the margin
+    * joins; each unordered pair emits both directions AFTER the joins
+    * (cheap column swap, not a second join).
+    */
+  private def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val pairsHof = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2),
+          greatest(size(col("ps")) - i - lit(1), lit(0))),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    // cached: pair fan-out + margins + the order count (Q contract)
+    val orderSets = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .cache()
+    val nOrders = orderSets.agg(count(lit(1)).as("n_orders"))
+    val pairCnt = orderSets
+      .select(explode(pairsHof).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    val margins = orderSets
+      .select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("c"))
+    val joined = pairCnt
+      .join(margins.select(col("part").as("part_a"), col("c").as("c_a")), "part_a")
+      .join(margins.select(col("part").as("part_b"), col("c").as("c_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+    val directed = joined.select(
+        col("part_a").as("antecedent"), col("part_b").as("consequent"),
+        col("c_ab"), col("c_a").as("c_ante"), col("c_b").as("c_cons"),
+        col("n_orders"))
+      .unionAll(joined.select(
+        col("part_b").as("antecedent"), col("part_a").as("consequent"),
+        col("c_ab"), col("c_b").as("c_ante"), col("c_a").as("c_cons"),
+        col("n_orders")))
+    directed
+      .withColumn("confidence_ppm", expr("(c_ab * 1000000L) div c_ante"))
+      .withColumn("lift_ppm",
+        expr("(c_ab * n_orders * 1000000L) div (c_ante * c_cons)"))
+      .select(col("antecedent"), col("consequent"), col("c_ab"),
+        col("confidence_ppm"), col("lift_ppm"))
+      .orderBy(col("confidence_ppm").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  private val assocRulesSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), n AS (
+      |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+      |), pair_cnt AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |         CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |), margins AS (
+      |  SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1
+      |), joined AS (
+      |  SELECT part_a, part_b, c_ab, ma.c AS c_a, mb.c AS c_b, n_orders
+      |  FROM pair_cnt
+      |  JOIN margins ma ON ma.part = part_a
+      |  JOIN margins mb ON mb.part = part_b
+      |  CROSS JOIN n
+      |), directed AS (
+      |  SELECT part_a AS antecedent, part_b AS consequent, c_ab,
+      |         c_a AS c_ante, c_b AS c_cons, n_orders FROM joined
+      |  UNION ALL
+      |  SELECT part_b, part_a, c_ab, c_b, c_a, n_orders FROM joined
+      |)
+      |SELECT antecedent, consequent, c_ab,
+      |  (c_ab * 1000000) // c_ante AS confidence_ppm,
+      |  (c_ab * n_orders * 1000000) // (c_ante * c_cons) AS lift_ppm
+      |FROM directed
+      |ORDER BY confidence_ppm DESC, antecedent, consequent LIMIT 20""".stripMargin
+
   /** Frequent brand triples (market-basket itemsets of size 3): brand
     * triples co-occurring in an order, support ≥ 10, top 20 — the
     * association-rules step past pairwise co-purchase. Same scale shape as
@@ -1493,6 +1576,7 @@ object RelationalOps extends QueryModule {
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
+    Q("assoc_rules", assocRules, Some(assocRulesSql)),
     Q("monthly_revenue_mom", monthlyRevenueMom, Some(
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -281,6 +281,76 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** Nearest-in-time touch join: every purchase matched to its temporally
+    * CLOSEST click/view by the same user, in either direction (ties to the
+    * earlier touch) — the bidirectional generalization of the backward-only
+    * as-of join behind attribution_last_touch, the shape sensor-alignment
+    * and "context at event time" lookups need. Both directions ride ONE
+    * per-user (µs, event_id) shuffle: an ignoreNulls last() over the
+    * preceding frame and first() over the following frame give the
+    * neighbor's timestamp and id from the same window order, so no
+    * self-join and no second shuffle. Distances are exact µs longs;
+    * purchases with no touch at all keep NULLs.
+    */
+  private def nearestTouch(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byTime = W.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val back = byTime.rowsBetween(W.unboundedPreceding, -1)
+    val fwd = byTime.rowsBetween(1, W.unboundedFollowing)
+    val isTouch = col("event_type").isin("click", "view")
+    val touchUs = when(isTouch, col("us"))
+    val touchId = when(isTouch, col("event_id"))
+    val prevCloser = col("next_us").isNull ||
+      (col("prev_us").isNotNull &&
+        col("us") - col("prev_us") <= col("next_us") - col("us"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", last(touchUs, ignoreNulls = true).over(back))
+      .withColumn("prev_id", last(touchId, ignoreNulls = true).over(back))
+      .withColumn("next_us", first(touchUs, ignoreNulls = true).over(fwd))
+      .withColumn("next_id", first(touchId, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        when(prevCloser, col("prev_id")).otherwise(col("next_id"))
+          .as("touch_id"),
+        when(prevCloser, col("prev_us") - col("us"))
+          .otherwise(col("next_us") - col("us")).as("delta_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val nearestTouchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), n AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN us END
+      |               IGNORE NULLS) OVER wb AS prev_us,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+      |               IGNORE NULLS) OVER wb AS prev_id,
+      |    FIRST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN us END
+      |                IGNORE NULLS) OVER wf AS next_us,
+      |    FIRST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+      |                IGNORE NULLS) OVER wf AS next_id
+      |  FROM e
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    wf AS (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, event_id, make_timestamp(us) AS ts,
+      |  CASE WHEN next_us IS NULL OR (prev_us IS NOT NULL
+      |            AND us - prev_us <= next_us - us)
+      |       THEN prev_id ELSE next_id END AS touch_id,
+      |  CASE WHEN next_us IS NULL OR (prev_us IS NOT NULL
+      |            AND us - prev_us <= next_us - us)
+      |       THEN prev_us - us ELSE next_us - us END AS delta_us
+      |FROM n WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** First-order Markov transition matrix over per-user event sequences:
     * for every (src → dst) adjacent event-type pair, its count and the
     * row-normalized transition probability — the behavioral-model /
@@ -533,6 +603,7 @@ object TimeWindowOps extends QueryModule {
         |             + next_c * date_diff('day', prev_d, day))
         |            // date_diff('day', prev_d, next_d) END AS interp_cents
         |FROM joined ORDER BY day""".stripMargin)),
+    Q("nearest_touch", nearestTouch, Some(nearestTouchSql)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("top_paths_3", topPaths3, Some(
       """WITH seqd AS (

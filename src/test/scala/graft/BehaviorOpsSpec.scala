@@ -27,6 +27,29 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("nearest_touch picks the closest click/view, ties to the earlier") {
+    val byUser = events.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    val got = SparkEntry.queries("nearest_touch")(spark, sf001)
+      .select($"user_id", $"event_id", $"touch_id", $"delta_us")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    val expected = byUser.toSeq.flatMap { case (u, evs) =>
+      evs.zipWithIndex.collect { case ((_, us, id, "purchase", _), idx) =>
+        val prev = evs.take(idx).reverse
+          .find(e => e._4 == "click" || e._4 == "view")
+        val next = evs.drop(idx + 1)
+          .find(e => e._4 == "click" || e._4 == "view")
+        val pick = (prev, next) match {
+          case (Some(p), Some(n)) =>
+            if (us - p._2 <= n._2 - us) Some(p) else Some(n)
+          case (p, n) => p.orElse(n)
+        }
+        (u, id, pick.map(_._3), pick.map(_._2 - us))
+      }
+    }.toSet
+    assert(got.toSet === expected)
+  }
+
   test("cohort_ltv cumulative equals per-cohort running sum of exact cents") {
     val got = SparkEntry.queries("cohort_ltv")(spark, sf001)
       .select($"cohort_day".cast("string"), $"day_offset", $"cents", $"n_users",

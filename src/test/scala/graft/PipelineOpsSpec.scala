@@ -110,6 +110,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("assoc_rules confidence/lift arguments recount from raw baskets") {
+    val li = Tables.t(spark, sf001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val nOrders = li.map(_._1).distinct.size.toLong
+    val margins = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCnt = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCnt.filter(_._2 >= 3).toSeq
+      .flatMap { case ((a, b), cab) => Seq((a, b, cab), (b, a, cab)) }
+      .map { case (ante, cons, cab) =>
+        (ante, cons, cab, cab * 1000000L / margins(ante),
+          cab * nOrders * 1000000L / (margins(ante) * margins(cons)))
+      }
+      .sortBy { case (a, c, _, conf, _) => (-conf, a, c) }.take(20)
+    val got = SparkEntry.queries("assoc_rules")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("minhash_calibration is consistent with the LSH pair list and its " +
+      "own arithmetic") {
+    val cal = SparkEntry.queries("minhash_calibration")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(cal.nonEmpty)
+    cal.foreach { case (_, _, matches, inter, uni, est, jac, err) =>
+      assert(matches >= 0 && matches <= 16)
+      assert(est === matches * 1000 / 16)
+      assert(jac === inter * 1000 / uni)
+      assert(err === math.abs(est - jac))
+    }
+    // every verified LSH near-dup pair must appear with jac_milli >= 300
+    val lsh = SparkEntry.queries("minhash_lsh_pairs")(spark, sf001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val calJac = cal.map(r => (r._1, r._2) -> r._7).toMap
+    lsh.foreach { p =>
+      assert(calJac.contains(p) && calJac(p) >= 300, s"pair $p")
+    }
+  }
+
   test("connectedComponents converges past diameter 3 (chain + forest)") {
     // a diameter-6 path, a disjoint triangle, and an isolated edge: the
     // fixed-K=3 unrolled form mislabeled exactly this path shape

@@ -107,6 +107,7 @@ class PlanShapeSpec extends SparkSpec {
       "key_skew_report", // 1-row hottest-key broadcast
       "psi_drift", // 1-row decile-boundary array broadcast
       "acf_daily", // 1-row (n, S) + denominator broadcasts over the day spine
+      "assoc_rules", // 1-row order-count broadcast (lift denominator)
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
