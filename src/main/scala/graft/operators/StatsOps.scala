@@ -904,6 +904,168 @@ object StatsOps extends QueryModule {
       |FROM ev JOIN cuts USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Poisson(1) CDF thresholds scaled to 2⁵², precomputed as literals both
+    * engines share: w = #{t ≤ u} for u uniform on [0, 2⁵²) is a
+    * deterministic Poisson(1) draw — the Poisson-bootstrap weight. */
+  private val POIS_T: Seq[Long] = Seq(
+    1656781714176974L, 3313563428353948L, 4141954285442435L,
+    4418084571138597L, 4487117142562638L, 4500923656847446L,
+    4503224742561580L)
+  private val BOOT_B = 32
+
+  /** Poisson-bootstrap confidence interval for the per-type mean — the
+    * standard way to get uncertainty bands at scale WITHOUT resampling
+    * shuffles: every row carries B=32 deterministic Poisson(1) weights
+    * (md5(event_id:b) → 52-bit uniform → CDF-threshold count, thresholds
+    * baked as shared literals), each replica's mean is Σwx div Σw in exact
+    * integer micros, and the 90% band is the 2nd/31st order statistic of
+    * the 32 replica means. The ×32 explode feeds straight into a map-side
+    * partial aggregate, so the shuffle carries ≤ 32·|types| rows per
+    * partition regardless of corpus size; the final order stats sort
+    * 32-element arrays per type.
+    */
+  private def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(
+      concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val w = POIS_T.reverse.foldLeft(lit(7L): Column)((acc, t) =>
+      when(u < lit(t), lit(POIS_T.indexOf(t).toLong)).otherwise(acc))
+    val reps = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1e6).cast("long").as("x"),
+        explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
+      .select(col("event_type"), col("b"), col("x"), w.as("w"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(expr("sum(w * x) div sum(w)").as("mean_b"))
+    val point = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CAST(ROUND(value * 1e6) AS LONG)) div count(1)")
+          .as("mean_micro"))
+    reps.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+      .join(point, "event_type")
+      .select(col("event_type"), col("n"), col("mean_micro"),
+        element_at(col("ms"), 2).as("boot_lo_micro"),
+        element_at(col("ms"), BOOT_B - 1).as("boot_hi_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private def bootstrapCiSql: String = {
+    val wCase = POIS_T.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+    s"""WITH reps AS (
+       |  SELECT event_type, b,
+       |    CAST(ROUND(value * 1e6) AS BIGINT) AS x,
+       |    $wCase AS w
+       |  FROM (
+       |    SELECT event_type, event_id, value, b,
+       |      CAST(concat('0x', substr(md5(
+       |        CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+       |        1, 13)) AS BIGINT) AS u
+       |    FROM events
+       |    CROSS JOIN (SELECT unnest(generate_series(0, ${BOOT_B - 1})) AS b))
+       |), means AS (
+       |  SELECT event_type, b,
+       |    CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS mean_b
+       |  FROM reps GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT event_type, list(mean_b ORDER BY mean_b) AS ms
+       |  FROM means GROUP BY 1
+       |), point AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+       |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT p.event_type, p.n, p.mean_micro,
+       |  ms[2] AS boot_lo_micro, ms[${BOOT_B - 1}] AS boot_hi_micro
+       |FROM bands JOIN point p USING (event_type)
+       |ORDER BY p.event_type""".stripMargin
+  }
+
+  /** Quantile normalization: every per-type value mapped onto the POOLED
+    * value distribution at the same quantile — norm(v) = F_pool⁻¹(F_g(v)),
+    * the batch-effect / feature-alignment transform. Exact semantics: r =
+    * the value's max rank within its group (cumulative count over the
+    * compressed (type, cents) domain), q = ⌈r·N/n_g⌉, and norm(v) = the
+    * smallest pooled value whose cumulative count reaches q. The pooled
+    * ranking runs through [[PrefixOps]] (value domain is data-proportional
+    * — no unpartitioned window); the q-to-interval lookup is a BANDED range
+    * join: each pooled value's rank interval [lo, hi] explodes to
+    * rank-buckets (total fan-out Σ len/width + |pooled| ≈ |pooled| + 256),
+    * the probe hits its q-bucket, and the exact lo ≤ q ≤ hi predicate
+    * filters inside — the session_overlap_pairs pattern, never
+    * probe × pooled. Output is per distinct (type, value): the transform's
+    * codebook (value-domain-sized, the form a pipeline persists and
+    * broadcast-applies).
+    */
+  private def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val grp = ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", sum(col("cnt")).over(wCum))
+      .withColumn("n_g", sum(col("cnt")).over(wAll))
+    val pooledCounts = ev.groupBy(col("vc")).agg(count(lit(1)).as("pcnt"))
+    // bucket width bw = n_pool div 256 + 1, derived per-row from n_pool —
+    // the same pure function both the build and probe sides compute
+    val pooled = PrefixOps.withGlobalPrefix(pooledCounts, col("vc"),
+        Seq(col("vc")), sums = Seq("pcnt"))
+      .select(col("vc").as("pvc"), col("g_run_pcnt").as("hi"),
+        (col("g_run_pcnt") - col("pcnt") + 1).as("lo"),
+        col("g_tot_pcnt").as("n_pool"),
+        (expr("g_tot_pcnt div 256") + 1).as("bw"))
+      .cache()
+    val pooledB = pooled
+      .select(col("pvc"), col("lo"), col("hi"),
+        explode(sequence(expr("(lo - 1) div bw"), expr("(hi - 1) div bw")))
+          .as("bucket"))
+    val nPool = pooled.agg(max(col("n_pool")).as("n_pool"),
+      max(col("bw")).as("bw"))
+    grp.crossJoin(broadcast(nPool))
+      .withColumn("q", expr("(r * n_pool + n_g - 1) div n_g"))
+      .withColumn("bucket", expr("(q - 1) div bw"))
+      .join(pooledB, Seq("bucket"))
+      .filter(col("lo") <= col("q") && col("q") <= col("hi"))
+      .select(col("event_type"), col("vc"), col("cnt"), col("q"),
+        col("pvc").as("norm_vc"))
+      .orderBy(col("event_type"), col("vc"))
+  }
+
+  private val quantileNormalizeSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), grp AS (
+      |  SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, vc, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |                   ROWS UNBOUNDED PRECEDING) AS r,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n_g
+      |  FROM grp
+      |), pooled AS (
+      |  SELECT vc AS pvc,
+      |    SUM(pcnt) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS hi,
+      |    SUM(pcnt) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) - pcnt + 1 AS lo
+      |  FROM (SELECT vc, CAST(COUNT(*) AS BIGINT) AS pcnt FROM ev GROUP BY 1)
+      |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pool FROM ev)
+      |SELECT r.event_type, r.vc, r.cnt,
+      |  (r.r * np.n_pool + r.n_g - 1) // r.n_g AS q,
+      |  p.pvc AS norm_vc
+      |FROM ranked r CROSS JOIN np
+      |JOIN pooled p
+      |  ON p.lo <= (r.r * np.n_pool + r.n_g - 1) // r.n_g
+      | AND (r.r * np.n_pool + r.n_g - 1) // r.n_g <= p.hi
+      |ORDER BY r.event_type, r.vc""".stripMargin
+
   /** Exponential smoothing (α = ½) of the per-type DAILY value series —
     * ema_d = ⌊(ema_{d-1} + mean_d) / 2⌋ in exact integer micros. Two-level
     * shape: the heavy step is one hash-aggregate to (type, day, mean);
@@ -1123,6 +1285,8 @@ object StatsOps extends QueryModule {
     Q("ema_daily", emaDaily, Some(emaDailySql)),
     Q("cusum_shift", cusumShift, Some(cusumShiftSql)),
     Q("winsorize_clip", winsorizeClip, Some(winsorizeClipSql)),
+    Q("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    Q("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),

@@ -281,6 +281,49 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** Event debouncing: suppress repeats of the same (user, event_type)
+    * arriving within 5 minutes of the previously KEPT occurrence — approx
+    * here as "within 5 minutes of the previous occurrence", the lag-based
+    * form (identical when inter-event gaps don't chain; the chained form is
+    * the sessionization machinery above). The telemetry-dedup primitive:
+    * one lag() over the per-(user, type) shuffle, then a per-type rollup of
+    * kept/dropped counts. Exact µs arithmetic.
+    */
+  private def debounceEvents(s: SparkSession, dir: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byKey))
+      .withColumn("kept",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 300000000L, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
+  private val debounceEventsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+      |), flagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1
+      |         ELSE 0 END AS kept
+      |  FROM (SELECT event_type, us,
+      |          LAG(us) OVER (PARTITION BY user_id, event_type
+      |                        ORDER BY us, event_id) AS prev_us
+      |        FROM e)
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+      |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Nearest-in-time touch join: every purchase matched to its temporally
     * CLOSEST click/view by the same user, in either direction (ties to the
     * earlier touch) — the bidirectional generalization of the backward-only
@@ -604,6 +647,7 @@ object TimeWindowOps extends QueryModule {
         |            // date_diff('day', prev_d, next_d) END AS interp_cents
         |FROM joined ORDER BY day""".stripMargin)),
     Q("nearest_touch", nearestTouch, Some(nearestTouchSql)),
+    Q("debounce_events", debounceEvents, Some(debounceEventsSql)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("top_paths_3", topPaths3, Some(
       """WITH seqd AS (

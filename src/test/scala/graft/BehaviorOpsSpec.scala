@@ -27,6 +27,26 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("debounce_events keeps exactly the rows > 5 min past the previous " +
+      "same-key event") {
+    val got = SparkEntry.queries("debounce_events")(spark, sf001)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val byKey = events.groupBy(e => (e._1, e._4))
+    val expected = byKey.toSeq.flatMap { case ((_, t), evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val kept = sorted.zipWithIndex.count { case (e, i) =>
+        i == 0 || e._2 - sorted(i - 1)._2 > 300000000L
+      }
+      Seq((t, sorted.size.toLong, kept.toLong))
+    }.groupBy(_._1).view.mapValues(rs =>
+      (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    got.foreach { case (t, total, keptN, dropped) =>
+      assert((total, keptN) === expected(t), s"type $t")
+      assert(dropped === total - keptN)
+    }
+    assert(got.map(_._1) === expected.keys.toSeq.sorted)
+  }
+
   test("nearest_touch picks the closest click/view, ties to the earlier") {
     val byUser = events.groupBy(_._1).view
       .mapValues(_.sortBy(e => (e._2, e._3))).toMap

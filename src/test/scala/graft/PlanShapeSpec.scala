@@ -108,6 +108,7 @@ class PlanShapeSpec extends SparkSpec {
       "psi_drift", // 1-row decile-boundary array broadcast
       "acf_daily", // 1-row (n, S) + denominator broadcasts over the day spine
       "assoc_rules", // 1-row order-count broadcast (lift denominator)
+      "quantile_normalize", // 1-row pool-size broadcast + PrefixOps min/max
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast

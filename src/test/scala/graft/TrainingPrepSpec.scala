@@ -99,6 +99,67 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap_ci replica means and order-statistic band recount") {
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"event_type", $"event_id", round($"value" * 1e6).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val thresholds = Seq(1656781714176974L, 3313563428353948L,
+      4141954285442435L, 4418084571138597L, 4487117142562638L,
+      4500923656847446L, 4503224742561580L)
+    def md5u(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    def weight(id: Long, b: Int): Long = {
+      val u = md5u(s"$id:$b")
+      thresholds.count(_ <= u).toLong
+    }
+    val got = SparkEntry.queries("bootstrap_ci")(spark, sf001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byType = ev.groupBy(_._1)
+    assert(got.map(_._1).toSeq === byType.keys.toSeq.sorted)
+    got.foreach { case (t, n, mean, lo, hi) =>
+      val rows = byType(t)
+      assert(n === rows.size.toLong)
+      assert(mean === rows.map(_._3).sum / rows.size)
+      val means = (0 until 32).map { b =>
+        val ws = rows.map(r => (weight(r._2, b), r._3))
+        ws.map { case (w, x) => w * x }.sum / ws.map(_._1).sum
+      }.sorted
+      assert(lo === means(1) && hi === means(30), s"type $t")
+    }
+  }
+
+  test("quantile_normalize maps each value to the pooled inverse CDF " +
+      "position, monotone within type") {
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"event_type", round($"value" * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val pooledSorted = ev.map(_._2).sorted
+    val nPool = pooledSorted.size.toLong
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SparkEntry.queries("quantile_normalize")(spark, sf001)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expectedRows = byType.toSeq.flatMap { case (t, vs) =>
+      val n = vs.size.toLong
+      vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.map {
+        case (v, cnt) =>
+          val r = vs.count(_ <= v).toLong
+          val q = (r * nPool + n - 1) / n
+          (t, v, cnt, q, pooledSorted((q - 1).toInt))
+      }
+    }.toSet
+    assert(got.toSet === expectedRows)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._5, s"non-monotone at $b")
+        case _ =>
+      }
+    }
+  }
+
   test("ema_daily equals the sequential integer fold of daily means") {
     val daily = Tables.t(spark, sf001, "events")
       .groupBy($"event_type", to_date($"ts").as("day"))
