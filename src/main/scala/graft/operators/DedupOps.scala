@@ -687,7 +687,7 @@ object DedupOps extends QueryModule {
   private val PPJ_TAU_NUM = 3L // τ = 3/5
   private val PPJ_TAU_DEN = 5L
 
-  private def jaccardPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPrefixCore(s: SparkSession, dir: String): DataFrame = {
     val base = shingles(s, dir).select(col("doc_id"), h64(col("sh")).as("h"))
       .distinct()
     val dfreq = base.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -721,8 +721,11 @@ object DedupOps extends QueryModule {
       .filter(lit(PPJ_TAU_DEN) * col("inter") >= lit(PPJ_TAU_NUM) * col("uni"))
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
-    graft.QOps.ordered1(ver, col("a_id"), col("b_id"))
+    ver
   }
+
+  private def jaccardPrefixJoin(s: SparkSession, dir: String): DataFrame =
+    graft.QOps.ordered1(jaccardPrefixCore(s, dir), col("a_id"), col("b_id"))
 
   private def jaccardPrefixJoinSql: String =
     s"""WITH sh AS ($shinglesSql),
@@ -757,7 +760,95 @@ object DedupOps extends QueryModule {
        |FROM ver WHERE $PPJ_TAU_DEN * inter >= $PPJ_TAU_NUM * uni
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Agreement between two INDEPENDENT near-dup clusterings — MinHash-LSH
+    * components vs prefix-join (J ≥ 0.6) components — as the exact Rand
+    * index: the fraction of doc pairs both methods classify the same way
+    * (together / apart). The cluster-stability readout a pipeline owner
+    * checks before trusting one method's dedup decisions at scale. Never
+    * enumerates pairs: all four Rand terms come from the label CONTINGENCY
+    * TABLE (one groupBy of the n-row label join, ≤ clusters² cells) via
+    * Σ C(n,2) sums — exact int64 (products of counts ≪ 2⁶³ to ~3e9 docs),
+    * ONE final IEEE division. Unclustered docs are singletons (own id).
+    */
+  private def clusteringAgreement(s: SparkSession, dir: String): DataFrame = {
+    val labA = connectedComponents(
+      minhashLshCore(s, dir).select(col("a_id"), col("b_id")))
+      .withColumnRenamed("cluster", "la")
+    val labB = connectedComponents(
+      jaccardPrefixCore(s, dir).select(col("a_id"), col("b_id")))
+      .withColumnRenamed("cluster", "lb")
+    val lab = docs(s, dir).select(col("doc_id"))
+      .join(labA, Seq("doc_id"), "left")
+      .join(labB, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("la"), col("doc_id")).as("la"),
+        coalesce(col("lb"), col("doc_id")).as("lb"))
+    val cont = lab.groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).as("nij")).cache()
+    val aRow = cont.agg(sum(expr("nij * (nij - 1) div 2")).as("same_both"),
+      sum(col("nij")).as("n_docs"))
+    val bRow = cont.groupBy(col("la")).agg(sum(col("nij")).as("ni"))
+      .agg(sum(expr("ni * (ni - 1) div 2")).as("same_a"))
+    val cRow = cont.groupBy(col("lb")).agg(sum(col("nij")).as("nj"))
+      .agg(sum(expr("nj * (nj - 1) div 2")).as("same_b"))
+    aRow.crossJoin(broadcast(bRow)).crossJoin(broadcast(cRow))
+      .withColumn("n_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .select(col("n_docs"), col("n_pairs"), col("same_both"),
+        col("same_a"), col("same_b"),
+        ((col("n_pairs") + lit(2) * col("same_both") - col("same_a") -
+          col("same_b")).cast("double") / col("n_pairs").cast("double"))
+          .as("rand_index"))
+  }
+
+  private def clusteringAgreementSql: String =
+    s"""WITH RECURSIVE lshp AS (
+       |  SELECT a_id, b_id FROM ($minhashLshSql)
+       |), undA(u, v) AS (
+       |  SELECT a_id, b_id FROM lshp UNION ALL SELECT b_id, a_id FROM lshp
+       |), reachA(u, lab) AS (
+       |  SELECT DISTINCT u, u FROM undA
+       |  UNION
+       |  SELECT undA.u, reachA.lab FROM undA JOIN reachA ON reachA.u = undA.v
+       |), labA AS (
+       |  SELECT u AS doc_id, MIN(lab) AS la FROM reachA GROUP BY u
+       |), ppj AS (
+       |  SELECT a_id, b_id FROM ($jaccardPrefixJoinSql)
+       |), undB(u, v) AS (
+       |  SELECT a_id, b_id FROM ppj UNION ALL SELECT b_id, a_id FROM ppj
+       |), reachB(u, lab) AS (
+       |  SELECT DISTINCT u, u FROM undB
+       |  UNION
+       |  SELECT undB.u, reachB.lab FROM undB JOIN reachB ON reachB.u = undB.v
+       |), labB AS (
+       |  SELECT u AS doc_id, MIN(lab) AS lb FROM reachB GROUP BY u
+       |), lab AS (
+       |  SELECT d.doc_id, COALESCE(a.la, d.doc_id) AS la,
+       |         COALESCE(b.lb, d.doc_id) AS lb
+       |  FROM documents d
+       |  LEFT JOIN labA a USING (doc_id)
+       |  LEFT JOIN labB b USING (doc_id)
+       |), cont AS (
+       |  SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij FROM lab GROUP BY 1, 2
+       |), arow AS (
+       |  SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS same_both,
+       |         CAST(SUM(nij) AS BIGINT) AS n_docs
+       |  FROM cont
+       |), brow AS (
+       |  SELECT CAST(SUM(ni * (ni - 1) // 2) AS BIGINT) AS same_a
+       |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ni FROM cont GROUP BY la)
+       |), crow AS (
+       |  SELECT CAST(SUM(nj * (nj - 1) // 2) AS BIGINT) AS same_b
+       |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS nj FROM cont GROUP BY lb)
+       |)
+       |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_pairs, same_both,
+       |  same_a, same_b,
+       |  CAST(n_docs * (n_docs - 1) // 2 + 2 * same_both - same_a - same_b
+       |       AS DOUBLE) / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
+       |    AS rand_index
+       |FROM arow, brow, crow""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("clustering_agreement", clusteringAgreement, Some(clusteringAgreementSql)),
     Q("jaccard_prefix_join", jaccardPrefixJoin, Some(jaccardPrefixJoinSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
     Q("exact_dedup", exactDedup, Some(

@@ -849,6 +849,60 @@ object RelationalOps extends QueryModule {
       .orderBy(col("month"))
   }
 
+  /** Percent-of-parent hierarchical rollup: per-nation revenue with its
+    * share of the region and of the grand total — the drill-down readout
+    * (region → nation) every BI hierarchy renders. Exact cents end to end:
+    * the region subtotal is a window over the ≤ |nations|-row aggregate
+    * PARTITIONED by region (never unpartitioned), the grand total a 1-row
+    * broadcast, and each share ONE IEEE division. Dims broadcast into the
+    * single lineitem shuffle.
+    */
+  private def percentOfParent(s: SparkSession, dir: String): DataFrame = {
+    val perNation = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val grand = perNation.agg(sum(col("cents")).as("global_cents"))
+    perNation
+      .withColumn("region_cents",
+        sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+      .crossJoin(broadcast(grand))
+      .select(col("r_name"), col("n_name"), col("cents"), col("region_cents"),
+        (col("cents").cast("double") / col("region_cents").cast("double"))
+          .as("share_of_region"),
+        (col("cents").cast("double") / col("global_cents").cast("double"))
+          .as("share_of_global"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val percentOfParentSql: String =
+    """WITH per_nation AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2
+      |), g AS (SELECT CAST(SUM(cents) AS BIGINT) AS global_cents FROM per_nation)
+      |SELECT r_name, n_name, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+      |  CAST(cents AS DOUBLE)
+      |    / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+      |    AS share_of_region,
+      |  CAST(cents AS DOUBLE) / CAST(global_cents AS DOUBLE) AS share_of_global
+      |FROM per_nation, g
+      |ORDER BY r_name, n_name""".stripMargin
+
   /** Pareto (80/20) analysis: suppliers ranked by revenue with cumulative
     * share — running cents over the ranked order divided by the total,
     * both exact longs. The curve behind "which 20% of suppliers carry 80%
@@ -1577,6 +1631,7 @@ object RelationalOps extends QueryModule {
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),
+    Q("percent_of_parent", percentOfParent, Some(percentOfParentSql)),
     Q("monthly_revenue_mom", monthlyRevenueMom, Some(
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

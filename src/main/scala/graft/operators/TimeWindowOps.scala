@@ -108,6 +108,61 @@ object TimeWindowOps extends QueryModule {
         countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase_after"))
   }
 
+  /** Time-bounded funnel: signup → click within 7 days → purchase within 7
+    * further days — the windowed form every product-analytics funnel
+    * actually uses (an unbounded funnel counts conversions months later).
+    * Same one-shuffle stacked-window-min shape as [[funnelConversion]];
+    * the deadline rides each stage's predicate in exact epoch-µs longs.
+    */
+  private def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val week = 7L * 86400000000L
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") > col("t1") &&
+          col("us") <= col("t1") + week, col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2") &&
+          col("us") <= col("t2") + week, col("us"))).over(w))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_signup"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_click_7d"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase_7d"))
+  }
+
+  private val funnelWindowedSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), s1 AS (
+      |  SELECT user_id, event_type, us,
+      |         MIN(CASE WHEN event_type = 'signup' THEN us END)
+      |           OVER (PARTITION BY user_id) AS t1
+      |  FROM e
+      |), s2 AS (
+      |  SELECT user_id, event_type, us, t1,
+      |         MIN(CASE WHEN event_type = 'click' AND us > t1
+      |                   AND us <= t1 + 604800000000 THEN us END)
+      |           OVER (PARTITION BY user_id) AS t2
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT user_id, t1, t2,
+      |         MIN(CASE WHEN event_type = 'purchase' AND us > t2
+      |                   AND us <= t2 + 604800000000 THEN us END)
+      |           OVER (PARTITION BY user_id) AS t3
+      |  FROM s2
+      |)
+      |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT)
+      |    AS n_signup,
+      |  CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT)
+      |    AS n_click_7d,
+      |  CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT)
+      |    AS n_purchase_7d
+      |FROM s3""".stripMargin
+
   /** Retention cohorts: users grouped by first-seen day, distinct-user
     * counts at day offsets 0-7. The cohort label is a window min (no
     * groupBy+join back); the final aggregate is the only wide shuffle.
@@ -648,6 +703,7 @@ object TimeWindowOps extends QueryModule {
         |FROM joined ORDER BY day""".stripMargin)),
     Q("nearest_touch", nearestTouch, Some(nearestTouchSql)),
     Q("debounce_events", debounceEvents, Some(debounceEventsSql)),
+    Q("funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("top_paths_3", topPaths3, Some(
       """WITH seqd AS (

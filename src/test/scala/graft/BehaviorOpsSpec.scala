@@ -27,6 +27,33 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("funnel_windowed equals the sequential 7-day-deadline replay and " +
+      "never exceeds the unbounded funnel") {
+    val week = 7L * 86400000000L
+    val byUser = events.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    var (nSign, nClick, nPurch) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val t1 = evs.collectFirst { case e if e._4 == "signup" => e._2 }
+      val t2 = t1.flatMap(t => evs.collect {
+        case e if e._4 == "click" && e._2 > t && e._2 <= t + week => e._2
+      }.minOption)
+      val t3 = t2.flatMap(t => evs.collect {
+        case e if e._4 == "purchase" && e._2 > t && e._2 <= t + week => e._2
+      }.minOption)
+      if (t1.isDefined) nSign += 1
+      if (t2.isDefined) nClick += 1
+      if (t3.isDefined) nPurch += 1
+    }
+    val got = SparkEntry.queries("funnel_windowed")(spark, sf001)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((byUser.size.toLong, nSign, nClick, nPurch)))
+    val unbounded = SparkEntry.queries("funnel_conversion")(spark, sf001)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._2 === unbounded._2)
+    assert(got._3 <= unbounded._3 && got._4 <= unbounded._4)
+  }
+
   test("debounce_events keeps exactly the rows > 5 min past the previous " +
       "same-key event") {
     val got = SparkEntry.queries("debounce_events")(spark, sf001)

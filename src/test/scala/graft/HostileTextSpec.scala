@@ -29,7 +29,7 @@ class HostileTextSpec extends SparkSpec {
     "contamination_check", "exact_dedup", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "cluster_keep_best", "incremental_dedup",
-    "jaccard_prefix_join", "minhash_calibration",
+    "jaccard_prefix_join", "minhash_calibration", "clustering_agreement",
     "levenshtein_pairs", "bm25_score", "weighted_sample",
     "bpe_pair_counts", "token_entropy", "temperature_mixture",
     "cms_heavy_hitters", "corpus_topp_select",

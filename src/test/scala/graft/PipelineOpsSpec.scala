@@ -152,6 +152,55 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("clustering_agreement Rand index recount from the two clusterings") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    val docs = Tables.t(spark, sf001, "documents")
+      .select($"doc_id").as[Long].collect().toSeq
+    val la = unionFind(SparkEntry.queries("minhash_lsh_pairs")(spark, sf001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq)
+    val lb = unionFind(SparkEntry.queries("jaccard_prefix_join")(spark, sf001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq)
+    val labels = docs.map(d => (la.getOrElse(d, d), lb.getOrElse(d, d)))
+    def c2(n: Long) = n * (n - 1) / 2
+    val cont = labels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val a = cont.values.map(c2).sum
+    val b = cont.toSeq.groupBy(_._1._1).values
+      .map(g => c2(g.map(_._2).sum)).sum
+    val c = cont.toSeq.groupBy(_._1._2).values
+      .map(g => c2(g.map(_._2).sum)).sum
+    val nPairs = c2(docs.size.toLong)
+    val got = SparkEntry.queries("clustering_agreement")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got === ((docs.size.toLong, nPairs, a, b, c,
+      (nPairs + 2 * a - b - c).toDouble / nPairs.toDouble)))
+  }
+
+  test("percent_of_parent shares are exact and sum to 1 per region") {
+    val got = SparkEntry.queries("percent_of_parent")(spark, sf001)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    got.groupBy(_._1).values.foreach { rows =>
+      val regionTotal = rows.head._4
+      assert(rows.map(_._3).sum === regionTotal)
+      rows.foreach { r =>
+        assert(r._5 === r._3.toDouble / r._4.toDouble)
+      }
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+    }
+    val globalCents = got.map(_._3).sum
+    got.foreach(r => assert(r._6 === r._3.toDouble / globalCents.toDouble))
+  }
+
   test("connectedComponents converges past diameter 3 (chain + forest)") {
     // a diameter-6 path, a disjoint triangle, and an isolated edge: the
     // fixed-K=3 unrolled form mislabeled exactly this path shape

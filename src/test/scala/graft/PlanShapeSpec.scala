@@ -109,6 +109,8 @@ class PlanShapeSpec extends SparkSpec {
       "acf_daily", // 1-row (n, S) + denominator broadcasts over the day spine
       "assoc_rules", // 1-row order-count broadcast (lift denominator)
       "quantile_normalize", // 1-row pool-size broadcast + PrefixOps min/max
+      "clustering_agreement", // 1-row Rand-term aggregates cross-broadcast
+      "percent_of_parent", // 1-row grand-total broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
