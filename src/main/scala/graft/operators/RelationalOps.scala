@@ -590,10 +590,13 @@ object RelationalOps extends QueryModule {
     val margins = orderSets
       .select(explode(col("ps")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("c"))
+    // cached: the two unionAll direction branches are distinct logical
+    // subtrees — without this the pair/margin pipeline executes twice
     val joined = pairCnt
       .join(margins.select(col("part").as("part_a"), col("c").as("c_a")), "part_a")
       .join(margins.select(col("part").as("part_b"), col("c").as("c_b")), "part_b")
       .crossJoin(broadcast(nOrders))
+      .cache()
     val directed = joined.select(
         col("part_a").as("antecedent"), col("part_b").as("consequent"),
         col("c_ab"), col("c_a").as("c_ante"), col("c_b").as("c_cons"),

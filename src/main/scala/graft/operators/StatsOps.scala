@@ -904,35 +904,39 @@ object StatsOps extends QueryModule {
       |FROM ev JOIN cuts USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Poisson(1) CDF thresholds scaled to 2⁵², precomputed as literals both
-    * engines share: w = #{t ≤ u} for u uniform on [0, 2⁵²) is a
-    * deterministic Poisson(1) draw — the Poisson-bootstrap weight. */
+  /** Poisson(1) CDF thresholds scaled to 2¹⁶, precomputed as literals both
+    * engines share: w = #{t ≤ u} for u uniform on [0, 2¹⁶) is a
+    * deterministic Poisson(1) draw (16-bit CDF resolution shifts each
+    * threshold by < 2⁻¹⁶ probability — irrelevant to bootstrap validity,
+    * and it lets ONE md5 seed 8 replicas). */
   private val POIS_T: Seq[Long] = Seq(
-    1656781714176974L, 3313563428353948L, 4141954285442435L,
-    4418084571138597L, 4487117142562638L, 4500923656847446L,
-    4503224742561580L)
+    24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
   private val BOOT_B = 32
 
   /** Poisson-bootstrap confidence interval for the per-type mean — the
     * standard way to get uncertainty bands at scale WITHOUT resampling
-    * shuffles: every row carries B=32 deterministic Poisson(1) weights
-    * (md5(event_id:b) → 52-bit uniform → CDF-threshold count, thresholds
-    * baked as shared literals), each replica's mean is Σwx div Σw in exact
-    * integer micros, and the 90% band is the 2nd/31st order statistic of
-    * the 32 replica means. The ×32 explode feeds straight into a map-side
-    * partial aggregate, so the shuffle carries ≤ 32·|types| rows per
-    * partition regardless of corpus size; the final order stats sort
-    * 32-element arrays per type.
+    * shuffles: every row carries B=32 deterministic Poisson(1) weights,
+    * each replica's mean is Σwx div Σw in exact integer micros, and the
+    * 90% band is the 2nd/31st order statistic of the 32 replica means.
+    * The 32 weights come from FOUR md5 digests per row (md5(event_id:k),
+    * k = b div 8 — 8 disjoint 16-bit slices each, hashed BEFORE the
+    * replica explode; a per-(row, replica) hash was 8× the md5 work and
+    * dominated the sweep at 3.2M hashes). The explode feeds straight into
+    * a map-side partial aggregate, so the shuffle carries ≤ 32·|types|
+    * rows per partition regardless of corpus size; the final order stats
+    * sort 32-element arrays per type.
     */
   private def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(
-      concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))),
-      1, 13), 16, 10).cast("long")
+    val hs = array((0 until BOOT_B / 8).map(k =>
+      md5(concat(col("event_id").cast("string"), lit(s":$k")))): _*)
+    val u = conv(expr("substr(element_at(hs, CAST(b div 8 + 1 AS INT)), " +
+      "(b % 8) * 4 + 1, 4)"), 16, 10).cast("long")
     val w = POIS_T.reverse.foldLeft(lit(7L): Column)((acc, t) =>
       when(u < lit(t), lit(POIS_T.indexOf(t).toLong)).otherwise(acc))
     val reps = Tables.t(s, dir, "events")
-      .select(col("event_type"), col("event_id"),
-        round(col("value") * 1e6).cast("long").as("x"),
+      .select(col("event_type"),
+        round(col("value") * 1e6).cast("long").as("x"), hs.as("hs"))
+      .select(col("event_type"), col("x"), col("hs"),
         explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
       .select(col("event_type"), col("b"), col("x"), w.as("w"))
       .groupBy(col("event_type"), col("b"))
@@ -960,10 +964,10 @@ object StatsOps extends QueryModule {
        |    CAST(ROUND(value * 1e6) AS BIGINT) AS x,
        |    $wCase AS w
        |  FROM (
-       |    SELECT event_type, event_id, value, b,
-       |      CAST(concat('0x', substr(md5(
-       |        CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
-       |        1, 13)) AS BIGINT) AS u
+       |    SELECT event_type, value, b,
+       |      CAST(concat('0x', substr(
+       |        md5(CAST(event_id AS VARCHAR) || ':' || CAST(b // 8 AS VARCHAR)),
+       |        (b % 8) * 4 + 1, 4)) AS BIGINT) AS u
        |    FROM events
        |    CROSS JOIN (SELECT unnest(generate_series(0, ${BOOT_B - 1})) AS b))
        |), means AS (

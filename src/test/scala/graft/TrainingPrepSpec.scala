@@ -103,16 +103,14 @@ class TrainingPrepSpec extends SparkSpec {
     val ev = Tables.t(spark, sf001, "events")
       .select($"event_type", $"event_id", round($"value" * 1e6).cast("long"))
       .as[(String, Long, Long)].collect().toSeq
-    val thresholds = Seq(1656781714176974L, 3313563428353948L,
-      4141954285442435L, 4418084571138597L, 4487117142562638L,
-      4500923656847446L, 4503224742561580L)
-    def md5u(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 13), 16)
-    }
+    val thresholds = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L,
+      65530L)
     def weight(id: Long, b: Int): Long = {
-      val u = md5u(s"$id:$b")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${b / 8}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(
+        hex.substring((b % 8) * 4, (b % 8) * 4 + 4), 16)
       thresholds.count(_ <= u).toLong
     }
     val got = SparkEntry.queries("bootstrap_ci")(spark, sf001)
