@@ -841,6 +841,86 @@ object SimilarityOps extends QueryModule {
        |  FROM votes)
        |WHERE vr = 1 ORDER BY q_id""".stripMargin
 
+  /** Top distinguishing terms per trained semantic cell — c-TF-IDF, the
+    * BERTopic-style cluster-labeling step that turns opaque k-means cells
+    * into human-readable topics: score(term, cell) = (tf_cell/len_cell) ·
+    * ln(N_cells/df_cells), ranked top-5 per cell. Documents join their
+    * embedding's trained cell on the 1:1 vec_id↔doc_id key; the score is
+    * the exact integer product (tf·10⁶ div n_c) · ln_milli (the psi_drift
+    * double-round ln pattern), so ranking never touches engine-divergent
+    * floats. Per-cell windows only; cell count and margins are
+    * aggregate-sized.
+    */
+  private def clusterTopterms(s: SparkSession, dir: String): DataFrame = {
+    val cents = centsDf(s, trainedCentroids(s, dir))
+    val feats = featsDf(s, dir)
+      .select(col("vec_id") +: KM_DIMS.map(i => col(s"x$i")): _*)
+    val assign = assignTo(feats, cents).select(col("vec_id"), col("cell"))
+    // cached: feeds per-cell lengths, per-term cell-df, and the output
+    val ct = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(assign, col("doc_id") === col("vec_id"))
+      .groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val nc = ct.groupBy(col("cell")).agg(sum(col("tf")).as("n_c"))
+    val dfc = ct.groupBy(col("term")).agg(count(lit(1)).as("df_cells"))
+    val nCells = ct.select(col("cell")).distinct()
+      .agg(count(lit(1)).as("n_cells"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("score").desc, col("term"))
+    ct.join(broadcast(nc), "cell")
+      .join(dfc, "term")
+      .crossJoin(broadcast(nCells))
+      .withColumn("ln_milli",
+        round(round(log(col("n_cells").cast("double") /
+          col("df_cells").cast("double")), 3) * 1000).cast("long"))
+      .withColumn("score", expr("((tf * 1000000L) div n_c) * ln_milli"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("cell"), col("rk"), col("term"), col("tf"), col("score"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  private def clusterToptermsSql: String = {
+    val distExpr = KM_DIMS.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - c.c$i) * (CAST(f.x$i AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansRecursiveCtes(withFat = false)},
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT f.vec_id, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS rn
+       |    FROM feats f CROSS JOIN cfinal c)
+       |  WHERE rn = 1
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), ct AS (
+       |  SELECT a.cell, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks t JOIN assign a ON t.doc_id = a.vec_id
+       |  GROUP BY 1, 2
+       |), nc AS (
+       |  SELECT cell, CAST(SUM(tf) AS BIGINT) AS n_c FROM ct GROUP BY 1
+       |), dfc AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_cells FROM ct GROUP BY 1
+       |), ncl AS (
+       |  SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells FROM ct
+       |), scored AS (
+       |  SELECT ct.cell, ct.term, ct.tf,
+       |    ((ct.tf * 1000000) // n_c) *
+       |      CAST(ROUND(ROUND(ln(CAST(n_cells AS DOUBLE)
+       |           / CAST(df_cells AS DOUBLE)), 3) * 1000) AS BIGINT) AS score
+       |  FROM ct JOIN nc USING (cell) JOIN dfc USING (term) CROSS JOIN ncl
+       |)
+       |SELECT cell, rk, term, tf, score FROM (
+       |  SELECT cell, term, tf, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY cell
+       |              ORDER BY score DESC, term) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5 ORDER BY cell, rk""".stripMargin
+  }
+
   // ---- JL random projection + mutual-kNN -------------------------------
 
   private val JL_K = 8
@@ -956,6 +1036,7 @@ object SimilarityOps extends QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("cluster_topterms", clusterTopterms, Some(clusterToptermsSql)),
     Q("jl_projection", jlProjection, Some(jlProjectionSql)),
     Q("mutual_knn", mutualKnn, Some(mutualKnnSql)),
     Q("knn_classify", knnClassify, Some(knnClassifySql)),

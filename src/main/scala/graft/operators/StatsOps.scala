@@ -840,6 +840,117 @@ object StatsOps extends QueryModule {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mutual information between event_type and the value's pooled decile
+    * bucket — the feature-relevance diagnostic ("does this feature carry
+    * signal about the label") run before training. Decile boundaries come
+    * from the POOLED compressed value domain via [[PrefixOps]] and
+    * broadcast back (the psi_drift shape); MI = Σ p_tb·ln(p_tb/(p_t·p_b)),
+    * assembled exactly: integer count cross-products, ln through the
+    * double-round ln-milli pattern, ONE final IEEE division per output.
+    * Entropies H(type)/H(bucket) ride the same machinery, and NMI =
+    * MI/min(H) normalizes. Everything after the one events pass is
+    * aggregate-sized (|types|·10 cells).
+    */
+  private def mutualInformation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val vcCounts = ev.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+    val ranked = PrefixOps.withGlobalPrefix(vcCounts, col("vc"),
+      Seq(col("vc")), sums = Seq("cnt"))
+    val bndAggs = (1 to 9).map { i =>
+      min(when(col("g_run_cnt") >= ceil(col("g_tot_cnt") * i / 10.0),
+        col("vc"))).as(s"b$i")
+    }
+    val bnds = ranked.agg(bndAggs.head, bndAggs.tail: _*)
+      .select(array((1 to 9).map(i => col(s"b$i")): _*).as("bl"))
+    val cells = ev.crossJoin(broadcast(bnds))
+      .withColumn("b",
+        expr("CAST(size(filter(bl, x -> vc >= x)) AS BIGINT)"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n_tb"))
+      .cache()
+    val nt = cells.groupBy(col("event_type")).agg(sum(col("n_tb")).as("n_t"))
+    val nb = cells.groupBy(col("b")).agg(sum(col("n_tb")).as("n_b"))
+    val tot = cells.agg(sum(col("n_tb")).as("n"))
+    def lnMilli(c: Column): Column =
+      round(round(log(c), 3) * 1000).cast("long")
+    val joined = cells.join(broadcast(nt), "event_type")
+      .join(broadcast(nb), "b")
+      .crossJoin(broadcast(tot))
+    val mi = joined
+      .agg(sum(col("n_tb") * lnMilli((col("n_tb") * col("n")).cast("double") /
+        (col("n_t") * col("n_b")).cast("double"))).as("mi_s"),
+        max(col("n")).as("n"))
+    val hT = nt.crossJoin(broadcast(tot))
+      .agg(sum(col("n_t") *
+        (lnMilli(col("n").cast("double")) - lnMilli(col("n_t").cast("double"))))
+        .as("ht_s"))
+    val hB = nb.crossJoin(broadcast(tot))
+      .agg(sum(col("n_b") *
+        (lnMilli(col("n").cast("double")) - lnMilli(col("n_b").cast("double"))))
+        .as("hb_s"))
+    mi.crossJoin(broadcast(hT)).crossJoin(broadcast(hB))
+      .select(col("n"),
+        (col("mi_s").cast("double") / col("n") / 1000.0).as("mi_nats"),
+        (col("ht_s").cast("double") / col("n") / 1000.0).as("h_type_nats"),
+        (col("hb_s").cast("double") / col("n") / 1000.0).as("h_bucket_nats"),
+        (col("mi_s").cast("double") /
+          least(col("ht_s"), col("hb_s")).cast("double")).as("nmi"))
+  }
+
+  private val mutualInformationSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), ranked AS (
+      |  SELECT vc,
+      |    SUM(cnt) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM (SELECT vc, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1)
+      |), bnds AS (
+      |  SELECT list(bv ORDER BY i) AS bl FROM (
+      |    SELECT i, MIN(CASE WHEN cum >= CEIL(n * i / 10.0) THEN vc END) AS bv
+      |    FROM ranked CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i)
+      |    GROUP BY i)
+      |), cells AS (
+      |  SELECT event_type,
+      |    CAST(len(list_filter((SELECT bl FROM bnds), x -> vc >= x))
+      |         AS BIGINT) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tb
+      |  FROM ev GROUP BY 1, 2
+      |), nt AS (
+      |  SELECT event_type, CAST(SUM(n_tb) AS BIGINT) AS n_t FROM cells GROUP BY 1
+      |), nb AS (
+      |  SELECT b, CAST(SUM(n_tb) AS BIGINT) AS n_b FROM cells GROUP BY 1
+      |), tot AS (SELECT CAST(SUM(n_tb) AS BIGINT) AS n FROM cells),
+      |mi AS (
+      |  SELECT CAST(SUM(n_tb *
+      |    CAST(ROUND(ROUND(ln(CAST(n_tb * n AS DOUBLE)
+      |         / CAST(n_t * n_b AS DOUBLE)), 3) * 1000) AS BIGINT))
+      |    AS BIGINT) AS mi_s,
+      |    MAX(n) AS n
+      |  FROM cells JOIN nt USING (event_type) JOIN nb USING (b) CROSS JOIN tot
+      |), ht AS (
+      |  SELECT CAST(SUM(n_t *
+      |    (CAST(ROUND(ROUND(ln(CAST(n AS DOUBLE)), 3) * 1000) AS BIGINT)
+      |     - CAST(ROUND(ROUND(ln(CAST(n_t AS DOUBLE)), 3) * 1000) AS BIGINT)))
+      |    AS BIGINT) AS ht_s
+      |  FROM nt CROSS JOIN tot
+      |), hb AS (
+      |  SELECT CAST(SUM(n_b *
+      |    (CAST(ROUND(ROUND(ln(CAST(n AS DOUBLE)), 3) * 1000) AS BIGINT)
+      |     - CAST(ROUND(ROUND(ln(CAST(n_b AS DOUBLE)), 3) * 1000) AS BIGINT)))
+      |    AS BIGINT) AS hb_s
+      |  FROM nb CROSS JOIN tot
+      |)
+      |SELECT n,
+      |  CAST(mi_s AS DOUBLE) / n / 1000.0 AS mi_nats,
+      |  CAST(ht_s AS DOUBLE) / n / 1000.0 AS h_type_nats,
+      |  CAST(hb_s AS DOUBLE) / n / 1000.0 AS h_bucket_nats,
+      |  CAST(mi_s AS DOUBLE) / CAST(LEAST(ht_s, hb_s) AS DOUBLE) AS nmi
+      |FROM mi, ht, hb""".stripMargin
+
   /** Winsorization per event_type: exact p05/p95 cut points, values clipped
     * into [p05, p95], and the robust (winsorized) mean — the standard
     * outlier-taming transform before training-statistics aggregation. The
@@ -1291,6 +1402,7 @@ object StatsOps extends QueryModule {
     Q("winsorize_clip", winsorizeClip, Some(winsorizeClipSql)),
     Q("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
+    Q("mutual_information", mutualInformation, Some(mutualInformationSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),

@@ -93,6 +93,8 @@ class PlanShapeSpec extends SparkSpec {
     // sets, the non-equi range join) — documented in each operator's scaladoc
     val bnljAllowed = Set(
       "ann_ivf", "kmeans_trained", "semantic_dedup", "cluster_balanced_sample",
+      "cluster_topterms", // k-row centroid + 1-row cell-count broadcasts
+      "mutual_information", // 1-row boundary/total broadcasts (psi shape)
       "cosine_topk", "cosine_topk_fast", "knn_classify", "mutual_knn",
       "bigram_lm_score",
       "tf_idf",

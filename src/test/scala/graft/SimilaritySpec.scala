@@ -58,6 +58,39 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.5 && mean < 2.0, s"mean distance ratio $mean")
   }
 
+  test("cluster_topterms equals a c-TF-IDF recount over the semantic cells") {
+    def lnMilli(x: Double): Long = math.round(
+      BigDecimal(math.log(x))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000)
+    // semantic_dedup exposes the SAME trained cell assignment
+    val cells = SparkEntry.queries("semantic_dedup")(spark, sf001)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val docTerms = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .as[(Long, Array[String])].collect().toSeq
+    val ct = docTerms.flatMap { case (d, toks) =>
+      cells.get(d).toSeq.flatMap(c => toks.map(t => (c, t)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nC = ct.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val dfC = ct.keys.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val nCells = ct.keys.map(_._1).toSeq.distinct.size.toLong
+    val expected = ct.toSeq.map { case ((c, t), tf) =>
+      (c, t, tf,
+        (tf * 1000000L / nC(c)) * lnMilli(nCells.toDouble / dfC(t).toDouble))
+    }.groupBy(_._1).view.mapValues(_.sortBy(r => (-r._4, r._2)).take(5))
+      .toMap
+    val got = SparkEntry.queries("cluster_topterms")(spark, sf001)
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    got.groupBy(_._1).foreach { case (c, rows) =>
+      val exp = expected(c)
+      assert(rows.sortBy(_._2).map(r => (r._3, r._4, r._5))
+        === exp.map(r => (r._2, r._3, r._4)), s"cell $c")
+    }
+    assert(got.map(_._1).distinct.sorted === expected.keys.toSeq.sorted)
+  }
+
   test("mutual_knn pairs are exactly the reciprocal top-10 neighbor pairs") {
     // the engine's quantized dot works on the RAW float values (cast to
     // double), not on the 1e6-quantized elements

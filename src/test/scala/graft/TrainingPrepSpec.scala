@@ -158,6 +158,41 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("mutual_information recount: deciles, ln-milli assembly, and the " +
+      "information inequalities") {
+    def lnMilli(x: Double): Long = math.round(
+      BigDecimal(math.log(x))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000)
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"event_type", round($"value" * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val n = ev.size.toLong
+    val sorted = ev.map(_._2).sorted
+    val bl = (1 to 9).map(i =>
+      sorted((math.ceil(n * i / 10.0) - 1).toInt))
+    def bucket(v: Long): Long = bl.count(v >= _).toLong
+    val cells = ev.groupBy(e => (e._1, bucket(e._2))).view
+      .mapValues(_.size.toLong).toMap
+    val nt = cells.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nb = cells.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val miS = cells.map { case ((t, b), c) =>
+      c * lnMilli(c.toDouble * n / (nt(t).toDouble * nb(b).toDouble))
+    }.sum
+    val htS = nt.values.map(c =>
+      c * (lnMilli(n.toDouble) - lnMilli(c.toDouble))).sum
+    val hbS = nb.values.map(c =>
+      c * (lnMilli(n.toDouble) - lnMilli(c.toDouble))).sum
+    val got = SparkEntry.queries("mutual_information")(spark, sf001)
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(got._1 === n)
+    assert(got._2 === miS.toDouble / n / 1000.0)
+    assert(got._3 === htS.toDouble / n / 1000.0)
+    assert(got._4 === hbS.toDouble / n / 1000.0)
+    assert(got._5 === miS.toDouble / math.min(htS, hbS).toDouble)
+    // information inequalities (up to ln-milli rounding slack)
+    assert(got._2 >= -0.001 && got._2 <= math.min(got._3, got._4) + 0.001)
+  }
+
   test("ema_daily equals the sequential integer fold of daily means") {
     val daily = Tables.t(spark, sf001, "events")
       .groupBy($"event_type", to_date($"ts").as("day"))
