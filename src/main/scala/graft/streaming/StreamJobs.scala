@@ -559,6 +559,43 @@ object StreamJobs {
       }
   }
 
+  case class DebouncedEvent(key: String, tsMs: Long, value: Double)
+
+  /** Streaming debounce via flatMapGroupsWithState: per key, emit an event
+    * only when it arrives more than `quietMs` after the previously KEPT
+    * event — the CHAINED form (each kept event opens a fresh quiet window),
+    * which a lag() window cannot express and which must survive micro-batch
+    * boundaries. State per key is ONE long (last kept ts): O(keys),
+    * independent of stream volume. Rows fold in event-time order within
+    * each micro-batch, so replaying the same batch boundaries is
+    * deterministic; an event inside the quiet window of a PREVIOUS batch's
+    * kept event is correctly dropped (the cross-batch case the spec pins).
+    */
+  def debounce(input: org.apache.spark.sql.Dataset[MetricPoint],
+      quietMs: Long): org.apache.spark.sql.Dataset[DebouncedEvent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[DebouncedEvent] = Encoders.product[DebouncedEvent]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DebouncedEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Long]) =>
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[DebouncedEvent]
+          rows.toSeq.sortBy(r => (r.tsMs, r.value)).foreach { r =>
+            if (lastKept == Long.MinValue || r.tsMs > lastKept + quietMs) {
+              out += DebouncedEvent(key, r.tsMs, r.value)
+              lastKept = r.tsMs
+            }
+          }
+          state.update(lastKept)
+          out.result().iterator
+      }
+  }
+
   /** The reference's foreachPartition open/write/close lifecycle
     * (KafkaStreamerToHbase.scala:88-167) as a real ForeachWriter; sinks each
     * record into a per-JVM buffer keyed by a test-supplied id. */

@@ -503,6 +503,32 @@ class StreamJobsSpec extends SparkSpec {
     // monitor adapted (spike folded in) but 10.5 is within 3σ of the new state
   }
 
+  test("debounce keeps only events past the quiet window of the previously " +
+      "KEPT event, across batch boundaries") {
+    import StreamJobs.MetricPoint
+    val in = MemoryStream[MetricPoint]
+    val q = StreamJobs.debounce(in.toDS(), quietMs = 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("deb").start()
+    // batch 1: chained arrivals — 0 kept, 500/900 inside its window, 1500
+    // kept (window re-opens), 2200 inside 1500's window
+    in.addData(MetricPoint("a", 0, 1.0), MetricPoint("a", 500, 2.0),
+      MetricPoint("a", 900, 3.0), MetricPoint("a", 1500, 4.0),
+      MetricPoint("a", 2200, 5.0), MetricPoint("b", 10, 9.0))
+    q.processAllAvailable()
+    // batch 2: 2400 is inside batch-1's kept-1500 window (cross-batch state);
+    // 2600 is past it and kept; fresh key c always keeps its first
+    in.addData(MetricPoint("a", 2400, 6.0), MetricPoint("a", 2600, 7.0),
+      MetricPoint("c", 5, 8.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select key, tsMs from deb")
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 0L), ("a", 1500L), ("a", 2600L),
+      ("b", 10L), ("c", 5L)))
+    // the chained semantics differ from a lag-window debounce: 2200 is
+    // dropped even though it is > 1000ms after the (dropped) 900
+    assert(!got.contains(("a", 2200L)))
+  }
+
   test("TopicTableSink.appendBatch is idempotent under batch replay") {
     val sink = new TopicTableSink(tmp() + "/t")
     val df = Seq(("a", 1L)).toDF("k", "n")
