@@ -847,7 +847,138 @@ object DedupOps extends QueryModule {
        |    AS rand_index
        |FROM arow, brow, crow""".stripMargin
 
+  /** Sorted-neighborhood dedup blocking (Hernández–Stolfo): docs sorted by
+    * their SimHash value, candidate pairs drawn only from a sliding window
+    * of W=4 ranks, then hamming ≤ 4 verifies — the fourth blocking
+    * strategy in the catalog (hash-bucket, LSH band, prefix filter, and
+    * now sort-order locality). Near-identical simhashes sort adjacently,
+    * so the window catches near-dups the prefix BLOCK equi-join also
+    * finds, at a guaranteed W·n candidate budget (no df² blowup on hot
+    * blocks). The global sort rank comes from [[PrefixOps]] — no
+    * single-reducer window — and the window pairing is W−1 shifted
+    * EQUI-joins on (rank + d), never a range join. Ties in simhash order
+    * break by doc_id, so ranks are total both engines.
+    */
+  private val SN_W = 4
+
+  private def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    // cached: feeds the rank base and all W−1 shifted probe sides
+    val ranked = PrefixOps.withGlobalPrefix(
+        simhash(s, dir), col("simhash"),
+        Seq(col("simhash"), col("doc_id")))
+      .select(col("doc_id"), col("simhash"), col("g_rank").as("rk"))
+      .cache()
+    val shifted = (1 until SN_W).map { d =>
+      ranked.select((col("rk") - d).as("rk"),
+        col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    }.reduce(_ unionAll _)
+    ranked.join(shifted, "rk")
+      .filter(bit_count(col("simhash").bitwiseXOR(col("b_sim"))) <= 4)
+      .select(
+        least(col("doc_id"), col("b_id")).as("a_id"),
+        greatest(col("doc_id"), col("b_id")).as("b_id"),
+        bit_count(col("simhash").bitwiseXOR(col("b_sim"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def sortedNeighborhoodSql: String = {
+    val shifts = (1 until SN_W).map(d =>
+      s"SELECT rk - $d AS rk, doc_id AS b_id, simhash AS b_sim FROM ranked")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sig AS ($simhashSql),
+       |ranked AS (
+       |  SELECT doc_id, simhash,
+       |         ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS rk
+       |  FROM sig
+       |), shifted AS (
+       |  $shifts
+       |)
+       |SELECT DISTINCT
+       |  LEAST(r.doc_id, s.b_id) AS a_id,
+       |  GREATEST(r.doc_id, s.b_id) AS b_id,
+       |  CAST(bit_count(xor(r.simhash, s.b_sim)) AS BIGINT) AS hamming
+       |FROM ranked r JOIN shifted s USING (rk)
+       |WHERE bit_count(xor(r.simhash, s.b_sim)) <= 4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Local clustering coefficient per node over the bounded SimHash
+    * near-dup graph (same 500-doc subgraph and edge rule as
+    * [[triangleCount]]): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — "how
+    * clique-like is this node's neighborhood", the per-node complement of
+    * the global triangle count (near-dup clusters score ~1, bridge docs
+    * ~0). Triangles enumerate through the oriented a<b<c equi-join and
+    * credit each corner; degrees come from the undirected edge list. The
+    * ratio is exact integers until ONE IEEE division. Nodes with deg < 2
+    * are excluded (coefficient undefined).
+    */
+  private def clusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir).filter(col("doc_id") < 500)
+      .withColumn("blk", shiftright(col("simhash"), 16))
+      .cache()
+    val e = sig.as("x").join(sig.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 4)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .cache()
+    val deg = e.select(col("a_id").as("node"))
+      .unionAll(e.select(col("b_id").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c_id"))
+    val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
+    val tris = e.join(e2, col("b_id") === col("b2"))
+      .join(e3, col("a_id") === col("a3") && col("c_id") === col("c3"))
+      .select(col("a_id"), col("b_id"), col("c_id"))
+    val triPerNode = tris.select(col("a_id").as("node"))
+      .unionAll(tris.select(col("b_id").as("node")))
+      .unionAll(tris.select(col("c_id").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .select(col("node"), col("deg"), col("tri"),
+        ((lit(2) * col("tri")).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("cc"))
+      .orderBy(col("node"))
+  }
+
+  private def clusteringCoefficientSql: String =
+    s"""WITH sig AS ($simhashSql),
+       |blk AS (SELECT doc_id, simhash, simhash >> 16 AS blk FROM sig
+       |        WHERE doc_id < 500),
+       |e AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM blk x JOIN blk y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+       |), deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a_id AS node FROM e UNION ALL SELECT b_id FROM e)
+       |  GROUP BY 1
+       |), tris AS (
+       |  SELECT e1.a_id, e1.b_id, e2.b_id AS c_id
+       |  FROM e e1
+       |  JOIN e e2 ON e1.b_id = e2.a_id
+       |  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+       |), tpn AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+       |    SELECT a_id AS node FROM tris
+       |    UNION ALL SELECT b_id FROM tris
+       |    UNION ALL SELECT c_id FROM tris)
+       |  GROUP BY 1
+       |)
+       |SELECT d.node, d.deg, COALESCE(t.tri, 0) AS tri,
+       |  CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+       |    / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS cc
+       |FROM deg d LEFT JOIN tpn t USING (node)
+       |WHERE d.deg >= 2
+       |ORDER BY d.node""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
+    Q("clustering_coefficient", clusteringCoefficient,
+      Some(clusteringCoefficientSql)),
     Q("clustering_agreement", clusteringAgreement, Some(clusteringAgreementSql)),
     Q("jaccard_prefix_join", jaccardPrefixJoin, Some(jaccardPrefixJoinSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),

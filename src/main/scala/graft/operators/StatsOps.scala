@@ -951,6 +951,81 @@ object StatsOps extends QueryModule {
       |  CAST(mi_s AS DOUBLE) / CAST(LEAST(ht_s, hb_s) AS DOUBLE) AS nmi
       |FROM mi, ht, hb""".stripMargin
 
+  /** Pairwise earth-mover's distance (1-D Wasserstein) between the value
+    * distributions of every two event types — the distribution-drift
+    * distance ("how different is checkout's spend profile from signup's")
+    * that PSI only approximates binwise. For 1-D CDFs, EMD = ∫|F_a − F_b|dv
+    * computed EXACTLY on the pooled compressed value grid: per type, the
+    * cumulative count at every pooled distinct value (zero-filled grid
+    * join, cum over the compressed domain partitioned by type), then
+    * Σ |c_a·n_b − c_b·n_a|·Δv as exact longs with ONE final IEEE division
+    * by n_a·n_b·100. Pair space is |types|² over the grid — aggregate-sized
+    * everywhere past the one events pass.
+    */
+  private def emdPairwise(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val grid = ev.select(col("vc")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+    // dense per-type grid: every pooled value appears for every type
+    val cum = grid.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "vc"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("c", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("dv", lead(col("vc"), 1).over(wNext) - col("vc"))
+      .filter(col("dv").isNotNull) // last grid point carries no mass span
+      .select(col("event_type"), col("vc"), col("c"), col("n"), col("dv"))
+      .cache()
+    val a = cum.select(col("event_type").as("ta"), col("vc"),
+      col("c").as("ca"), col("n").as("na"), col("dv"))
+    val b = cum.select(col("event_type").as("tb"), col("vc").as("vcb"),
+      col("c").as("cb"), col("n").as("nb"))
+    a.join(b, col("vc") === col("vcb") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")) * col("dv"))
+        .as("s"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("ta"), col("tb"),
+        (col("s").cast("double") /
+          (col("na") * col("nb")).cast("double") / 100.0).as("emd"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private val emdPairwiseSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), grid AS (SELECT DISTINCT vc FROM ev),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |counts AS (
+      |  SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, vc,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |                   ROWS UNBOUNDED PRECEDING) AS c,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n,
+      |    LEAD(vc) OVER (PARTITION BY event_type ORDER BY vc) - vc AS dv
+      |  FROM (
+      |    SELECT t.event_type, g.vc, COALESCE(cn.cnt, 0) AS cnt
+      |    FROM grid g CROSS JOIN types t
+      |    LEFT JOIN counts cn ON cn.event_type = t.event_type AND cn.vc = g.vc)
+      |)
+      |SELECT a.event_type AS ta, b.event_type AS tb,
+      |  CAST(SUM(ABS(a.c * b.n - b.c * a.n) * a.dv) AS DOUBLE)
+      |    / CAST(MAX(a.n) * MAX(b.n) AS DOUBLE) / 100.0 AS emd
+      |FROM cum a JOIN cum b
+      |  ON a.vc = b.vc AND a.event_type < b.event_type
+      |WHERE a.dv IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Winsorization per event_type: exact p05/p95 cut points, values clipped
     * into [p05, p95], and the robust (winsorized) mean — the standard
     * outlier-taming transform before training-statistics aggregation. The
@@ -1403,6 +1478,7 @@ object StatsOps extends QueryModule {
     Q("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     Q("mutual_information", mutualInformation, Some(mutualInformationSql)),
+    Q("emd_pairwise", emdPairwise, Some(emdPairwiseSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, None),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),

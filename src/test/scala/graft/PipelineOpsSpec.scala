@@ -201,6 +201,76 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r._6 === r._3.toDouble / globalCents.toDouble))
   }
 
+  test("emd_pairwise equals the exact 1-D Wasserstein distance") {
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"event_type", round($"value" * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val grid = ev.map(_._2).distinct.sorted
+    def cdfCounts(vs: Seq[Long]): Seq[Long] = {
+      val sorted = vs.sorted
+      grid.map(g => sorted.count(_ <= g).toLong)
+    }
+    val got = SparkEntry.queries("emd_pairwise")(spark, sf001)
+      .as[(String, String, Double)].collect().toSeq
+    got.foreach { case (ta, tb, emd) =>
+      val (va, vb) = (byType(ta), byType(tb))
+      val (ca, cb) = (cdfCounts(va), cdfCounts(vb))
+      val (na, nb) = (va.size.toLong, vb.size.toLong)
+      val sScaled = (0 until grid.size - 1).map { i =>
+        math.abs(ca(i) * nb - cb(i) * na) * (grid(i + 1) - grid(i))
+      }.sum
+      assert(emd === sScaled.toDouble / (na * nb).toDouble / 100.0,
+        s"$ta/$tb")
+    }
+    assert(got.size ===
+      byType.size * (byType.size - 1) / 2)
+  }
+
+  test("sorted_neighborhood pairs are exactly the window-4 simhash " +
+      "neighbors at hamming <= 4") {
+    val sims = SparkEntry.queries("simhash")(spark, sf001)
+      .as[(Long, Long)].collect().toSeq
+    val ranked = sims.sortBy(r => (r._2, r._1)).zipWithIndex
+    val expected = (for {
+      (a, i) <- ranked.iterator
+      d <- 1 until 4 if i + d < ranked.size
+      b = ranked(i + d)._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 4
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1), h.toLong)).toSet
+    val got = SparkEntry.queries("sorted_neighborhood")(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("clustering_coefficient equals a brute-force per-node recount") {
+    val sims = SparkEntry.queries("simhash")(spark, sf001)
+      .filter($"doc_id" < 500)
+      .as[(Long, Long)].collect().toSeq
+    val edges = (for {
+      i <- sims.indices; j <- (i + 1) until sims.size
+      (a, sa) = sims(i); (b, sb) = sims(j)
+      if (sa >> 16) == (sb >> 16) &&
+        java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield if (a < b) (a, b) else (b, a)).toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("clustering_coefficient")(spark, sf001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val expectedNodes = adj.filter(_._2.size >= 2).keys.toSeq.sorted
+    assert(got.map(_._1) === expectedNodes)
+    got.foreach { case (v, deg, tri, cc) =>
+      val nbrs = adj(v)
+      assert(deg === nbrs.size.toLong)
+      val t = nbrs.toSeq.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y)
+      }.toLong
+      assert(tri === t, s"node $v")
+      assert(cc === 2.0 * t / (deg * (deg - 1)).toDouble)
+    }
+  }
+
   test("connectedComponents converges past diameter 3 (chain + forest)") {
     // a diameter-6 path, a disjoint triangle, and an isolated edge: the
     // fixed-K=3 unrolled form mislabeled exactly this path shape

@@ -112,6 +112,8 @@ class PlanShapeSpec extends SparkSpec {
       "assoc_rules", // 1-row order-count broadcast (lift denominator)
       "quantile_normalize", // 1-row pool-size broadcast + PrefixOps min/max
       "clustering_agreement", // 1-row Rand-term aggregates cross-broadcast
+      "sorted_neighborhood", // PrefixOps 1-row min/max broadcast
+      "emd_pairwise", // |types|-row broadcast to densify the value grid
       "percent_of_parent", // 1-row grand-total broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
