@@ -1469,10 +1469,303 @@ object StatsOps extends QueryModule {
       |FROM with_nd JOIN base USING (b)
       |GROUP BY day ORDER BY day""".stripMargin
 
+  // Integer division parity note: Spark's `div` and DuckDB's `//` BOTH
+  // truncate toward zero (verified: (-5)//2 = -2 in DuckDB), so plain
+  // div/`//` pairs are exact on negative operands too — no floor shim.
+
+  /** Holt's linear-trend double exponential smoothing (α = β = ½) of the
+    * per-type daily mean series, in exact integer micros with floor
+    * division so both engines agree on negative levels/trends:
+    *   l_d = (x_d + l_{d-1} + b_{d-1}) div 2,  b_d = (b_{d-1} + l_d − l_{d-1}) div 2
+    * (l_1 = x_1, b_1 = 0; div truncates identically in both engines).
+    * Same two-level scale posture as [[emaDaily]]:
+    * the heavy pass is one hash-aggregate to (type, day); the inherently
+    * sequential recurrence folds over a CALENDAR-BOUNDED per-type array
+    * (≤365 entries/key/year at any corpus size). DuckDB replays the exact
+    * recurrence with a recursive CTE over the packed arrays.
+    */
+  private def holtLinear(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 1e6).cast("long"))
+        .cast("long")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("sum_micro div cnt"))
+    val lNew = "((acc.l + acc.b + x.mean_micro) div 2L)"
+    val bNew = s"((acc.b + $lNew - acc.l) div 2L)"
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("mean_micro"))))
+        .as("xs"))
+      .select(col("event_type"), explode(expr(
+        s"""transform(sequence(1, size(xs)), d ->
+           |  named_struct(
+           |    'day', xs[d - 1].day,
+           |    'mean_micro', xs[d - 1].mean_micro,
+           |    'st', aggregate(slice(xs, 1, d),
+           |      named_struct('l', CAST(NULL AS BIGINT), 'b', 0L),
+           |      (acc, x) -> if(acc.l IS NULL,
+           |        named_struct('l', x.mean_micro, 'b', 0L),
+           |        named_struct('l', $lNew, 'b', $bNew)))))""".stripMargin))
+        .as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.mean_micro").as("mean_micro"),
+        col("r.st.l").as("level_micro"), col("r.st.b").as("trend_micro"),
+        (col("r.st.l") + col("r.st.b")).as("forecast_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val holtLinearSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+      |  FROM events GROUP BY 1, 2
+      |), packed AS (
+      |  SELECT event_type,
+      |    list(day ORDER BY day) AS days,
+      |    list(mean_micro ORDER BY day) AS means
+      |  FROM daily GROUP BY 1
+      |), h AS (
+      |  SELECT event_type, 1 AS d, means[1] AS l, CAST(0 AS BIGINT) AS b
+      |  FROM packed
+      |  UNION ALL
+      |  SELECT h.event_type, h.d + 1,
+      |    (p.means[h.d + 1] + h.l + h.b) // 2,
+      |    (h.b + ((p.means[h.d + 1] + h.l + h.b) // 2) - h.l) // 2
+      |  FROM h JOIN packed p ON h.event_type = p.event_type
+      |  WHERE h.d < len(p.means)
+      |)
+      |SELECT h.event_type, p.days[h.d] AS day, p.means[h.d] AS mean_micro,
+      |  h.l AS level_micro, h.b AS trend_micro, h.l + h.b AS forecast_micro
+      |FROM h JOIN packed p ON h.event_type = p.event_type
+      |ORDER BY h.event_type, day""".stripMargin
+
+  /** Theil–Sen robust trend: the median of all pairwise slopes of the
+    * per-type daily mean series. Heavy pass = one hash-aggregate to
+    * (type, day); the pair join runs over the CALENDAR-BOUNDED aggregated
+    * table (≤365 days/year → ≤66k pairs/type/year however large the raw
+    * corpus), partitioned per type. Slopes in truncating-div micros/day
+    * (identical in both engines, negatives included); lower median picked
+    * by rank so ties are value-identical.
+    */
+  private def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 1e6).cast("long"))
+        .cast("long")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("sum_micro div cnt"))
+      .select(col("event_type"), col("day"), col("mean_micro"))
+    val a = daily.alias("a")
+    val b = daily.alias("b")
+    val pairs = a.join(b,
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .withColumn("dd", datediff(col("b.day"), col("a.day")).cast("long"))
+      .withColumn("dm", col("b.mean_micro") - col("a.mean_micro"))
+      .select(col("a.event_type").as("event_type"),
+        expr("dm div dd").as("slope_micro"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_micro"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))).cast("long"))
+      .filter(col("rn") === expr("(np + 1L) div 2L"))
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+        col("slope_micro").as("slope_micro_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  private val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.event_type,
+      |    (b.mean_micro - a.mean_micro)
+      |      // CAST(date_diff('day', a.day, b.day) AS BIGINT) AS slope_micro
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |), r AS (
+      |  SELECT event_type, slope_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |                            ORDER BY slope_micro) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+      |  FROM p
+      |), nd AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT r.event_type, nd.n_days, r.np AS n_pairs,
+      |  r.slope_micro AS slope_micro_per_day
+      |FROM r JOIN nd ON r.event_type = nd.event_type
+      |WHERE r.rn = (r.np + 1) // 2
+      |ORDER BY r.event_type""".stripMargin
+
+  /** Mann–Whitney U (one-vs-rest per event type, with tie correction):
+    * ranks the pooled `value` domain ONCE, then derives each type's rank
+    * sum from per-(value, type) counts — no per-type re-ranking, no
+    * unpartitioned raw-row window. The pooled ranking runs over the
+    * COMPRESSED distinct-value domain through [[PrefixOps]]' two-level
+    * prefix sum; with tied values grouped, the doubled average rank of a
+    * value with r predecessors and multiplicity c is exactly 2r + c + 1,
+    * keeping everything integer until the final z (identical IEEE
+    * expression in both engines, emitted as round-to-micros).
+    */
+  private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+    val grp = q.groupBy(col("vm"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = grp.groupBy(col("vm")).agg(sum(col("cnt")).cast("long").as("c"))
+    val pfx = PrefixOps.withGlobalPrefix(tot, col("vm"), Seq(col("vm")),
+        sums = Seq("c"))
+      .select(col("vm"), col("c"), (col("g_run_c") - col("c")).as("rb"))
+    val perType = grp.join(pfx, "vm")
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).cast("long").as("n_x"),
+        sum(col("cnt") * (lit(2L) * col("rb") + col("c") + lit(1L)))
+          .cast("long").as("r_x2"))
+    val glob = tot.agg(sum(col("c")).cast("long").as("n"),
+      sum(col("c") * col("c") * col("c") - col("c")).cast("long")
+        .as("t_ties"))
+    val nD = col("n").cast("double")
+    val naD = col("n_x").cast("double")
+    val nbD = col("n_b").cast("double")
+    perType.crossJoin(broadcast(glob))
+      .withColumn("n_b", col("n") - col("n_x"))
+      .withColumn("u_x2", col("r_x2") - col("n_x") * (col("n_x") + lit(1L)))
+      .withColumn("znum_x2", col("u_x2") - col("n_x") * col("n_b"))
+      .withColumn("z_micro",
+        round(col("znum_x2").cast("double") /
+          (lit(2.0) * sqrt((naD * nbD / lit(12.0)) *
+            ((nD + lit(1.0)) -
+              col("t_ties").cast("double") / (nD * (nD - lit(1.0)))))) *
+          lit(1e6)).cast("long"))
+      .select(col("event_type"), col("n_x"), col("n_b"), col("u_x2"),
+        col("z_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val mannWhitneySql: String =
+    """WITH q AS (
+      |  SELECT event_type, CAST(ROUND(value * 1e6) AS BIGINT) AS vm
+      |  FROM events WHERE value IS NOT NULL
+      |), grp AS (
+      |  SELECT vm, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM q GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT vm, CAST(SUM(cnt) AS BIGINT) AS c FROM grp GROUP BY 1
+      |), pfx AS (
+      |  SELECT vm, c,
+      |    CAST(SUM(c) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING) - c
+      |         AS BIGINT) AS rb
+      |  FROM tot
+      |), pt AS (
+      |  SELECT g.event_type, CAST(SUM(g.cnt) AS BIGINT) AS n_x,
+      |    CAST(SUM(g.cnt * (2 * p.rb + p.c + 1)) AS BIGINT) AS r_x2
+      |  FROM grp g JOIN pfx p ON g.vm = p.vm
+      |  GROUP BY 1
+      |), gl AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * c * c - c) AS BIGINT) AS t_ties
+      |  FROM tot
+      |)
+      |SELECT event_type, n_x, n - n_x AS n_b,
+      |  r_x2 - n_x * (n_x + 1) AS u_x2,
+      |  CAST(ROUND(
+      |    CAST(r_x2 - n_x * (n_x + 1) - n_x * (n - n_x) AS DOUBLE) /
+      |    (2.0 * SQRT((CAST(n_x AS DOUBLE) * CAST(n - n_x AS DOUBLE) / 12.0) *
+      |      ((CAST(n AS DOUBLE) + 1.0) -
+      |        CAST(t_ties AS DOUBLE) /
+      |          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))) * 1e6)
+      |    AS BIGINT) AS z_micro
+      |FROM pt CROSS JOIN gl
+      |ORDER BY event_type""".stripMargin
+
+  /** Pearson chi-square test of independence between customer market
+    * segment and order priority. The full R×C grid (including zero cells,
+    * which still contribute (0−E)²/E) is the broadcast cross of the two
+    * marginal tables; the only corpus-sized work is one broadcast join +
+    * two hash aggregates. Cell contributions are rounded to micros before
+    * the order-independent long sum, so the total is associative-safe.
+    */
+  private def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val oc = Tables.t(s, dir, "orders")
+      .join(broadcast(Tables.t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val cells = oc.groupBy(col("seg"), col("pri"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val rt = cells.groupBy(col("seg")).agg(sum(col("o")).cast("long").as("rt"))
+    val ct = cells.groupBy(col("pri")).agg(sum(col("o")).cast("long").as("ct"))
+    val n1 = cells.agg(sum(col("o")).cast("long").as("n"))
+    val grid = broadcast(rt).crossJoin(broadcast(ct))
+      .join(cells, Seq("seg", "pri"), "left")
+      .withColumn("obs", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n1))
+    val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    val od = col("obs").cast("double")
+    grid
+      .withColumn("contrib_micro",
+        round((od - e) * (od - e) / e * lit(1e6)).cast("long"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("seg")).cast("long").as("n_segments"),
+        countDistinct(col("pri")).cast("long").as("n_priorities"),
+        sum(col("contrib_micro")).cast("long").as("chi2_micro"))
+      .withColumn("df",
+        (col("n_segments") - lit(1L)) * (col("n_priorities") - lit(1L)))
+      .select(col("n"), col("n_segments"), col("n_priorities"), col("df"),
+        col("chi2_micro"))
+  }
+
+  private val chi2IndependenceSql: String =
+    """WITH oc AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |), cells AS (
+      |  SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS o FROM oc GROUP BY 1, 2
+      |), rt AS (
+      |  SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+      |), ct AS (
+      |  SELECT pri, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+      |), n1 AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |grid AS (
+      |  SELECT rt.seg, ct.pri, rt.rt, ct.ct, n1.n,
+      |    CAST(COALESCE(cells.o, 0) AS BIGINT) AS obs
+      |  FROM rt CROSS JOIN ct CROSS JOIN n1
+      |  LEFT JOIN cells ON cells.seg = rt.seg AND cells.pri = ct.pri
+      |), contrib AS (
+      |  SELECT n, seg, pri,
+      |    CAST(ROUND(
+      |      (CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |      (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS contrib_micro
+      |  FROM grid
+      |)
+      |SELECT MAX(n) AS n,
+      |  CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_segments,
+      |  CAST(COUNT(DISTINCT pri) AS BIGINT) AS n_priorities,
+      |  (CAST(COUNT(DISTINCT seg) AS BIGINT) - 1) *
+      |    (CAST(COUNT(DISTINCT pri) AS BIGINT) - 1) AS df,
+      |  CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+      |FROM contrib""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("psi_drift", psiDrift, Some(psiDriftSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("ema_daily", emaDaily, Some(emaDailySql)),
+    Q("holt_linear", holtLinear, Some(holtLinearSql)),
+    Q("theilsen_trend", theilSen, Some(theilSenSql)),
+    Q("mann_whitney", mannWhitney, Some(mannWhitneySql)),
+    Q("chi2_independence", chi2Independence, Some(chi2IndependenceSql)),
     Q("cusum_shift", cusumShift, Some(cusumShiftSql)),
     Q("winsorize_clip", winsorizeClip, Some(winsorizeClipSql)),
     Q("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),

@@ -635,7 +635,110 @@ object TimeWindowOps extends QueryModule {
       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
       |FROM cnt ORDER BY src, dst""".stripMargin
 
+  /** Maximum drawdown of the per-type daily mean series: the largest drop
+    * from a running peak — finance's risk staple, equally useful for "how
+    * far did this metric fall from its high". One hash-aggregate to
+    * (type, day), then windows PARTITIONED BY type over the calendar-bounded
+    * daily table; the argmax day is picked by rank with a min-day tie-break
+    * so both engines agree. All math in exact integer micros.
+    */
+  private def maxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 1e6).cast("long"))
+        .cast("long")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("sum_micro div cnt"))
+    val peakW = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pickW = Window.partitionBy(col("event_type"))
+      .orderBy(col("dd_micro").desc, col("day"))
+    daily
+      .withColumn("peak_micro", max(col("mean_micro")).over(peakW))
+      .withColumn("dd_micro", col("peak_micro") - col("mean_micro"))
+      .withColumn("rn", row_number().over(pickW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("trough_day"),
+        col("peak_micro"), col("mean_micro").as("trough_micro"),
+        col("dd_micro").as("max_drawdown_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val maxDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+      |  FROM events GROUP BY 1, 2
+      |), dd AS (
+      |  SELECT event_type, day, mean_micro,
+      |    CAST(MAX(mean_micro) OVER (PARTITION BY event_type ORDER BY day
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_micro
+      |  FROM daily
+      |), ranked AS (
+      |  SELECT event_type, day, mean_micro, peak_micro,
+      |    peak_micro - mean_micro AS dd_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY peak_micro - mean_micro DESC, day) AS rn
+      |  FROM dd
+      |)
+      |SELECT event_type, day AS trough_day, peak_micro,
+      |  mean_micro AS trough_micro, dd_micro AS max_drawdown_micro
+      |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** Additive day-of-week seasonal decomposition of the per-type daily mean
+    * series (STL-lite): seasonal = the type's mean of daily means for that
+    * weekday, residual = daily mean − seasonal. Two hash-aggregates plus a
+    * broadcast join of the 7-row-per-type seasonal table — no windows at
+    * all. Weekday numbering aligned to DuckDB's Sunday=0 convention
+    * (Spark's dayofweek is Sunday=1); truncating div is identical in both
+    * engines, negatives included.
+    */
+  private def seasonalDow(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 1e6).cast("long"))
+        .cast("long")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("sum_micro div cnt"))
+      .withColumn("dow", (dayofweek(col("day")) - lit(1)).cast("long"))
+    val seasonal = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("mean_micro")).cast("long").as("s_sum"),
+        count(lit(1)).cast("long").as("s_cnt"))
+      .select(col("event_type").as("se_t"), col("dow").as("se_d"),
+        expr("s_sum div s_cnt").as("seasonal_micro"))
+    daily.join(broadcast(seasonal),
+        col("event_type") === col("se_t") && col("dow") === col("se_d"))
+      .select(col("event_type"), col("day"), col("dow"), col("mean_micro"),
+        col("seasonal_micro"),
+        (col("mean_micro") - col("seasonal_micro")).as("residual_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val seasonalDowSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+      |  FROM events GROUP BY 1, 2
+      |), dow AS (
+      |  SELECT event_type, day, mean_micro,
+      |    CAST(dayofweek(day) AS BIGINT) AS dow
+      |  FROM daily
+      |), seasonal AS (
+      |  SELECT event_type, dow,
+      |    CAST(SUM(mean_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+      |      AS seasonal_micro
+      |  FROM dow GROUP BY 1, 2
+      |)
+      |SELECT d.event_type, d.day, d.dow, d.mean_micro, s.seasonal_micro,
+      |  d.mean_micro - s.seasonal_micro AS residual_micro
+      |FROM dow d JOIN seasonal s
+      |  ON d.event_type = s.event_type AND d.dow = s.dow
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
+    Q("seasonal_dow", seasonalDow, Some(seasonalDowSql)),
     Q("acf_daily", acfDaily, Some(
       """WITH per_day AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x

@@ -117,6 +117,8 @@ class PlanShapeSpec extends SparkSpec {
       "percent_of_parent", // 1-row grand-total broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
+      "chi2_independence", // R×C marginal grid: two ≤|levels|-row broadcasts
+      "mann_whitney", // 1-row (n, tie-term) global broadcast
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
