@@ -454,6 +454,82 @@ object AdvancedOps extends QueryModule {
        |FROM b ORDER BY zkey, event_id""".stripMargin
   }
 
+  /** Z-order pruning effectiveness — the eval that justifies OPTIMIZE
+    * ZORDER: lay the SAME rows out as 16 "files" two ways (natural
+    * insertion order by event_id vs zkey order), compute each file's
+    * min/max stats per dimension, and count the files a 10%-of-domain
+    * range predicate on EACH dimension would have to scan. The z-order
+    * layout prunes on both dimensions at once; natural order only
+    * clusters whatever correlates with insertion time. File assignment is
+    * the pure-integer equi-width bucket ((v − lo)·16 div (hi − lo + 1)) —
+    * no engine-dependent float bucketing; the stats pass is two hash
+    * aggregates over the 2000-row audited zkey subset.
+    */
+  private def zorderPruningEval(s: SparkSession, dir: String): DataFrame = {
+    val base = zorderKey(s, dir) // event_id, xb, yb, zkey (bounded subset)
+    val stats = base.agg(
+      min(col("event_id")).as("e_lo"), max(col("event_id")).as("e_hi"),
+      min(col("zkey")).as("z_lo"), max(col("zkey")).as("z_hi"))
+    val b = base.crossJoin(broadcast(stats))
+      .withColumn("file_nat",
+        expr("((event_id - e_lo) * 16) div (e_hi - e_lo + 1)"))
+      .withColumn("file_z",
+        expr("((zkey - z_lo) * 16) div (z_hi - z_lo + 1)"))
+    def scanned(fileCol: String, layout: String): DataFrame =
+      b.groupBy(col(fileCol).as("f"))
+        .agg(min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+          min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+        .agg(
+          count(lit(1)).cast("long").as("n_files"),
+          sum((col("x_max") >= 0 && col("x_min") <= 99).cast("long"))
+            .cast("long").as("files_scanned_dim1"),
+          sum((col("y_max") >= 0 && col("y_min") <= 99).cast("long"))
+            .cast("long").as("files_scanned_dim2"))
+        .select(lit(layout).as("layout"), col("n_files"),
+          col("files_scanned_dim1"), col("files_scanned_dim2"))
+    scanned("file_nat", "natural").unionAll(scanned("file_z", "zorder"))
+      .orderBy(col("layout"))
+  }
+
+  private def zorderPruningEvalSql: String = {
+    val terms = (0 until 10).map(i =>
+      s"(((xb >> $i) % 2) << ${2 * i + 1}) + (((yb >> $i) % 2) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH b0 AS (
+       |  SELECT event_id,
+       |    user_id % 1024 AS xb,
+       |    CAST(LEAST(FLOOR(value / 0.2), 1023) AS BIGINT) AS yb
+       |  FROM events WHERE event_id < 2000
+       |), z AS (
+       |  SELECT event_id, xb, yb, CAST($terms AS BIGINT) AS zkey FROM b0
+       |), st AS (
+       |  SELECT MIN(event_id) AS e_lo, MAX(event_id) AS e_hi,
+       |         MIN(zkey) AS z_lo, MAX(zkey) AS z_hi
+       |  FROM z
+       |), b AS (
+       |  SELECT z.*,
+       |    ((event_id - e_lo) * 16) // (e_hi - e_lo + 1) AS file_nat,
+       |    ((zkey - z_lo) * 16) // (z_hi - z_lo + 1) AS file_z
+       |  FROM z CROSS JOIN st
+       |), per_file AS (
+       |  SELECT 'natural' AS layout, file_nat AS f,
+       |    MIN(xb) AS x_min, MAX(xb) AS x_max,
+       |    MIN(yb) AS y_min, MAX(yb) AS y_max
+       |  FROM b GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, file_z AS f,
+       |    MIN(xb) AS x_min, MAX(xb) AS x_max,
+       |    MIN(yb) AS y_min, MAX(yb) AS y_max
+       |  FROM b GROUP BY 1, 2
+       |)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(CASE WHEN x_max >= 0 AND x_min <= 99 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS files_scanned_dim1,
+       |  CAST(SUM(CASE WHEN y_max >= 0 AND y_min <= 99 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS files_scanned_dim2
+       |FROM per_file GROUP BY 1 ORDER BY layout""".stripMargin
+  }
+
   /** Data-quality audit (the deequ/dbt-test shape): declarative constraint
     * checks over the star schema, one (check, n_violations) row each —
     * referential integrity via anti-join, uniqueness via group-having,
@@ -515,6 +591,7 @@ object AdvancedOps extends QueryModule {
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("data_quality_report", dataQualityReport, Some(dataQualityReportSql)),
     Q("zorder_key", zorderKey, Some(zorderKeySql)),
+    Q("zorder_pruning_eval", zorderPruningEval, Some(zorderPruningEvalSql)),
     Q("merge_upsert", mergeUpsert, Some(
       """WITH target AS (
         |  SELECT c_custkey AS key,

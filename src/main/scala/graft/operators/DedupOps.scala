@@ -463,6 +463,32 @@ object DedupOps extends QueryModule {
       connectedComponents(minhashLshCore(s, dir).select(col("a_id"), col("b_id"))),
       col("doc_id"))
 
+  /** Duplicate-family size distribution — the dedup report a corpus owner
+    * reads first ("how much of my corpus is 2-copies vs 100-copy pileups"):
+    * cluster sizes from [[connectedComponents]] rolled into a (family_size,
+    * n_families, n_docs) histogram. Singletons are not in the pair graph,
+    * so the histogram covers families of size ≥ 2 by construction. The
+    * histogram domain is bounded by the largest family — two tiny hash
+    * aggregates on top of the audited clustering plan.
+    */
+  private def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLshCore(s, dir).select(col("a_id"), col("b_id")))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size"))
+      .agg(count(lit(1)).cast("long").as("n_families"),
+        sum(col("family_size")).cast("long").as("n_docs"))
+      .orderBy(col("family_size"))
+
+  private def clusterSizeHistogramSql: String =
+    s"""WITH clusters AS ($dedupClustersSql),
+       |sizes AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS family_size
+       |  FROM clusters GROUP BY 1
+       |)
+       |SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_families,
+       |  CAST(SUM(family_size) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY 1 ORDER BY family_size""".stripMargin
+
   /** Oracle: true connected components via recursive reachability — every
     * label a node can reach, min per node. Matches the Spark fixpoint at any
     * diameter (the old unrolled-K oracle could only ever agree with an
@@ -1005,6 +1031,7 @@ object DedupOps extends QueryModule {
     Q("minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("cluster_size_histogram", clusterSizeHistogram, Some(clusterSizeHistogramSql)),
     Q("cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
     Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),
     Q("simhash_pairs", simhashPairs, Some(simhashPairsSql))

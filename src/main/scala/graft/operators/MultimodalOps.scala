@@ -130,7 +130,83 @@ object MultimodalOps extends QueryModule {
         md5(array_join(col("arr"), "")).as("resized_md5"))
       .orderBy(col("doc_id"))
 
+  /** Payload near-dup by frame fingerprints: chunk every payload into fixed
+    * 64-byte frames, fingerprint each frame (md5 over the hex byte-slice —
+    * the canonical byte representation both engines hash identically), and
+    * pair documents through an equi-join on the fingerprint — the video/
+    * audio analog of shingle blocking (two clips sharing a chunk collide;
+    * the quadratic pair space never materializes). Ubiquitous frames
+    * (df > 50 docs) are dropped before the join, the boilerplate guard that
+    * bounds any hot chunk's pair fan-out. Score = shared distinct frames /
+    * frames of the smaller payload (containment, robust to length skew).
+    */
+  private def payloadFrameDup(s: SparkSession, dir: String): DataFrame = {
+    val frames = mediaTable(s, dir)
+      // empty-payload guard: Spark's sequence(0, -1) yields a DESCENDING
+      // [0, -1] (step defaults to sign(stop-start)) while DuckDB's
+      // generate_series(0, -1) is empty — same divergence class as
+      // multimodal_resize, same explicit-empty guard
+      .select(col("doc_id"), col("payload"),
+        explode(expr("IF(length(payload) = 0, array(), " +
+          "sequence(0, (length(payload) + 63) div 64 - 1))")).as("f"))
+      .select(col("doc_id"),
+        expr("md5(hex(substring(payload, f * 64 + 1, 64)))").as("fh"))
+      .distinct()
+      .cache()
+    val perDoc = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("nf"))
+    val rare = frames.groupBy(col("fh"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") <= 50 && col("df") >= 2)
+      .select(col("fh"))
+    val blocked = frames.join(rare, "fh")
+    val shared = blocked.as("x").join(blocked.as("y"),
+        col("x.fh") === col("y.fh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+    val out = shared
+      .join(perDoc.select(col("doc_id").as("a_id"), col("nf").as("nf_a")), "a_id")
+      .join(perDoc.select(col("doc_id").as("b_id"), col("nf").as("nf_b")), "b_id")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("nf_a"), col("nf_b")).cast("double"))
+      .filter(col("containment") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("shared"), col("nf_a"),
+        col("nf_b"), col("containment"))
+    graft.QOps.ordered1(out, col("a_id"), col("b_id"))
+  }
+
+  private val payloadFrameDupSql: String =
+    """WITH frames AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(hex(encode(text)), f.f * 128 + 1, 128)) AS fh
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(0,
+      |       (octet_length(encode(text)) + 63) // 64 - 1)) AS f) f
+      |), per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM frames GROUP BY 1
+      |), rare AS (
+      |  SELECT fh FROM frames GROUP BY fh
+      |  HAVING COUNT(*) <= 50 AND COUNT(*) >= 2
+      |), blocked AS (
+      |  SELECT f.doc_id, f.fh FROM frames f JOIN rare USING (fh)
+      |), shared AS (
+      |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM blocked x JOIN blocked y
+      |    ON x.fh = y.fh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.a_id, s.b_id, s.shared, a.nf AS nf_a, b.nf AS nf_b,
+      |  CAST(s.shared AS DOUBLE) / CAST(LEAST(a.nf, b.nf) AS DOUBLE)
+      |    AS containment
+      |FROM shared s
+      |JOIN per_doc a ON s.a_id = a.doc_id
+      |JOIN per_doc b ON s.b_id = b.doc_id
+      |WHERE CAST(s.shared AS DOUBLE) / CAST(LEAST(a.nf, b.nf) AS DOUBLE) >= 0.5
+      |ORDER BY s.a_id, s.b_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("payload_frame_dup", payloadFrameDup, Some(payloadFrameDupSql)),
     Q("multimodal_resize", mediaResize, Some(
       // COALESCE: DuckDB's array_to_string over an empty list yields NULL
       // (not ''), so an empty payload would md5 to NULL while Spark hashes

@@ -776,6 +776,82 @@ object RelationalOps extends QueryModule {
        |SELECT node, deg, pr AS pr_scaled FROM pr WHERE it = $PR_ITERS
        |ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin
 
+  /** Community detection by synchronous label propagation (2 rounds) over
+    * the undirected co-purchase part graph: every node starts as its own
+    * label; each round it adopts the MODAL label among its neighbors
+    * (count desc, then lowest label — fully deterministic, unlike classic
+    * async LPA). Two fixed rounds keep the oracle an unrolled replay;
+    * unlike [[graft.operators.DedupOps]]'s connected components (min-label
+    * to fixpoint) this finds dense communities, not mere reachability.
+    *
+    * Scale posture: each round is ONE equi-join of the edge list against
+    * the label table plus two hash aggregates (label counts, then per-node
+    * argmax via a window bounded by the node's distinct neighbor-label
+    * count ≤ degree) — the GraphFrames/Pregel LPA step expressed
+    * relationally, each round materialized to keep the lineage flat.
+    */
+  private def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y =!= x),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var lab = nodes.select(col("node"), col("node").as("lab")).cache()
+    for (_ <- 1 to 2) {
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("lab"))
+      val next = edges.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lab"))
+        .cache()
+      next.count() // materialize this round before dropping the last
+      lab.unpersist()
+      lab = next
+    }
+    val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
+    lab.join(sizes, "lab")
+      .select(col("node"), col("lab").as("community"), col("n_members"))
+      .orderBy(col("node"))
+  }
+
+  private val labelPropagationSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey
+      |), l0 AS (
+      |  SELECT DISTINCT src AS node, src AS lab FROM edges
+      |), r1 AS (
+      |  SELECT dst AS node, lab FROM (
+      |    SELECT e.dst, l.lab, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |                         ORDER BY COUNT(*) DESC, l.lab) AS rn
+      |    FROM edges e JOIN l0 l ON e.src = l.node
+      |    GROUP BY e.dst, l.lab)
+      |  WHERE rn = 1
+      |), r2 AS (
+      |  SELECT dst AS node, lab FROM (
+      |    SELECT e.dst, l.lab, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |                         ORDER BY COUNT(*) DESC, l.lab) AS rn
+      |    FROM edges e JOIN r1 l ON e.src = l.node
+      |    GROUP BY e.dst, l.lab)
+      |  WHERE rn = 1
+      |), sizes AS (
+      |  SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_members FROM r2 GROUP BY 1
+      |)
+      |SELECT r2.node, r2.lab AS community, sizes.n_members
+      |FROM r2 JOIN sizes ON r2.lab = sizes.lab
+      |ORDER BY r2.node""".stripMargin
+
   /** Multi-hop BFS shortest-path distances from a seed node over the
     * undirected co-purchase part graph (same distinct edge list as
     * [[pagerank]]) — the "how far is everything from X" graph primitive
@@ -1631,6 +1707,7 @@ object RelationalOps extends QueryModule {
         |HAVING COUNT(*) >= 10
         |ORDER BY support DESC, b1, b2, b3 LIMIT 20""".stripMargin)),
     Q("pagerank", pagerank, Some(pagerankSql)),
+    Q("label_propagation", labelPropagation, Some(labelPropagationSql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),

@@ -1035,7 +1035,162 @@ object SimilarityOps extends QueryModule {
        |  ON x.q_id = y.c_id AND x.c_id = y.q_id AND x.q_id < x.c_id
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Embedding-space QA: per-label robust outlier counts over the vector
+    * NORM distribution — the cheap pre-training sanity check that catches
+    * truncated/zeroed/blown-up vectors before they poison a similarity
+    * index. Norms quantized to a BOUNDED milli grid (norm2 div 1e13, ~3
+    * significant digits) so the median/MAD windows run over a
+    * value-histogram domain that stays small at ANY corpus size (the
+    * mad_outliers pattern — never a window over raw vectors); outlier =
+    * |norm − median| > 3·MAD.
+    */
+  private def embeddingNormOutliers(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ev = emb(s, dir)
+      .select(col("label"), dotQ(col("embedding"), col("embedding")).as("n2"))
+      // integer div, NOT `/`: norm2 ~1e17 exceeds 2^53, a double-division
+      // round-trip could land on the wrong grid cell at the boundary
+      .select(col("label"), expr("n2 div 10000000000000L").as("nm"))
+    def lowerMedian(df: DataFrame, valueCol: String, outName: String): DataFrame = {
+      val wCum = Window.partitionBy(col("label")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("label"))
+      df.groupBy(col("label"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("label"))
+        .agg(min(when(col("cum") >= ceil(col("n") / 2.0), col(valueCol)))
+          .as(outName))
+    }
+    val med = lowerMedian(ev, "nm", "med_m")
+    val dev = ev.join(broadcast(med), "label")
+      .withColumn("dev", abs(col("nm") - col("med_m")))
+      .cache()
+    val mad = lowerMedian(dev, "dev", "mad_m")
+    dev.join(broadcast(mad), "label")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med_m")).as("median_norm_milli"),
+        max(col("mad_m")).as("mad_milli"),
+        sum(when(col("dev") > lit(3) * col("mad_m"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
+  private def embeddingNormOutliersSql: String =
+    s"""WITH ev AS (
+       |  SELECT label,
+       |    ${dotQSql("embedding", "embedding")} // 10000000000000 AS nm
+       |  FROM embeddings
+       |), medg AS (
+       |  SELECT label, MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN nm END) AS med_m
+       |  FROM (SELECT label, nm, cnt,
+       |          SUM(cnt) OVER (PARTITION BY label ORDER BY nm
+       |                         ROWS UNBOUNDED PRECEDING) AS cum,
+       |          SUM(cnt) OVER (PARTITION BY label) AS n
+       |        FROM (SELECT label, nm, COUNT(*) AS cnt FROM ev GROUP BY 1, 2))
+       |  GROUP BY label
+       |), dev AS (
+       |  SELECT ev.label, ABS(ev.nm - medg.med_m) AS dev
+       |  FROM ev JOIN medg ON ev.label = medg.label
+       |), madg AS (
+       |  SELECT label, MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN dev END) AS mad_m
+       |  FROM (SELECT label, dev, cnt,
+       |          SUM(cnt) OVER (PARTITION BY label ORDER BY dev
+       |                         ROWS UNBOUNDED PRECEDING) AS cum,
+       |          SUM(cnt) OVER (PARTITION BY label) AS n
+       |        FROM (SELECT label, dev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2))
+       |  GROUP BY label
+       |), j AS (
+       |  SELECT d.label, d.dev, m.med_m, g.mad_m
+       |  FROM dev d JOIN medg m ON d.label = m.label
+       |  JOIN madg g ON d.label = g.label
+       |)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MAX(med_m) AS median_norm_milli, MAX(mad_m) AS mad_milli,
+       |  CAST(SUM(CASE WHEN dev > 3 * mad_m THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
+  /** ANN quality evaluation: recall@3 of the trained-IVF index against the
+    * exact brute-force neighbors, per probe query — the metric every ANN
+    * deployment tracks before trusting an index. Composes the two existing
+    * pipelines ([[annIvf]], [[cosineTopk]]) and joins their tiny top-k
+    * outputs; the expensive children are the already-audited index/brute
+    * plans, the eval itself is a 60-row join. Recall is n_hit/k with both
+    * sides' ties broken identically (cosine DESC, candidate id), so the
+    * metric is bit-deterministic.
+    */
+  private def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val ivf = annIvf(s, dir).select(col("q_id"), col("c_id"))
+      .withColumn("hit", lit(1L))
+    val exact = cosineTopk(s, dir).filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"))
+    exact.join(ivf, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("k").cast("double"))
+      .orderBy(col("q_id"))
+  }
+
+  private def annRecallEvalSql: String = {
+    val distExpr = KM_DIMS.map(i =>
+      s"(CAST(f.x$i AS DOUBLE) - c.c$i) * (CAST(f.x$i AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansRecursiveCtes(withFat = true)},
+       |assign AS (
+       |  SELECT c_id, cell, c_emb, c_norm2 FROM (
+       |    SELECT f.vec_id AS c_id, c.cell,
+       |           f.embedding AS c_emb, f.norm2 AS c_norm2,
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS crk
+       |    FROM feats f CROSS JOIN cfinal c)
+       |  WHERE crk <= 1
+       |), probes AS (
+       |  SELECT q_id, cell, q_emb, q_norm2 FROM (
+       |    SELECT f.vec_id AS q_id, c.cell,
+       |           f.embedding AS q_emb, f.norm2 AS q_norm2,
+       |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |             ORDER BY $distExpr, c.cell) AS crk
+       |    FROM feats f CROSS JOIN cfinal c
+       |    WHERE f.vec_id < 20)
+       |  WHERE crk <= 2
+       |), ivf AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT p.q_id, a.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+       |             CAST(${dotQSql("p.q_emb", "a.c_emb")} AS DOUBLE)
+       |               / (sqrt(CAST(p.q_norm2 AS DOUBLE)) *
+       |                  sqrt(CAST(a.c_norm2 AS DOUBLE))) DESC, a.c_id) AS rk
+       |    FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.c_id)
+       |  WHERE rk <= 3
+       |), exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT f1.vec_id AS q_id, f2.vec_id AS c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY f1.vec_id ORDER BY
+       |             CAST(${dotQSql("f1.embedding", "f2.embedding")} AS DOUBLE)
+       |               / (sqrt(CAST(f1.norm2 AS DOUBLE)) *
+       |                  sqrt(CAST(f2.norm2 AS DOUBLE))) DESC, f2.vec_id) AS rk
+       |    FROM feats f1 JOIN feats f2 ON f1.vec_id <> f2.vec_id
+       |    WHERE f1.vec_id < 20)
+       |  WHERE rk <= 3
+       |)
+       |SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(SUM(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.c_id = i.c_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
+    Q("embedding_norm_outliers", embeddingNormOutliers, Some(embeddingNormOutliersSql)),
     Q("cluster_topterms", clusterTopterms, Some(clusterToptermsSql)),
     Q("jl_projection", jlProjection, Some(jlProjectionSql)),
     Q("mutual_knn", mutualKnn, Some(mutualKnnSql)),

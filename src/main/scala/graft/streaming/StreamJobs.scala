@@ -596,6 +596,100 @@ object StreamJobs {
       }
   }
 
+  /** A streamed document for online near-dup detection. */
+  case class StreamDoc(docId: Long, text: String, ts: java.sql.Timestamp)
+  /** One LSH band row of a streamed document. */
+  case class BandRow(band: Int, key: String, docId: Long, ts: java.sql.Timestamp)
+  /** A band collision: `docId` hit the bucket `dupOf` already owns. */
+  case class NearDupHit(docId: Long, dupOf: Long, band: Int, key: String)
+
+  /** MinHash band keys for streaming near-dup: 16 md5-derived min-hashes
+    * over 3-token shingles, banded 4×4 — the same signature family as the
+    * batch LSH (operators.DedupOps), computed here in closed Scala form so
+    * the streaming job needs no session-registered SQL machinery. */
+  private[graft] def minhashBandKeys(text: String): Seq[(Int, String)] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val shingles: Seq[String] =
+      if (toks.length < 3) Seq(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    val mh = Array.fill(16)(Long.MaxValue)
+    shingles.foreach { sh =>
+      var i = 0
+      while (i < 16) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"mh:$i:$sh".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        if (h < mh(i)) mh(i) = h
+        i += 1
+      }
+    }
+    (0 until 4).map(b => (b, (0 until 4).map(r => mh(b * 4 + r)).mkString(":")))
+  }
+
+  /** Streaming near-duplicate detection — the online form of the batch
+    * MinHash-LSH dedup an ingest pipeline runs on "today's crawl"
+    * (operators.DedupOps.incrementalDedup), here as a CONTINUOUS query:
+    * each document's 4 LSH band keys probe a stateful bucket index; a
+    * band whose bucket is already owned by an earlier document emits a
+    * [[NearDupHit]] (the downstream near-dup verdict is "any band hit").
+    *
+    * State per occupied bucket is ONE (docId, ts) owner — O(distinct
+    * buckets), never O(corpus text) — and is EVICTED once the event-time
+    * watermark passes the owner's timestamp plus `ttl` (the bucket then
+    * re-admits, exactly the bounded-state contract of
+    * `dropDuplicatesWithinWatermark`). Within each micro-batch, rows fold
+    * in (ts, docId) order so replays of the same batch boundaries are
+    * deterministic; the first arrival claims the bucket, matching the
+    * batch formulation's lowest-earliest canonical.
+    */
+  def streamingNearDup(input: org.apache.spark.sql.Dataset[StreamDoc],
+      watermark: String, ttlMs: Long)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val bandEnc: Encoder[BandRow] = Encoders.product[BandRow]
+    implicit val outEnc: Encoder[NearDupHit] = Encoders.product[NearDupHit]
+    implicit val keyEnc: Encoder[(Int, String)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val stateEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    input
+      .flatMap(d => minhashBandKeys(d.text).map {
+        case (b, k) => BandRow(b, k, d.docId, d.ts)
+      })
+      .withWatermark("ts", watermark)
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[(Long, Long), NearDupHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (bucket, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[NearDupHit]
+            var owner = state.getOption
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+              owner match {
+                case Some((ownerId, _)) if ownerId != r.docId =>
+                  out += NearDupHit(r.docId, ownerId, bucket._1, bucket._2)
+                case Some(_) => () // replayed owner row
+                case None => owner = Some((r.docId, r.ts.getTime))
+              }
+            }
+            owner.foreach { o =>
+              state.update(o)
+              // a timeout in the watermark's past throws; clamp forward so
+              // an owner admitted from a nearly-expired row still evicts
+              state.setTimeoutTimestamp(
+                math.max(o._2 + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** The reference's foreachPartition open/write/close lifecycle
     * (KafkaStreamerToHbase.scala:88-167) as a real ForeachWriter; sinks each
     * record into a per-JVM buffer keyed by a test-supplied id. */

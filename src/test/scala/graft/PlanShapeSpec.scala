@@ -117,6 +117,8 @@ class PlanShapeSpec extends SparkSpec {
       "percent_of_parent", // 1-row grand-total broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
+      "ann_recall_eval", // composes ann_ivf + cosine_topk (both allowlisted)
+      "zorder_pruning_eval", // 1-row min/max stats broadcast
       "chi2_independence", // R×C marginal grid: two ≤|levels|-row broadcasts
       "mann_whitney", // 1-row (n, tie-term) global broadcast
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast

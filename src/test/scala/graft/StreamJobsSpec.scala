@@ -529,6 +529,70 @@ class StreamJobsSpec extends SparkSpec {
     assert(!got.contains(("a", 2200L)))
   }
 
+  test("streamingNearDup: band hits across batches equal the batch LSH " +
+      "collision pairs; first arrival owns the bucket") {
+    import StreamJobs.{StreamDoc, NearDupHit}
+    val in = MemoryStream[StreamDoc]
+    val q = StreamJobs.streamingNearDup(in.toDS(),
+        watermark = "10 seconds", ttlMs = 3600 * 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("snd").start()
+    def doc(id: Long, text: String, sec: Long) =
+      StreamDoc(id, text, new Timestamp(sec * 1000))
+    val d1 = doc(1, "alpha beta gamma delta epsilon", 10)
+    val d3 = doc(3, "one two three four five six", 11)
+    val d2 = doc(2, "alpha beta gamma delta epsilon", 20) // exact dup of d1
+    val d5 = doc(5, "one two three four five six", 21)    // exact dup of d3
+    val d9 = doc(9, "unrelated totally different words here", 22)
+    in.addData(d1, d3)
+    q.processAllAvailable()
+    in.addData(d2, d5, d9)
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select docId, dupOf, band from snd")
+      .as[(Long, Long, Int)].collect().toSet
+    // expected: replay the same band keys; later doc hits earlier owner
+    val all = Seq(d1, d3, d2, d5, d9)
+    val keys = all.map(d =>
+      d.docId -> StreamJobs.minhashBandKeys(d.text).toSet).toMap
+    val expected = (for {
+      a <- all; b <- all
+      if a.ts.getTime < b.ts.getTime || (a.ts.getTime == b.ts.getTime && a.docId < b.docId)
+      (band, key) <- keys(b.docId)
+      if keys(a.docId).contains((band, key))
+      // only the FIRST owner of a bucket is the canonical: no transitive
+      // re-attribution in this fixture (d1/d3 own all contested buckets)
+    } yield (b.docId, a.docId, band)).toSet
+    assert(got === expected)
+    // exact dups collide in all 4 bands; unrelated docs in none
+    assert(got.filter(h => h._1 == 2L && h._2 == 1L).map(_._3) === Set(0, 1, 2, 3))
+    assert(got.filter(h => h._1 == 5L && h._2 == 3L).map(_._3) === Set(0, 1, 2, 3))
+    assert(!got.exists(_._1 == 9L))
+  }
+
+  test("streamingNearDup: bucket state evicts after the watermark passes " +
+      "the owner's ttl; a re-arrival then claims fresh") {
+    import StreamJobs.StreamDoc
+    val in = MemoryStream[StreamDoc]
+    val q = StreamJobs.streamingNearDup(in.toDS(),
+        watermark = "0 seconds", ttlMs = 5 * 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("snd2").start()
+    def doc(id: Long, text: String, sec: Long) =
+      StreamDoc(id, text, new Timestamp(sec * 1000))
+    in.addData(doc(1, "alpha beta gamma delta epsilon", 10))
+    q.processAllAvailable() // d1 owns; timeout armed for t=15s
+    in.addData(doc(8, "watermark advancing filler words", 100))
+    q.processAllAvailable() // watermark -> 100s
+    in.addData(doc(7, "second filler to run the timeout batch", 101))
+    q.processAllAvailable() // d1's buckets time out and evict
+    in.addData(doc(6, "alpha beta gamma delta epsilon", 102))
+    q.processAllAvailable() // same text as d1 — but buckets are forgotten
+    in.addData(doc(5, "alpha beta gamma delta epsilon", 103))
+    q.processAllAvailable(); q.stop() // d5 collides with the NEW owner d6
+    val got = spark.sql("select docId, dupOf from snd2")
+      .as[(Long, Long)].collect().toSet
+    assert(!got.exists(_._1 == 6L)) // re-admitted: no hit against evicted d1
+    assert(got.filter(_._1 == 5L).map(_._2) === Set(6L)) // new canonical
+  }
+
   test("TopicTableSink.appendBatch is idempotent under batch replay") {
     val sink = new TopicTableSink(tmp() + "/t")
     val df = Seq(("a", 1L)).toDF("k", "n")
