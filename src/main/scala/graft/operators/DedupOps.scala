@@ -489,6 +489,36 @@ object DedupOps extends QueryModule {
        |  CAST(SUM(family_size) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY 1 ORDER BY family_size""".stripMargin
 
+  /** Cross-source duplication matrix — "which crawls duplicate which":
+    * verified near-dup pairs rolled up by the (unordered) source pair of
+    * their endpoints. The diagonal is within-source duplication; off-
+    * diagonal cells say which pairs of feeds overlap (the report that
+    * decides which source to drop or down-weight in the mixture). Two
+    * broadcast joins of the doc→source projection against the audited
+    * LSH pair plan, then a hash agg over the ≤|sources|² matrix.
+    */
+  private def sourceDedupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    minhashLshCore(s, dir).select(col("a_id"), col("b_id"))
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private def sourceDedupMatrixSql: String =
+    s"""WITH pairs AS ($minhashLshSql)
+       |SELECT LEAST(da.source, db.source) AS src_a,
+       |       GREATEST(da.source, db.source) AS src_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON p.a_id = da.doc_id
+       |JOIN documents db ON p.b_id = db.doc_id
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   /** Oracle: true connected components via recursive reachability — every
     * label a node can reach, min per node. Matches the Spark fixpoint at any
     * diameter (the old unrolled-K oracle could only ever agree with an
@@ -1032,6 +1062,7 @@ object DedupOps extends QueryModule {
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("cluster_size_histogram", clusterSizeHistogram, Some(clusterSizeHistogramSql)),
+    Q("source_dedup_matrix", sourceDedupMatrix, Some(sourceDedupMatrixSql)),
     Q("cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
     Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),
     Q("simhash_pairs", simhashPairs, Some(simhashPairsSql))

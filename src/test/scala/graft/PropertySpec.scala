@@ -117,6 +117,37 @@ class PropertySpec extends SparkSpec {
     assert(dd(9004L) === 2L && !dd.contains(9005L))
   }
 
+  test("incremental aggregate maintenance: merged partials over any " +
+      "base/delta split equal the one-shot aggregate") {
+    // the algebra a materialized-view refresh relies on: per-key
+    // (count, sum, min, max) partials from the base table and a delta
+    // batch merge by (+, +, min, max) into exactly the full recompute,
+    // for every split point — so a 100 TB view refreshes from the delta
+    // alone. avg is derived (sum/count), never maintained directly.
+    val g = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0, 6), Gen.choose(-50L, 100L)))
+    samples(g, 3).foreach { xs =>
+      val full = xs.toDF("k", "v")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+          min($"v").as("mn"), max($"v").as("mx"))
+      val oneShot = agg(full).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      Seq(0, 13, 40, 80).foreach { cut =>
+        val base = agg(xs.take(cut).toDF("k", "v"))
+        val delta = agg(xs.drop(cut).toDF("k", "v"))
+        val merged = base.unionAll(delta).groupBy($"k")
+          .agg(sum($"n").as("n"), sum($"s").as("s"),
+            min($"mn").as("mn"), max($"mx").as("mx"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+        assert(merged === oneShot, s"split at $cut")
+      }
+    }
+  }
+
   test("jaccard is 1 for identical shingle sets, symmetric bounds hold") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r s"))
       .toDF("doc_id", "text")
