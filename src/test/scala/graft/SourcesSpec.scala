@@ -19,6 +19,45 @@ class SourcesSpec extends SparkSpec {
       === Seq("page_visits"))
   }
 
+  test("CSV and JSON-lines sources round-trip the events table with an " +
+      "explicit schema (format breadth beyond parquet)") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    ev.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    ev.write.mode("overwrite").json(s"$dir/json")
+    // explicit schema: inference is a scan-the-data-twice antipattern and
+    // type-unstable (CSV would read event_id as int on small files)
+    val schema = ev.schema
+    val backCsv = spark.read.schema(schema).option("header", "true")
+      .csv(s"$dir/csv")
+    val backJson = spark.read.schema(schema).json(s"$dir/json")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy($"event_id")
+        .select(concat_ws("|", $"event_id", $"user_id", $"event_type",
+          round($"value" * 1e6).cast("long"), coalesce($"props", lit(""))))
+        .as[String].collect().toSeq
+    assert(canon(backCsv) === canon(ev))
+    assert(canon(backJson) === canon(ev))
+  }
+
+  test("from_json on malformed records yields null rows, not failures " +
+      "(PERMISSIVE default)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT")
+    val df = Seq("""{"k": 7}""", """{"k": """, "not json at all", null)
+      .toDF("props")
+      .select($"props", from_json($"props", schema).as("parsed"))
+    val got = df.select($"parsed.k").as[Option[Int]].collect().toSeq
+    assert(got === Seq(Some(7), None, None, None))
+    // corrupt-record capture: the raw text is recoverable for a quarantine
+    // column rather than silently dropped
+    val cap = Seq("""{"k": 7}""", "broken").toDF("props")
+      .select(from_json($"props", "k INT, _corrupt_record STRING",
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+      .select($"p._corrupt_record").as[Option[String]].collect().toSeq
+    assert(cap === Seq(None, Some("broken")))
+  }
+
   test("kafkaShapedStream streams the same records through readStream") {
     val q = Sources.kafkaShapedStream(spark, sf001)
       .groupBy($"key").agg(count(lit(1)).as("n"))
