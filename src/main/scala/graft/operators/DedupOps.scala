@@ -489,6 +489,77 @@ object DedupOps extends QueryModule {
        |  CAST(SUM(family_size) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY 1 ORDER BY family_size""".stripMargin
 
+  /** Similarity-distribution histogram of the LSH candidate pairs: exact
+    * Jaccard binned in 50-milli bands — the plot a dedup owner reads to
+    * PICK the near-dup threshold (where does the bimodal valley sit?)
+    * before committing a cutoff. Candidate generation and the exact
+    * intersection reuse the audited banded machinery; the histogram is one
+    * more hash agg over a ≤21-row band domain.
+    */
+  private def jaccardHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir).cache()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(bnd =>
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a_id", "b_id"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jac_milli", expr("(inter * 1000) div (na + nb - inter)"))
+      .withColumn("band_lo_milli", expr("(jac_milli div 50) * 50"))
+      .groupBy(col("band_lo_milli"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .orderBy(col("band_lo_milli"))
+  }
+
+  private def jaccardHistogramSql: String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.a_id
+       |  JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT ((COALESCE(i.inter, 0) * 1000)
+       |          // (sza.n_sh + szb.n_sh - COALESCE(i.inter, 0)) // 50) * 50
+       |    AS band_lo_milli
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+       |  JOIN sizes sza ON sza.doc_id = c.a_id
+       |  JOIN sizes szb ON szb.doc_id = c.b_id
+       |)
+       |SELECT band_lo_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM jac GROUP BY 1 ORDER BY band_lo_milli""".stripMargin
+  }
+
   /** Cross-source duplication matrix — "which crawls duplicate which":
     * verified near-dup pairs rolled up by the (unordered) source pair of
     * their endpoints. The diagonal is within-source duplication; off-
@@ -1063,6 +1134,7 @@ object DedupOps extends QueryModule {
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("cluster_size_histogram", clusterSizeHistogram, Some(clusterSizeHistogramSql)),
     Q("source_dedup_matrix", sourceDedupMatrix, Some(sourceDedupMatrixSql)),
+    Q("jaccard_histogram", jaccardHistogram, Some(jaccardHistogramSql)),
     Q("cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
     Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),
     Q("simhash_pairs", simhashPairs, Some(simhashPairsSql))

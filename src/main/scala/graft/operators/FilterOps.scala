@@ -398,7 +398,50 @@ object FilterOps extends QueryModule {
       |       AS BIGINT) AS selected
       |FROM ranked ORDER BY source, rk""".stripMargin
 
+  /** K-anonymity audit over quasi-identifiers — the governance check a
+    * training-data release runs before publishing user-derived tables: for
+    * the QI tuple (mktsegment, nationkey), the size distribution of
+    * equivalence classes, how many classes fall under k=5, and how many
+    * ROWS sit in those under-k classes (the re-identification exposure).
+    * One hash aggregate over the QI tuple + a bounded rollup; the
+    * equivalence-class table is ≤ |QI-domain| however large the input.
+    */
+  private def kAnonymityReport(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.t(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("qi_segment"),
+        col("c_nationkey").as("qi_nation"))
+      .agg(count(lit(1)).cast("long").as("class_size"))
+    classes.agg(
+      count(lit(1)).cast("long").as("n_classes"),
+      sum(col("class_size")).cast("long").as("n_rows"),
+      min(col("class_size")).cast("long").as("min_class_size"),
+      sum(when(col("class_size") < 5, 1L).otherwise(0L)).cast("long")
+        .as("classes_under_k"),
+      sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+        .cast("long").as("rows_at_risk"))
+      .withColumn("k", lit(5L))
+      .select(col("k"), col("n_classes"), col("n_rows"),
+        col("min_class_size"), col("classes_under_k"), col("rows_at_risk"))
+  }
+
+  private val kAnonymityReportSql: String =
+    """WITH classes AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size
+      |  FROM customer GROUP BY 1, 2
+      |)
+      |SELECT CAST(5 AS BIGINT) AS k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      |  CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+      |  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_under_k,
+      |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+      |       AS BIGINT) AS rows_at_risk
+      |FROM classes""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("k_anonymity_report", kAnonymityReport, Some(kAnonymityReportSql)),
     Q("corpus_topp_select", corpusToppSelect, Some(corpusToppSelectSql)),
     Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("repetition_score", repetitionScore, Some(repetitionScoreSql)),

@@ -776,6 +776,84 @@ object RelationalOps extends QueryModule {
        |SELECT node, deg, pr AS pr_scaled FROM pr WHERE it = $PR_ITERS
        |ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin
 
+  /** Recommender offline evaluation — precision@1 of "customers also
+    * bought" co-occurrence recommendations against held-out baskets: train
+    * on the md5-deterministic 80% of orders (pair counts over per-order
+    * distinct part sets), recommend each part's top co-part (count desc,
+    * lowest id), then for every part in a held-out basket score a hit iff
+    * its recommendation is ALSO in that basket. The eval loop every recsys
+    * team runs before an A/B test, expressed as three hash aggregates and
+    * two equi-joins; ranking stays integer so the metric is exact.
+    */
+  private def recsysPrecisionEval(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(5L))
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("is_test", bucket === 0L)
+      .cache()
+    val train = baskets.filter(!col("is_test"))
+    val pairs = train.as("a").join(train.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("p")).orderBy(col("c").desc, col("q"))
+    val recs = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p"), col("q").as("rec"))
+    val test = baskets.filter(col("is_test"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val scored = test.join(recs, test("l_partkey") === recs("p"))
+      .select(col("l_orderkey"), col("l_partkey"), col("rec"))
+      .join(test.select(col("l_orderkey"), col("l_partkey").as("rec"))
+          .withColumn("hit", lit(1L)),
+        Seq("l_orderkey", "rec"), "left")
+    scored.agg(
+      countDistinct(col("l_orderkey")).cast("long").as("n_test_baskets"),
+      count(lit(1)).cast("long").as("n_evaluable"),
+      sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("precision_at_1",
+        col("n_hits").cast("double") / col("n_evaluable").cast("double"))
+  }
+
+  private val recsysPrecisionEvalSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey,
+      |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      |         AS BIGINT) % 5 = 0 AS is_test
+      |  FROM lineitem
+      |), train AS (
+      |  SELECT l_orderkey, l_partkey FROM baskets WHERE NOT is_test
+      |), pairs AS (
+      |  SELECT a.l_partkey AS p, b.l_partkey AS q,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM train a JOIN train b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2
+      |), recs AS (
+      |  SELECT p, q AS rec FROM (
+      |    SELECT p, q, ROW_NUMBER() OVER (PARTITION BY p
+      |                                    ORDER BY c DESC, q) AS rn
+      |    FROM pairs)
+      |  WHERE rn = 1
+      |), test AS (
+      |  SELECT l_orderkey, l_partkey FROM baskets WHERE is_test
+      |), scored AS (
+      |  SELECT t.l_orderkey, t.l_partkey, r.rec,
+      |    CASE WHEN h.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM test t
+      |  JOIN recs r ON t.l_partkey = r.p
+      |  LEFT JOIN test h ON h.l_orderkey = t.l_orderkey
+      |                  AND h.l_partkey = r.rec
+      |)
+      |SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_test_baskets,
+      |  CAST(COUNT(*) AS BIGINT) AS n_evaluable,
+      |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+      |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision_at_1
+      |FROM scored""".stripMargin
+
   /** Community detection by synchronous label propagation (2 rounds) over
     * the undirected co-purchase part graph: every node starts as its own
     * label; each round it adopts the MODAL label among its neighbors
@@ -1708,6 +1786,7 @@ object RelationalOps extends QueryModule {
         |ORDER BY support DESC, b1, b2, b3 LIMIT 20""".stripMargin)),
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("label_propagation", labelPropagation, Some(labelPropagationSql)),
+    Q("recsys_precision_eval", recsysPrecisionEval, Some(recsysPrecisionEvalSql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),

@@ -1473,6 +1473,66 @@ object StatsOps extends QueryModule {
   // truncate toward zero (verified: (-5)//2 = -2 in DuckDB), so plain
   // div/`//` pairs are exact on negative operands too — no floor shim.
 
+  /** Table profiling (the deequ/dbt-docs column summary): per events
+    * column — row count, null count, exact distinct count, and min/max
+    * (numeric columns as quantized micros so no engine-specific float
+    * formatting enters the output; string columns lexicographic). One
+    * single-column aggregate per column, each a pruned parallel scan —
+    * deliberately NOT one multi-distinct aggregate, which Catalyst plans
+    * as an Expand ×|columns| over the full row width.
+    */
+  private def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    def prof(c: String, numeric: Boolean): DataFrame = {
+      val base = ev.select(col(c))
+      val (mnN, mxN) =
+        if (numeric)
+          (min(round(col(c).cast("double") * 1e6)).cast("long"),
+            max(round(col(c).cast("double") * 1e6)).cast("long"))
+        else (lit(null).cast("long"), lit(null).cast("long"))
+      val (mnS, mxS) =
+        if (numeric) (lit(null).cast("string"), lit(null).cast("string"))
+        else (min(col(c).cast("string")), max(col(c).cast("string")))
+      base.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col(c).isNull.cast("long")).cast("long").as("n_null"),
+        countDistinct(col(c)).cast("long").as("n_distinct"),
+        mnN.as("min_micro"), mxN.as("max_micro"),
+        mnS.as("min_str"), mxS.as("max_str"))
+        .select(lit(c).as("column") +: Seq("n", "n_null", "n_distinct",
+          "min_micro", "max_micro", "min_str", "max_str").map(col): _*)
+    }
+    prof("event_id", numeric = true)
+      .unionAll(prof("user_id", numeric = true))
+      .unionAll(prof("value", numeric = true))
+      .unionAll(prof("event_type", numeric = false))
+      .unionAll(prof("props", numeric = false))
+      .orderBy(col("column"))
+  }
+
+  private val columnProfileSql: String = {
+    def prof(c: String, numeric: Boolean): String = {
+      val (mnN, mxN) =
+        if (numeric)
+          (s"CAST(MIN(ROUND(CAST($c AS DOUBLE) * 1e6)) AS BIGINT)",
+            s"CAST(MAX(ROUND(CAST($c AS DOUBLE) * 1e6)) AS BIGINT)")
+        else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      val (mnS, mxS) =
+        if (numeric) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else (s"MIN(CAST($c AS VARCHAR))", s"MAX(CAST($c AS VARCHAR))")
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mnN AS min_micro, $mxN AS max_micro,
+         |  $mnS AS min_str, $mxS AS max_str
+         |FROM events""".stripMargin
+    }
+    Seq(prof("event_id", true), prof("user_id", true), prof("value", true),
+      prof("event_type", false), prof("props", false))
+      .mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+  }
+
   /** Holt's linear-trend double exponential smoothing (α = β = ½) of the
     * per-type daily mean series, in exact integer micros with floor
     * division so both engines agree on negative levels/trends:
@@ -1763,6 +1823,7 @@ object StatsOps extends QueryModule {
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("ema_daily", emaDaily, Some(emaDailySql)),
     Q("holt_linear", holtLinear, Some(holtLinearSql)),
+    Q("column_profile", columnProfile, Some(columnProfileSql)),
     Q("theilsen_trend", theilSen, Some(theilSenSql)),
     Q("mann_whitney", mannWhitney, Some(mannWhitneySql)),
     Q("chi2_independence", chi2Independence, Some(chi2IndependenceSql)),

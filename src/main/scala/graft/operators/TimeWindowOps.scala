@@ -736,8 +736,87 @@ object TimeWindowOps extends QueryModule {
       |  ON d.event_type = s.event_type AND d.dow = s.dow
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  /** Time-to-conversion distribution — signup → first purchase latency,
+    * the survival-analysis staple of product analytics: per user the hours
+    * from first signup to the first subsequent purchase, then the median
+    * and p90 as exact order statistics over the COMPRESSED hour histogram
+    * (calendar-bounded domain — the cum-sum window partitions on a
+    * non-foldable constant, the PrefixOps trick, so no unpartitioned
+    * WindowExec appears even though the domain is tiny). Second-level
+    * diffs count boundary crossings in both engines (unix floor-then-
+    * subtract ≡ date_diff('second')), so the hour bins agree exactly.
+    */
+  private def timeToConversion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(su, "user_id")
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("p_ts"), min(col("s_ts")).as("s_ts"))
+      .withColumn("hours",
+        expr("(unix_timestamp(p_ts) - unix_timestamp(s_ts)) div 3600L"))
+    val hist = conv.groupBy(col("hours")).agg(count(lit(1)).as("cnt"))
+      .withColumn("g0", pmod(col("hours"), lit(1L)))
+    val wCum = Window.partitionBy(col("g0")).orderBy(col("hours"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g0"))
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("nc", sum(col("cnt")).over(wAll))
+    val stats = ranked.agg(
+      max(col("nc")).cast("long").as("n_converted"),
+      min(when(col("cum") >= ceil(col("nc") / 2.0), col("hours")))
+        .cast("long").as("median_hours"),
+      min(when(lit(10L) * col("cum") >= lit(9L) * col("nc"), col("hours")))
+        .cast("long").as("p90_hours"))
+    val nSign = su.agg(count(lit(1)).cast("long").as("n_signup_users"))
+    broadcast(nSign).crossJoin(stats)
+      .withColumn("conversion_ppm",
+        expr("(n_converted * 1000000) div n_signup_users"))
+      .select(col("n_signup_users"), col("n_converted"),
+        col("conversion_ppm"), col("median_hours"), col("p90_hours"))
+  }
+
+  private val timeToConversionSql: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(ts) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), conv AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(su.s_ts) AS s_ts
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+      |  GROUP BY 1
+      |), hrs AS (
+      |  SELECT date_diff('second', s_ts, p_ts) // 3600 AS hours FROM conv
+      |), hist AS (
+      |  SELECT hours, CAST(COUNT(*) AS BIGINT) AS cnt FROM hrs GROUP BY 1
+      |), ranked AS (
+      |  SELECT hours, cnt,
+      |    SUM(cnt) OVER (ORDER BY hours ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER () AS nc
+      |  FROM hist
+      |), stats AS (
+      |  SELECT CAST(MAX(nc) AS BIGINT) AS n_converted,
+      |    CAST(MIN(CASE WHEN cum >= CEIL(nc / 2.0) THEN hours END) AS BIGINT)
+      |      AS median_hours,
+      |    CAST(MIN(CASE WHEN 10 * cum >= 9 * nc THEN hours END) AS BIGINT)
+      |      AS p90_hours
+      |  FROM ranked
+      |), ns AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users FROM su
+      |)
+      |SELECT n_signup_users, n_converted,
+      |  (n_converted * 1000000) // n_signup_users AS conversion_ppm,
+      |  median_hours, p90_hours
+      |FROM ns CROSS JOIN stats""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
+    Q("time_to_conversion", timeToConversion, Some(timeToConversionSql)),
     Q("seasonal_dow", seasonalDow, Some(seasonalDowSql)),
     Q("acf_daily", acfDaily, Some(
       """WITH per_day AS (

@@ -34,7 +34,9 @@ class HostileTextSpec extends SparkSpec {
     "bpe_pair_counts", "token_entropy", "temperature_mixture",
     "cms_heavy_hitters", "corpus_topp_select",
     "multimodal_meta", "multimodal_features", "multimodal_resize",
-    "multimodal_frame_sample", "source_mixture_weights")
+    "multimodal_frame_sample", "source_mixture_weights",
+    "payload_frame_dup", "cluster_size_histogram", "source_dedup_matrix",
+    "jaccard_histogram")
 
   test("every documents-backed query survives the hostile corpus, twice") {
     docQueries.foreach { name =>

@@ -309,6 +309,37 @@ class StreamJobsSpec extends SparkSpec {
     assert(kv.filter($"qualifier" === "messages").count() === 2)
   }
 
+  test("streamingNearDup state survives a checkpoint restart: a dup of a " +
+      "pre-restart doc is still detected against the restored bucket index") {
+    import StreamJobs.StreamDoc
+    val in = MemoryStream[StreamDoc]
+    val dir = tmp()
+    def doc(id: Long, text: String, sec: Long) =
+      StreamDoc(id, text, new Timestamp(sec * 1000))
+    val bufId = "sndr_" + System.nanoTime()
+    // foreachBatch sink: the memory sink does not support checkpoint
+    // recovery, and recovery is exactly what this test exercises
+    def start() = StreamJobs.streamingNearDup(in.toDS(),
+        watermark = "10 seconds", ttlMs = 3600 * 1000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamJobs.NearDupHit], _: Long) =>
+        ds.collect().foreach(h =>
+          StreamJobs.BufferForeachWriter.append(bufId, s"${h.docId}->${h.dupOf}"))
+      }
+      .start()
+    val q1 = start()
+    in.addData(doc(1, "alpha beta gamma delta epsilon", 10))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // state store restored from the checkpoint
+    in.addData(doc(2, "alpha beta gamma delta epsilon", 20))
+    q2.processAllAvailable(); q2.stop()
+    val got = StreamJobs.BufferForeachWriter.get(bufId).toSet
+    StreamJobs.BufferForeachWriter.clear(bufId)
+    // d1's bucket ownership crossed the restart: d2 hits it in all 4 bands
+    assert(got === Set("2->1"))
+  }
+
   test("KvUpsertSink rewrites only the buckets touched by the batch") {
     val path = tmp() + "/kv"
     val sink = new KvUpsertSink(path, numBuckets = 8)
