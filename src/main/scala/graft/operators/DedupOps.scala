@@ -489,6 +489,70 @@ object DedupOps extends QueryModule {
        |  CAST(SUM(family_size) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY 1 ORDER BY family_size""".stripMargin
 
+  /** Dedup ROI report — what near-dup dedup actually buys: corpus docs and
+    * tokens vs the docs/tokens REMOVED when each duplicate family keeps
+    * only its lowest-id survivor (deterministic canonical; the quality-
+    * argmax variant is `cluster_keep_best`). One row: the number every
+    * dedup proposal leads with ("−X% tokens"). Removed-token share in
+    * exact ppm — no float enters the report.
+    */
+  private def dedupImpactReport(s: SparkSession, dir: String): DataFrame = {
+    val clusters =
+      connectedComponents(minhashLshCore(s, dir).select(col("a_id"), col("b_id")))
+    val surv = clusters.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("keep"))
+    val removed = clusters.join(surv, "cluster")
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .cache()
+    val corpus = toks.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("ntok")).cast("long").as("total_tokens"))
+    val rem = removed.join(toks, "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_removed"),
+        coalesce(sum(col("ntok")), lit(0L)).cast("long").as("removed_tokens"))
+    val fam = clusters.agg(
+      count(lit(1)).cast("long").as("n_clustered"),
+      countDistinct(col("cluster")).cast("long").as("n_families"))
+    broadcast(corpus).crossJoin(broadcast(fam)).crossJoin(rem)
+      .withColumn("removed_tokens_ppm",
+        expr("(removed_tokens * 1000000) div total_tokens"))
+      .select(col("n_docs"), col("total_tokens"), col("n_clustered"),
+        col("n_families"), col("n_removed"), col("removed_tokens"),
+        col("removed_tokens_ppm"))
+  }
+
+  private def dedupImpactReportSql: String =
+    s"""WITH clusters AS ($dedupClustersSql),
+       |surv AS (
+       |  SELECT cluster, MIN(doc_id) AS keep FROM clusters GROUP BY 1
+       |), removed AS (
+       |  SELECT c.doc_id FROM clusters c JOIN surv s ON c.cluster = s.cluster
+       |  WHERE c.doc_id <> s.keep
+       |), toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+       |  FROM documents
+       |), corpus AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ntok) AS BIGINT) AS total_tokens
+       |  FROM toks
+       |), rem AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_removed,
+       |    CAST(COALESCE(SUM(t.ntok), 0) AS BIGINT) AS removed_tokens
+       |  FROM removed r JOIN toks t ON r.doc_id = t.doc_id
+       |), fam AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered,
+       |    CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_families
+       |  FROM clusters
+       |)
+       |SELECT n_docs, total_tokens, n_clustered, n_families, n_removed,
+       |  removed_tokens,
+       |  (removed_tokens * 1000000) // total_tokens AS removed_tokens_ppm
+       |FROM corpus CROSS JOIN fam CROSS JOIN rem""".stripMargin
+
   /** Similarity-distribution histogram of the LSH candidate pairs: exact
     * Jaccard binned in 50-milli bands — the plot a dedup owner reads to
     * PICK the near-dup threshold (where does the bimodal valley sit?)
@@ -1135,6 +1199,7 @@ object DedupOps extends QueryModule {
     Q("cluster_size_histogram", clusterSizeHistogram, Some(clusterSizeHistogramSql)),
     Q("source_dedup_matrix", sourceDedupMatrix, Some(sourceDedupMatrixSql)),
     Q("jaccard_histogram", jaccardHistogram, Some(jaccardHistogramSql)),
+    Q("dedup_impact_report", dedupImpactReport, Some(dedupImpactReportSql)),
     Q("cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
     Q("simhash", simhashQuery, Some(simhashSql + "\nORDER BY doc_id")),
     Q("simhash_pairs", simhashPairs, Some(simhashPairsSql))

@@ -776,6 +776,40 @@ object RelationalOps extends QueryModule {
        |SELECT node, deg, pr AS pr_scaled FROM pr WHERE it = $PR_ITERS
        |ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin
 
+  /** Degree distribution of the co-purchase part graph — the first plot of
+    * any graph workload (is this power-law? where does the hub tail
+    * start?), and the pre-flight check before degree-sensitive algorithms
+    * (triangle counting's Σdeg² bound, LPA's argmax width). Distinct
+    * edge list → per-node degree → degree histogram: three hash
+    * aggregates, histogram domain bounded by the max degree.
+    */
+  private def degreeDistribution(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y =!= x),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
+    edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  private val degreeDistributionSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey
+      |), deg AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY 1
+      |)
+      |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
   /** Recommender offline evaluation — precision@1 of "customers also
     * bought" co-occurrence recommendations against held-out baskets: train
     * on the md5-deterministic 80% of orders (pair counts over per-order
@@ -1787,6 +1821,7 @@ object RelationalOps extends QueryModule {
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("label_propagation", labelPropagation, Some(labelPropagationSql)),
     Q("recsys_precision_eval", recsysPrecisionEval, Some(recsysPrecisionEvalSql)),
+    Q("degree_distribution", degreeDistribution, Some(degreeDistributionSql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),

@@ -1473,6 +1473,100 @@ object StatsOps extends QueryModule {
   // truncate toward zero (verified: (-5)//2 = -2 in DuckDB), so plain
   // div/`//` pairs are exact on negative operands too — no floor shim.
 
+  /** Mergeable quantile estimation from a log₂-bucket histogram — the
+    * Prometheus `histogram_quantile` pattern, the third sketch of the trio
+    * (KMV = distinct, CMS = frequency, this = quantiles). Each value lands
+    * in bucket ⌊log₂(v_micro)⌋ computed EXACTLY as binary-digit count (no
+    * libm), bucket counts are trivially mergeable longs (map-side combine
+    * + any split/merge order), and the p50/p95 estimates are the lower
+    * edge 2^bin of the first bucket whose cumulative count crosses the
+    * rank. The exact percentile (compressed-domain order statistic) rides
+    * along so the output quantifies its own sketch error — at 2× bucket
+    * resolution the estimate is within one octave by construction.
+    */
+  private def logHistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        greatest(round(col("value") * 1e6).cast("long"), lit(1L)).as("vm"))
+      .withColumn("bin", (length(conv(col("vm"), 10, 2)) - lit(1)).cast("long"))
+    val wCumB = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllB = Window.partitionBy(col("event_type"))
+    val sketch = ev.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCumB))
+      .withColumn("n", sum(col("cnt")).over(wAllB))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n"),
+        min(when(col("cum") >= ceil(col("n") / 2.0), col("bin")))
+          .cast("long").as("bin_p50"),
+        min(when(lit(20L) * col("cum") >= lit(19L) * col("n"), col("bin")))
+          .cast("long").as("bin_p95"))
+      .withColumn("est_p50_micro", expr("shiftleft(1L, cast(bin_p50 as int))"))
+      .withColumn("est_p95_micro", expr("shiftleft(1L, cast(bin_p95 as int))"))
+    val wCumV = Window.partitionBy(col("event_type")).orderBy(col("vm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = ev.groupBy(col("event_type"), col("vm"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCumV))
+      .withColumn("n", sum(col("cnt")).over(wAllB))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= ceil(col("n") / 2.0), col("vm")))
+        .cast("long").as("exact_p50_micro"))
+    sketch.join(exact, "event_type")
+      .select(col("event_type"), col("n"), col("bin_p50"),
+        col("est_p50_micro"), col("exact_p50_micro"),
+        col("bin_p95"), col("est_p95_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val logHistogramQuantilesSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    GREATEST(CAST(ROUND(value * 1e6) AS BIGINT), 1) AS vm
+      |  FROM events
+      |), binned AS (
+      |  SELECT event_type, vm,
+      |    CAST(LENGTH(bin(vm)) - 1 AS BIGINT) AS bin
+      |  FROM ev
+      |), sk AS (
+      |  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM binned GROUP BY 1, 2
+      |), skc AS (
+      |  SELECT event_type, bin, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM sk
+      |), sketch AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN bin END) AS BIGINT)
+      |      AS bin_p50,
+      |    CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) AS BIGINT)
+      |      AS bin_p95
+      |  FROM skc GROUP BY 1
+      |), vx AS (
+      |  SELECT event_type, vm, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM binned GROUP BY 1, 2
+      |), vxc AS (
+      |  SELECT event_type, vm, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY vm
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM vx
+      |), exact AS (
+      |  SELECT event_type,
+      |    CAST(MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN vm END) AS BIGINT)
+      |      AS exact_p50_micro
+      |  FROM vxc GROUP BY 1
+      |)
+      |SELECT s.event_type, s.n, s.bin_p50,
+      |  CAST(1 AS BIGINT) << s.bin_p50 AS est_p50_micro,
+      |  e.exact_p50_micro,
+      |  s.bin_p95, CAST(1 AS BIGINT) << s.bin_p95 AS est_p95_micro
+      |FROM sketch s JOIN exact e ON s.event_type = e.event_type
+      |ORDER BY s.event_type""".stripMargin
+
   /** Table profiling (the deequ/dbt-docs column summary): per events
     * column — row count, null count, exact distinct count, and min/max
     * (numeric columns as quantized micros so no engine-specific float
@@ -1824,6 +1918,7 @@ object StatsOps extends QueryModule {
     Q("ema_daily", emaDaily, Some(emaDailySql)),
     Q("holt_linear", holtLinear, Some(holtLinearSql)),
     Q("column_profile", columnProfile, Some(columnProfileSql)),
+    Q("log_histogram_quantiles", logHistogramQuantiles, Some(logHistogramQuantilesSql)),
     Q("theilsen_trend", theilSen, Some(theilSenSql)),
     Q("mann_whitney", mannWhitney, Some(mannWhitneySql)),
     Q("chi2_independence", chi2Independence, Some(chi2IndependenceSql)),

@@ -122,6 +122,7 @@ class PlanShapeSpec extends SparkSpec {
       "chi2_independence", // R×C marginal grid: two ≤|levels|-row broadcasts
       "mann_whitney", // 1-row (n, tie-term) global broadcast
       "time_to_conversion", // 1-row signup-count broadcast
+      "dedup_impact_report", // three 1-row report aggregates crossed
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
