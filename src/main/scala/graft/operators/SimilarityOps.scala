@@ -539,6 +539,141 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  // ----- PCA via power iteration (trained operator #2, next to k-means) -----
+
+  private val PCA_DIMS = 0 until 16
+  private val PCA_ITERS = 30
+
+  /** Driver-side half-away-from-zero round, matching Spark's `round()` and
+    * DuckDB's `ROUND()` (both HALF_UP) so the replayed iteration math is
+    * bit-identical in all three places. `math.round` alone differs at
+    * negative .5 boundaries (half-up toward +inf). */
+  private def roundQ(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  private def pcaFeats(s: SparkSession, dir: String): DataFrame =
+    PCA_DIMS.foldLeft(emb(s, dir))((df, i) =>
+      df.withColumn(s"x$i",
+        round(element_at(col("embedding"), i + 1).cast("double") * 1e6).cast("long")))
+
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Long]]()
+
+  /** Top principal component of the first 16 embedding dims by power
+    * iteration, fully deterministic across engines and parallelism:
+    *
+    *  - ONE distributed pass computes n, per-dim sums and the upper-triangle
+    *    cross-product sums over µ-quantized longs (map-side partial
+    *    aggregation carries O(d²) cells per partition; the shuffle is a
+    *    single row). Product sums ride a DECIMAL(38,0) carrier so they
+    *    cannot overflow int64 past ~25M rows (the ols_by_type pattern);
+    *    DuckDB's HUGEINT sum of the same integers is equally exact.
+    *  - The covariance matrix (d² doubles) and the 30 power iterations live
+    *    on the driver — the loop carries d=16 quantized longs, never data.
+    *    Every intermediate is re-quantized (round half-away-from-zero at
+    *    1e12) before any order-sensitive sum, so double summation order can
+    *    never differ between Spark, this loop, and the oracle's recursive
+    *    CTE replay.
+    *  - Fixed iteration count (no float convergence test) keeps the replay
+    *    aligned; from the deterministic all-equal start vector the sign of
+    *    the component is pinned too.
+    */
+  private def pcaComponent(s: SparkSession, dir: String): IndexedSeq[Long] =
+    pcaMemo.computeIfAbsent(dir, { _ =>
+      val d = PCA_DIMS.size
+      val pairs = for { i <- PCA_DIMS; j <- PCA_DIMS if j >= i } yield (i, j)
+      val sums = PCA_DIMS.map(i => sum(col(s"x$i")).as(s"s$i"))
+      val prods = pairs.map { case (i, j) =>
+        sum((col(s"x$i") * col(s"x$j")).cast(DecimalType(38, 0))).as(s"p${i}_$j")
+      }
+      val row = pcaFeats(s, dir)
+        .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+        .collect()(0)
+      val n = row.getLong(0).toDouble
+      val sArr = PCA_DIMS.map(i => row.getLong(1 + i).toDouble)
+      val cov = Array.ofDim[Double](d, d)
+      pairs.zipWithIndex.foreach { case ((i, j), k) =>
+        val p = row.getDecimal(1 + d + k).doubleValue()
+        // same expression order as the oracle: P/n/1e12 - (Si/n/1e6)*(Sj/n/1e6)
+        val c = p / n / 1e12 - (sArr(i) / n / 1e6) * (sArr(j) / n / 1e6)
+        cov(i)(j) = c
+        cov(j)(i) = c
+      }
+      // v0 = all dims equal (1/sqrt(16) at 1e12 scale — exactly representable)
+      var v: IndexedSeq[Long] = IndexedSeq.fill(d)(250000000000L)
+      for (_ <- 0 until PCA_ITERS) {
+        val wd = PCA_DIMS.map(i =>
+          PCA_DIMS.map(j =>
+            roundQ(cov(i)(j) * (v(j).toDouble / 1e12) * 1e12)).sum.toDouble / 1e12)
+        val nq = wd.map(w => roundQ(w * w * 1e12)).sum
+        v = wd.map(w => roundQ(w / math.sqrt(nq.toDouble / 1e12) * 1e12))
+      }
+      v
+    })
+
+  /** Per-vector score on the trained top principal component (the feature
+    * every whitening / dimensionality-reduction / outlier pipeline derives
+    * first). Projection is a narrow map over the corpus against the d
+    * broadcast-as-literals component weights — no join, no shuffle; per-term
+    * quantization (1e9) keeps the 16-term dot order-free and hash-exact. */
+  private def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    val vf = pcaComponent(s, dir)
+    val terms = PCA_DIMS.map(i =>
+      round(col(s"x$i").cast("double") / 1e6 * lit(vf(i).toDouble / 1e12) * 1e9)
+        .cast("long"))
+    pcaFeats(s, dir)
+      .select(col("vec_id"),
+        (terms.reduce(_ + _).cast("double") / 1e9).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Recursive-CTE replay of the training (one Lloyd-style step per
+    * recursion level: mat-vec against the covariance CTE, window L2 norm,
+    * re-quantize), then the same quantized projection. */
+  private def pcaProjectionSql: String = {
+    val d = PCA_DIMS.size
+    s"""WITH RECURSIVE feats AS (
+       |  SELECT vec_id, list_transform(generate_series(1,$d),
+       |         i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE)*1e6) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |), cov AS (
+       |  SELECT i, j,
+       |         CAST(P AS DOUBLE)/n/1e12
+       |           - (CAST(Si AS DOUBLE)/n/1e6)*(CAST(Sj AS DOUBLE)/n/1e6) AS c
+       |  FROM (
+       |    SELECT gi.i AS i, gj.j AS j, SUM(xq[gi.i]*xq[gj.j]) AS P,
+       |           SUM(xq[gi.i]) AS Si, SUM(xq[gj.j]) AS Sj, COUNT(*) AS n
+       |    FROM feats, generate_series(1,$d) gi(i), generate_series(1,$d) gj(j)
+       |    GROUP BY gi.i, gj.j)
+       |), pv AS (
+       |  SELECT 0 AS it, i, CAST(250000000000 AS BIGINT) AS vq
+       |  FROM generate_series(1,$d) g(i)
+       |  UNION ALL
+       |  SELECT it+1 AS it, i,
+       |         CAST(ROUND(wd / sqrt(CAST(nq AS DOUBLE)/1e12) * 1e12) AS BIGINT) AS vq
+       |  FROM (
+       |    SELECT w.it, w.i, w.wd,
+       |           SUM(CAST(ROUND(w.wd*w.wd*1e12) AS BIGINT)) OVER () AS nq
+       |    FROM (
+       |      SELECT v.it, c.i,
+       |             CAST(SUM(CAST(ROUND(c.c * (CAST(v.vq AS DOUBLE)/1e12) * 1e12)
+       |                           AS BIGINT)) AS DOUBLE)/1e12 AS wd
+       |      FROM pv v JOIN cov c ON c.j = v.i
+       |      WHERE v.it < $PCA_ITERS
+       |      GROUP BY v.it, c.i
+       |    ) w
+       |  )
+       |), vfinal AS (
+       |  SELECT i, vq FROM pv WHERE it = $PCA_ITERS
+       |)
+       |SELECT f.vec_id,
+       |  CAST(SUM(CAST(ROUND(CAST(f.xq[v.i] AS DOUBLE)/1e6
+       |                      * (CAST(v.vq AS DOUBLE)/1e12) * 1e9) AS BIGINT))
+       |       AS DOUBLE)/1e9 AS pc1
+       |FROM feats f, vfinal v
+       |GROUP BY f.vec_id ORDER BY f.vec_id""".stripMargin
+  }
+
   /** Semantic dedup (the SemDeDup shape): assign every vector to its trained
     * k-means cell, compare pairs ONLY within a cell (equi-join on cell id —
     * the cluster is the blocking key), and drop any vector whose exact
@@ -1202,6 +1337,7 @@ object SimilarityOps extends QueryModule {
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSql)),
     Q("kmeans_trained", kmeansTrained, Some(kmeansTrainedSql)),
+    Q("pca_projection", pcaProjection, Some(pcaProjectionSql)),
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("cluster_balanced_sample", clusterBalancedSample, Some(clusterBalancedSampleSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),

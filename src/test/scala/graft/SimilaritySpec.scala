@@ -120,4 +120,37 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got === expected)
   }
+
+  test("pca_projection captures the top eigenvalue: score variance matches " +
+      "an unquantized power-iteration lambda1 and dominates every axis") {
+    val d = 16
+    val got = SparkEntry.queries("pca_projection")(spark, sf001)
+      .select($"vec_id", $"pc1").as[(Long, Double)].collect().toMap
+    assert(got.keySet === raw.keySet)
+    // covariance of the first 16 dims in plain double (independent recompute)
+    val xs = raw.toSeq.sortBy(_._1).map(_._2.take(d).map(_.toDouble))
+    val n = xs.size.toDouble
+    val mean = (0 until d).map(i => xs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      xs.map(x => (x(i) - mean(i)) * (x(j) - mean(j))).sum / n)
+    // unquantized power iteration, far past the query's 30 steps
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 0 until 300) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nm)
+    }
+    val lambda1 =
+      (0 until d).map(i => v(i) * (0 until d).map(j => cov(i)(j) * v(j)).sum).sum
+    // variance of the projected scores (projection of raw x; the mean offset
+    // cancels in the variance)
+    val scores = raw.keys.toSeq.sorted.map(got)
+    val sMean = scores.sum / n
+    val sVar = scores.map(x => (x - sMean) * (x - sMean)).sum / n
+    assert(math.abs(sVar - lambda1) / lambda1 < 0.02,
+      s"var(pc1)=$sVar vs lambda1=$lambda1")
+    val maxAxisVar = (0 until d).map(i => cov(i)(i)).max
+    assert(sVar >= maxAxisVar * 0.999,
+      s"var(pc1)=$sVar below best single axis $maxAxisVar")
+  }
 }
