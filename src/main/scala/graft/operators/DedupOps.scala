@@ -64,7 +64,7 @@ object DedupOps extends QueryModule {
             element_at(col("toks"), i + 2)))).as("sh"))
       .distinct()
 
-  private[operators] val shinglesSql: String =
+  private[graft] val shinglesSql: String =
     """SELECT DISTINCT doc_id,
       |  unnest(list_transform(generate_series(1, len(toks) - 2),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -1166,7 +1166,52 @@ object DedupOps extends QueryModule {
        |WHERE d.deg >= 2
        |ORDER BY d.node""".stripMargin
 
+  /** Asymmetric shingle containment |A∩B|/|A| ≥ 0.8: doc A is (nearly) a
+    * sub-document of B — the quote/boilerplate/subsumption case symmetric
+    * Jaccard misses by design (a 10-shingle doc fully inside a 500-shingle
+    * doc has Jaccard 0.02 but containment 1.0). Same blocking as
+    * ngram_jaccard_pairs — pairs exist only through the shingle equi-join —
+    * but kept in BOTH orders, since containment of A in B and B in A
+    * differ. At 100 TB the pair space is still Σ df(shingle)², never n².
+    */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("inner_id"), col("sh"))
+    val b = sh.select(col("doc_id").as("outer_id"), col("sh"))
+    val inter = a.join(b, "sh")
+      .filter(col("inner_id") =!= col("outer_id"))
+      .groupBy(col("inner_id"), col("outer_id"))
+      .agg(count(lit(1)).as("inter"))
+    graft.QOps.ordered1(
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "inner_id")
+          .withColumnRenamed("n_sh", "n_inner"), "inner_id")
+        .withColumn("containment",
+          col("inter").cast("double") / col("n_inner"))
+        .filter(col("containment") >= 0.8)
+        .select(col("inner_id"), col("outer_id"), col("n_inner"),
+          col("inter"), col("containment")),
+      col("inner_id"), col("outer_id"))
+  }
+
+  private def containmentPairsSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+       |         CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.inner_id, i.outer_id, s.n_sh AS n_inner, i.inter,
+       |       i.inter * 1.0 / s.n_sh AS containment
+       |FROM inter i JOIN sizes s ON s.doc_id = i.inner_id
+       |WHERE i.inter * 1.0 / s.n_sh >= 0.8
+       |ORDER BY inner_id, outer_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     Q("clustering_coefficient", clusteringCoefficient,
       Some(clusteringCoefficientSql)),

@@ -440,7 +440,61 @@ object FilterOps extends QueryModule {
       |       AS BIGINT) AS rows_at_risk
       |FROM classes""".stripMargin
 
+  // ---- bloom-prefiltered benchmark decontamination ------------------------
+
+  /** Clean-corpus selection by two-phase bloom decontamination: keep only
+    * corpus documents (doc_id ≥ 10) sharing ZERO 3-token shingles with the
+    * benchmark set (doc_id < 10).
+    *
+    * Phase 0 builds Spark's own bloom filter over the benchmark shingles
+    * (`bloom_agg` — one map-side pass, associative partial merge, ~1.2
+    * bytes/item at 1% fpp) and ships the ~0.1 MB binary back as a literal.
+    * Phase 1 probes every corpus shingle against it AT THE SCAN — no join,
+    * no shuffle touches the fat side; only bloom positives survive. Phase 2
+    * removes the bloom's false positives with an exact join, so the final
+    * answer is exactly the anti-join semantics the oracle states — the
+    * bloom parameters affect cost, never the result.
+    *
+    * vs `contamination_check` (broadcast exact set): at 100 TB the benchmark
+    * side can be millions of long shingle strings — too fat to broadcast;
+    * the bloom is size-bounded, and the verify join only sees the
+    * already-pruned candidate slice. The one driver round-trip (the bloom
+    * binary) is bounded by the filter size, never by data volume.
+    */
+  private def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val sh = DedupOps.shingles(s, dir)
+    val bench = sh.filter(col("doc_id") < 10).select(col("sh")).distinct()
+    val bloom = bench
+      .agg(call_function("bloom_agg", col("sh"), lit(100000L)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val candidates = sh.filter(col("doc_id") >= 10)
+      .filter(call_function("bloom_might_contain", lit(bloom), col("sh")))
+    val confirmed = candidates
+      .join(broadcast(bench), Seq("sh"))
+      .select(col("doc_id")).distinct()
+    docs(s, dir).filter(col("doc_id") >= 10)
+      .join(confirmed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bloomDecontaminateSql: String =
+    s"""WITH sh AS (
+       |  ${DedupOps.shinglesSql.replace("\n", "\n  ")}
+       |), bench AS (
+       |  SELECT DISTINCT sh FROM sh WHERE doc_id < 10
+       |), hits AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.sh = b.sh
+       |  WHERE s.doc_id >= 10
+       |)
+       |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+       |WHERE d.doc_id >= 10
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+       |ORDER BY d.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("bloom_decontaminate", bloomDecontaminate, Some(bloomDecontaminateSql)),
     Q("k_anonymity_report", kAnonymityReport, Some(kAnonymityReportSql)),
     Q("corpus_topp_select", corpusToppSelect, Some(corpusToppSelectSql)),
     Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),

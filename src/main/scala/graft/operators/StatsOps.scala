@@ -1912,7 +1912,128 @@ object StatsOps extends QueryModule {
       |  CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
       |FROM contrib""".stripMargin
 
+  /** Exact weighted median (and weighted p25/p75) of l_extendedprice per
+    * return flag, weight = l_quantity: the smallest price whose running
+    * weight reaches half the total. Scale posture is the exact_percentiles
+    * recipe: aggregate FIRST to the compressed (flag, price) domain — the
+    * cumulative window then runs over distinct prices per flag, not raw
+    * rows, and is partitioned by flag (no global single-reducer sort).
+    * Quantities are integral in this schema; summing them as longs keeps
+    * the 2·cum ≥ q·total cut condition in exact integer math (q = 1,2,3
+    * quartile numerators over a denominator of 4).
+    */
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("tot")).as("total_weight"),
+        min(when(col("cum") * 4 >= col("tot"), col("l_extendedprice"))).as("wp25"),
+        min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice"))).as("w_median"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("l_extendedprice"))).as("wp75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def weightedMedianSql: String =
+    """WITH comp AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         SUM(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+      |), cums AS (
+      |  SELECT l_returnflag, l_extendedprice, w,
+      |         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |                      ROWS UNBOUNDED PRECEDING) AS cum,
+      |         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM comp
+      |)
+      |SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_weight,
+      |       MIN(CASE WHEN cum * 4 >= tot THEN l_extendedprice END) AS wp25,
+      |       MIN(CASE WHEN cum * 2 >= tot THEN l_extendedprice END) AS w_median,
+      |       MIN(CASE WHEN cum * 4 >= tot * 3 THEN l_extendedprice END) AS wp75
+      |FROM cums GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Kaplan-Meier survival estimate of user lifetime: per-user lifetime
+    * t = days between first and last event; a user is a "death" (churn
+    * observed) if they went quiet ≥ 1 full day before the observation
+    * window's end (the synthetic window is only 30 days — a production
+    * deployment would use ≥ 7/30 days), else right-censored. At each distinct lifetime t ascending:
+    * at_risk = users with lifetime ≥ t, d = deaths at exactly t, and the
+    * survival curve S(t) = Π (1 − d/at_risk) reported as ln S(t) — per-step
+    * logs are quantized to longs (round(ln·1e6), the cross-engine-safe ln
+    * pattern) so the cumulative sum is exact and order-free; S(t) is
+    * exp(ln_survival) for the consumer.
+    *
+    * Scale posture: one per-user shuffle, then all windows run over the
+    * COMPRESSED distinct-lifetime domain — bounded by the observation
+    * window in days, not by user count (the monthly_revenue_mom class,
+    * allowlisted in PlanShapeSpec). The d = at_risk boundary (S hits 0,
+    * ln −∞) yields NULL lnq and stops the curve instead of poisoning it.
+    */
+  private def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val life = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val lab = life
+      .crossJoin(broadcast(ev.agg(to_date(max(col("ts"))).as("dmax"))))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        (datediff(col("dmax"), col("d1")) >= 1).as("churned"))
+    val byT = lab.groupBy(col("t"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("cum_all", sum(col("c_all")).over(wCum))
+      .withColumn("n_total", sum(col("c_all")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("at_risk", col("n_total") - col("cum_all") + col("c_all"))
+      .withColumn("lnq", when(col("d") < col("at_risk"),
+        round(log(lit(1.0) - col("d").cast("double") / col("at_risk")) * 1e6)
+          .cast("long")))
+      .withColumn("ln_survival",
+        sum(col("lnq")).over(wCum).cast("double") / 1e6)
+      .select(col("t"), col("at_risk"), col("d"), col("ln_survival"))
+      .orderBy(col("t"))
+  }
+
+  private def kaplanMeierSql: String =
+    """WITH life AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      |  FROM events GROUP BY user_id
+      |), lab AS (
+      |  SELECT CAST(date_diff('day', l.d0, l.d1) AS BIGINT) AS t,
+      |         date_diff('day', l.d1, m.dmax) >= 1 AS churned
+      |  FROM life l CROSS JOIN (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events) m
+      |), byt AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c_all,
+      |         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM lab GROUP BY t
+      |), risk AS (
+      |  SELECT t, c_all, d,
+      |         CAST(SUM(c_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all,
+      |         CAST(SUM(c_all) OVER () AS BIGINT) AS n_total
+      |  FROM byt
+      |), f AS (
+      |  SELECT t, n_total - cum_all + c_all AS at_risk, d,
+      |         CASE WHEN d < n_total - cum_all + c_all THEN
+      |           CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / (n_total - cum_all + c_all)) * 1e6)
+      |                AS BIGINT) END AS lnq
+      |  FROM risk
+      |)
+      |SELECT t, at_risk, d,
+      |       CAST(SUM(lnq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6
+      |         AS ln_survival
+      |FROM f ORDER BY t""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("kaplan_meier", kaplanMeier, Some(kaplanMeierSql)),
+    Q("weighted_median", weightedMedian, Some(weightedMedianSql)),
     Q("psi_drift", psiDrift, Some(psiDriftSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("ema_daily", emaDaily, Some(emaDailySql)),

@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
 class FilterOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bloom_decontaminate equals the complement of contamination_check " +
+      "hits, and the bloom probe admits every true benchmark shingle") {
+    val clean = SparkEntry.queries("bloom_decontaminate")(spark, sf001)
+      .select($"doc_id").as[Long].collect().toSet
+    // independent implementation: contamination_check (broadcast exact set)
+    // lists every shingled corpus doc with its benchmark-hit count; docs
+    // absent from it have <3 tokens (no shingles) and are trivially clean
+    val checked = SparkEntry.queries("contamination_check")(spark, sf001)
+      .select($"doc_id", $"n_contaminated").as[(Long, Long)].collect().toMap
+    val corpus = Tables.t(spark, sf001, "documents")
+      .filter($"doc_id" >= 10).select($"doc_id").as[Long].collect().toSet
+    val expected = corpus.filter(d => checked.getOrElse(d, 0L) == 0L)
+    assert(clean === expected)
+    // no-false-negative property of the registered bloom functions: every
+    // value aggregated into the filter must probe positive
+    graft.functions.BloomFunctions.register(spark)
+    val vals = (1 to 500).map(i => s"shingle $i").toDF("v")
+    val bf = vals.agg(call_function("bloom_agg", $"v", lit(1000L)))
+      .head.getAs[Array[Byte]](0)
+    val admitted = vals
+      .filter(call_function("bloom_might_contain", lit(bf), $"v"))
+      .count()
+    assert(admitted === 500L)
+  }
+
   test("repetition_score fractions are consistent and bounded") {
     val rows = SparkEntry.queries("repetition_score")(spark, sf001)
       .select($"n_tokens", $"frac_dup_tokens", $"frac_dup_bigrams",

@@ -8,6 +8,62 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("containment_pairs equals the quadratic asymmetric-containment " +
+      "definition and is a superset of high-jaccard pairs") {
+    val docSh: Map[Long, Set[String]] = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.split(" ")
+        id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (a, sa) <- docSh.toSeq; (b, sb) <- docSh.toSeq if a != b
+      inter = (sa & sb).size if inter.toDouble / sa.size >= 0.8
+    } yield (a, b, sa.size.toLong, inter.toLong)).toSet
+    val got = SparkEntry.queries("containment_pairs")(spark, sf001)
+      .select($"inner_id", $"outer_id", $"n_inner", $"inter")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // symmetric near-dups (jaccard >= 0.8) are contained both ways
+    val jac = SparkEntry.queries("ngram_jaccard_pairs")(spark, sf001)
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val dirs = got.map(p => (p._1, p._2))
+    jac.foreach { case (a, b) =>
+      assert(dirs.contains((a, b)) && dirs.contains((b, a)))
+    }
+  }
+
+  test("kaplan_meier: at-risk counts telescope, hazards recount, curve " +
+      "is non-increasing") {
+    val rows = SparkEntry.queries("kaplan_meier")(spark, sf001)
+      .select($"t", $"at_risk", $"d", $"ln_survival")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // independent per-user lifetime recount
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"user_id", to_date($"ts").as("d")).as[(Long, java.sql.Date)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.map(_._2.toLocalDate)).toMap
+    val dmax = ev.values.flatten.max
+    val lifetimes = ev.values.map { ds =>
+      val (d0, d1) = (ds.min, ds.max)
+      (java.time.temporal.ChronoUnit.DAYS.between(d0, d1),
+        java.time.temporal.ChronoUnit.DAYS.between(d1, dmax) >= 1)
+    }.toSeq
+    rows.foreach { case (t, atRisk, d, _) =>
+      assert(atRisk === lifetimes.count(_._1 >= t), s"at_risk at t=$t")
+      assert(d === lifetimes.count(l => l._1 == t && l._2), s"d at t=$t")
+    }
+    // ln-survival recounts as the cumulative quantized-ln hazard sum
+    var cum = 0L
+    rows.foreach { case (_, atRisk, d, lnS) =>
+      if (d < atRisk)
+        cum += math.round(math.log(1.0 - d.toDouble / atRisk) * 1e6)
+      assert(math.abs(lnS - cum / 1e6) < 1e-12)
+    }
+    assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(1) <= p(0)))
+  }
+
   test("dedup_clusters labels equal union-find components of the LSH pairs") {
     val pairs = SparkEntry.queries("minhash_lsh_pairs")(spark, sf001)
       .select($"a_id", $"b_id").as[(Long, Long)].collect()

@@ -71,8 +71,10 @@ class PlanShapeSpec extends SparkSpec {
     // by part count
     // daily_interp: ignoreNulls last/first over the calendar day spine —
     // bounded by elapsed wall-clock days, same class as monthly_revenue_mom
+    // kaplan_meier: cumulative hazard over the distinct-lifetime domain —
+    // bounded by the observation window in days, same class as daily_interp
     val allowed = Set("monthly_revenue_mom", "batch_summary", "skyline_parts",
-      "daily_interp")
+      "daily_interp", "kaplan_meier")
     // AQE off so executedPlan is a plain traversable tree (restored after)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -122,6 +124,7 @@ class PlanShapeSpec extends SparkSpec {
       "chi2_independence", // R×C marginal grid: two ≤|levels|-row broadcasts
       "mann_whitney", // 1-row (n, tie-term) global broadcast
       "time_to_conversion", // 1-row signup-count broadcast
+      "kaplan_meier", // 1-row observation-window-end broadcast
       "dedup_impact_report", // three 1-row report aggregates crossed
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth")

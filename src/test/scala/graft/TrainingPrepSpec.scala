@@ -14,6 +14,28 @@ class TrainingPrepSpec extends SparkSpec {
     Tables.t(spark, sf001, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
 
+  test("weighted_median matches a sequential weighted-rank scan per flag") {
+    val rows = Tables.t(spark, sf001, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      .as[(String, Double, Double)].collect()
+    val got = SparkEntry.queries("weighted_median")(spark, sf001)
+      .select($"l_returnflag", $"total_weight", $"wp25", $"w_median", $"wp75")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val sorted = grp.map(t => (t._2, t._3.toLong)).sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      def cut(num: Long, den: Long): Double = {
+        var cum = 0L
+        sorted.find { case (_, w) => cum += w; cum * den >= tot * num }.get._1
+      }
+      val (_, gTot, gP25, gMed, gP75) = got(flag)
+      assert(gTot === tot)
+      assert(gP25 === cut(1, 4) && gMed === cut(1, 2) && gP75 === cut(3, 4),
+        s"flag $flag")
+    }
+  }
+
   test("bpe_pair_counts matches a plain-Scala adjacent-pair count") {
     val expected = docRows
       .flatMap { case (_, text) =>
