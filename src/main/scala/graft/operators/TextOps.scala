@@ -504,6 +504,91 @@ object TextOps extends QueryModule {
        |    AS chunk_text
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  private val CDC_WIN = 4
+  private val CDC_MASK_HEX = "0" // last md5 hex digit → 1/16 boundary rate
+
+  /** Content-defined chunking (the rolling-hash boundary scheme storage
+    * dedup and incremental-sync systems use, applied to token streams): a
+    * chunk boundary falls AFTER token i whenever the hash of the trailing
+    * 4-token window ends in a fixed hex digit (expected chunk ≈ 16 tokens).
+    * Because boundaries depend only on LOCAL content, an insertion early in
+    * a document re-chunks only the window it touches — unlike fixed-stride
+    * chunking (`doc_chunking`) where every downstream chunk shifts. Emits
+    * one row per chunk with its fingerprint and corpus-wide copy count —
+    * the signal a storage/dedup layer uses to dedupe shared spans across
+    * near-identical documents.
+    *
+    * Scale posture: boundary flags are computed in one narrow projection
+    * (array HOF over each doc, no self-join); the per-doc running boundary
+    * count is a window PARTITIONED by doc_id riding the same doc_id
+    * exchange the chunk reassembly groupBy reuses; the only extra shuffle
+    * is the fingerprint copy-count (an inherent global groupBy), joined
+    * back on the same key. md5-derived boundaries replay exactly in the
+    * oracle.
+    */
+  private def cdcChunking(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = docs(s, dir)
+      .repartition(col("doc_id")) // single-file scan → parallelize the explode
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bflags",
+        transform(sequence(lit(1), size(col("toks"))),
+          i => i >= CDC_WIN &&
+            substring(md5(concat_ws(" ",
+              slice(col("toks"), i - (CDC_WIN - 1), lit(CDC_WIN)))), 32, 1) === CDC_MASK_HEX))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("bflags"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").getField("toks").as("tok"),
+        col("col").getField("bflags").as("b"))
+    val chunks = rows
+      .withColumn("chunk_idx",
+        coalesce(sum(when(col("b"), 1L).otherwise(0L)).over(wPrev), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("fp"))
+    val copies = chunks.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    chunks.join(copies, "fp")
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"), col("fp"),
+        col("n_copies"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private def cdcChunkingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), p0 AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(1, len(toks))) AS pos
+       |  FROM t
+       |), p1 AS (
+       |  SELECT doc_id, pos, toks[pos] AS tok,
+       |         pos >= $CDC_WIN AND substr(md5(${(0 until CDC_WIN).reverse
+                  .map(k => s"toks[pos-$k]").mkString(" || ' ' || ")}), 32, 1)
+                  = '$CDC_MASK_HEX' AS b
+       |  FROM p0
+       |), ch AS (
+       |  SELECT doc_id, pos, tok,
+       |         COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER
+       |           (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS chunk_idx
+       |  FROM p1
+       |), agg AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |         CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+       |  FROM ch GROUP BY doc_id, chunk_idx
+       |), copies AS (
+       |  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies FROM agg GROUP BY fp
+       |)
+       |SELECT a.doc_id, a.chunk_idx, a.n_toks, a.fp, c.n_copies
+       |FROM agg a JOIN copies c USING (fp)
+       |ORDER BY a.doc_id, a.chunk_idx""".stripMargin
+
   private val DUP_GRAM = 5
 
   /** Exact-substring dedup by duplicated-span REMOVAL (the Lee et al.
@@ -754,6 +839,7 @@ object TextOps extends QueryModule {
     Q("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Q("sequence_packing", sequencePacking, Some(sequencePackingSql)),
     Q("doc_chunking", docChunking, Some(docChunkingSql)),
+    Q("cdc_chunking", cdcChunking, Some(cdcChunkingSql)),
     Q("rolling_fingerprint", rollingFingerprint, Some(
       // iterate UTF-8 BYTES via hex pairs: the RollingHash expression hashes
       // bytes, while ascii(substr(text,i,1)) walks CODEPOINTS — identical on

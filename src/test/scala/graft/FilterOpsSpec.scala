@@ -136,6 +136,40 @@ class FilterOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_chunking tiles every document and matches a sequential " +
+      "rolling-boundary recompute") {
+    val got = SparkEntry.queries("cdc_chunking")(spark, sf001)
+      .select($"doc_id", $"chunk_idx", $"n_toks", $"fp", $"n_copies")
+      .as[(Long, Long, Long, String, Long)].collect()
+    val texts = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent sequential recompute of chunk fingerprints
+    val expected = texts.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
+      toks.zipWithIndex.foreach { case (tok, i0) =>
+        chunks.last += tok
+        val pos = i0 + 1
+        if (pos >= 4 && md5hex(toks.slice(pos - 4, pos).mkString(" ")).last == '0'
+            && pos < toks.length)
+          chunks += scala.collection.mutable.ArrayBuffer[String]()
+      }
+      chunks.zipWithIndex.map { case (c, idx) =>
+        (id, idx.toLong) -> (c.length.toLong, md5hex(c.mkString(" ")))
+      }
+    }
+    assert(got.map(r => (r._1, r._2)).toSet === expected.keySet)
+    got.foreach { case (id, idx, n, fp, _) =>
+      assert(expected((id, idx)) === ((n, fp)), s"doc $id chunk $idx")
+    }
+    // copy counts recount across the corpus
+    val byFp = expected.values.groupBy(_._2).view.mapValues(_.size.toLong)
+    got.foreach { case (_, _, _, fp, copies) => assert(copies === byFp(fp)) }
+  }
+
   test("doc_chunking tiles every document with stride-48 chunks of <=64 tokens") {
     val rows = SparkEntry.queries("doc_chunking")(spark, sf001)
       .select($"doc_id", $"chunk_idx", $"start_tok", $"n_chunk_toks", $"chunk_text")

@@ -36,7 +36,8 @@ class HostileTextSpec extends SparkSpec {
     "multimodal_meta", "multimodal_features", "multimodal_resize",
     "multimodal_frame_sample", "source_mixture_weights",
     "payload_frame_dup", "cluster_size_histogram", "source_dedup_matrix",
-    "jaccard_histogram")
+    "jaccard_histogram", "cdc_chunking", "containment_pairs",
+    "bloom_decontaminate")
 
   test("every documents-backed query survives the hostile corpus, twice") {
     docQueries.foreach { name =>
