@@ -2031,7 +2031,117 @@ object StatsOps extends QueryModule {
       |         AS ln_survival
       |FROM f ORDER BY t""".stripMargin
 
+  /** Higher distribution moments per event type: population variance,
+    * skewness, excess kurtosis — from exact power sums S1..S4 over
+    * µ-quantized longs (one map-side-partial aggregate, no window). The
+    * DECIMAL(38,0) carrier holds v⁴ ≈ 1e28-scale terms exactly to ~1e9
+    * rows/group; assembly happens in DOUBLE with the identical expression
+    * text in both engines (exact-integer inputs → correctly-rounded
+    * doubles → bit-identical results).
+    */
+  private def momentsByType(s: SparkSession, dir: String): DataFrame = {
+    val v = round(col("value") * 1e6).cast(DecimalType(38, 0))
+    val agg = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+    agg.select(
+      col("event_type"), col("n"),
+      ((col("s1").cast("double") / col("n")) / 1e6).as("mean"),
+      expr("""CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)""")
+        .divide(lit(1e12)).as("variance"),
+      expr(
+        """(CAST(s3 AS DOUBLE)/n
+          |  - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+          |  + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+          | / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
+          |""".stripMargin.replaceAll("\n", " ")).as("skewness"),
+      expr(
+        """(CAST(s4 AS DOUBLE)/n
+          |  - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+          |  + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+          |  - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+          | / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+          |    * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3
+          |""".stripMargin.replaceAll("\n", " ")).as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  private def momentsByTypeSql: String =
+    """WITH agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |         SUM(v) AS s1, SUM(v*v) AS s2, SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4
+      |  FROM (SELECT event_type,
+      |               CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS HUGEINT) AS v
+      |        FROM events)
+      |  GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  (CAST(s1 AS DOUBLE)/n) / 1e6 AS mean,
+      |  (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) / 1e12
+      |    AS variance,
+      |  (CAST(s3 AS DOUBLE)/n
+      |    - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+      |    + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+      |   / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
+      |    AS skewness,
+      |  (CAST(s4 AS DOUBLE)/n
+      |    - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+      |    + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+      |    - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+      |   / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+      |      * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3
+      |    AS kurtosis
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  /** Benford first-significant-digit audit of l_extendedprice — the
+    * fraud/data-quality screen: observed first-digit frequencies against
+    * Benford's log10(1 + 1/d) expectation. The first digit is read from the
+    * decimal rendering of the exact cents-quantized INTEGER (scaling by 100
+    * never changes the leading significant digit), so no float formatting
+    * is ever compared across engines; the Benford expectation is quantized
+    * at 1e12 to absorb libm log10 ULP differences.
+    */
+  private def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.t(s, dir, "lineitem")
+      .select(substring(round(col("l_extendedprice") * 100).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("obs_frac",
+        col("n").cast("double") / sum(col("n")).over(wAll).cast("double"))
+      .withColumn("benford_frac",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * 1e12)
+          .cast("long").cast("double") / 1e12)
+      .withColumn("abs_dev", abs(col("obs_frac") - col("benford_frac")))
+      .select(col("digit"), col("n"), col("obs_frac"), col("benford_frac"),
+        col("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  private def benfordDigitsSql: String =
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      |           AS digit
+      |  FROM lineitem
+      |), g AS (
+      |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+      |)
+      |SELECT digit, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs_frac,
+      |  CAST(CAST(ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)) * 1e12) AS BIGINT) AS DOUBLE)
+      |    / 1e12 AS benford_frac,
+      |  ABS(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+      |      - CAST(CAST(ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)) * 1e12) AS BIGINT) AS DOUBLE)
+      |        / 1e12) AS abs_dev
+      |FROM g ORDER BY digit""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("moments_by_type", momentsByType, Some(momentsByTypeSql)),
+    Q("benford_digits", benfordDigits, Some(benfordDigitsSql)),
     Q("kaplan_meier", kaplanMeier, Some(kaplanMeierSql)),
     Q("weighted_median", weightedMedian, Some(weightedMedianSql)),
     Q("psi_drift", psiDrift, Some(psiDriftSql)),

@@ -73,8 +73,9 @@ class PlanShapeSpec extends SparkSpec {
     // bounded by elapsed wall-clock days, same class as monthly_revenue_mom
     // kaplan_meier: cumulative hazard over the distinct-lifetime domain —
     // bounded by the observation window in days, same class as daily_interp
+    // benford_digits: total over the 9-row first-digit domain
     val allowed = Set("monthly_revenue_mom", "batch_summary", "skyline_parts",
-      "daily_interp", "kaplan_meier")
+      "daily_interp", "kaplan_meier", "benford_digits")
     // AQE off so executedPlan is a plain traversable tree (restored after)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -14,6 +14,43 @@ class TrainingPrepSpec extends SparkSpec {
     Tables.t(spark, sf001, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
 
+  test("moments_by_type matches a plain-Scala central-moment recompute") {
+    val vals = Tables.t(spark, sf001, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SparkEntry.queries("moments_by_type")(spark, sf001)
+      .select($"event_type", $"n", $"mean", $"variance", $"skewness", $"kurtosis")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    vals.foreach { case (et, xs) =>
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      def cm(k: Int) = xs.map(x => math.pow(x - mean, k)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      val (_, gn, gMean, gVar, gSkew, gKurt) = got(et)
+      assert(gn === xs.length)
+      assert(math.abs(gMean - mean) < 1e-9)
+      assert(math.abs(gVar - m2) < 1e-6)
+      assert(math.abs(gSkew - m3 / (m2 * math.sqrt(m2))) < 1e-6, s"skew $et")
+      assert(math.abs(gKurt - (m4 / (m2 * m2) - 3)) < 1e-6, s"kurt $et")
+    }
+  }
+
+  test("benford_digits covers digits 1-9, fractions sum to 1, expectation " +
+      "is Benford's law") {
+    val rows = SparkEntry.queries("benford_digits")(spark, sf001)
+      .select($"digit", $"n", $"obs_frac", $"benford_frac")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSet === (1 to 9).map(_.toString).toSet)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9) // Σ log10(1+1/d) = 1
+    rows.foreach { case (d, _, _, bf) =>
+      assert(math.abs(bf - math.log10(1.0 + 1.0 / d.toInt)) < 1e-9)
+    }
+    val total = Tables.t(spark, sf001, "lineitem").count()
+    assert(rows.map(_._2).sum === total)
+  }
+
   test("weighted_median matches a sequential weighted-rank scan per flag") {
     val rows = Tables.t(spark, sf001, "lineitem")
       .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
