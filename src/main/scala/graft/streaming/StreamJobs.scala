@@ -690,6 +690,40 @@ object StreamJobs {
       }
   }
 
+  /** Streaming benchmark decontamination — the `bloom_decontaminate`
+    * two-phase shape as a CONTINUOUS ingest filter. The benchmark bloom is
+    * built ONCE from the static shingle table at query-construction time
+    * (a bounded driver round-trip: the filter binary, never the data) and
+    * baked into the streaming plan as a literal, so every micro-batch
+    * probes its shingles AT THE SCAN with no state and no shuffle of
+    * non-candidates; bloom survivors are exact-verified by a broadcast
+    * stream-static semi-join. Emits the confirmed (docId, sh) hit stream
+    * in append mode — stateless, so no watermark is required; a flagged
+    * docId set identical to the batch operator's is the spec's invariant.
+    */
+  def streamingDecontaminate(input: org.apache.spark.sql.Dataset[StreamDoc],
+      bench: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    graft.functions.BloomFunctions.register(spark)
+    val benchSh = bench.select(col("sh")).distinct()
+    val bloom = benchSh
+      .agg(call_function("bloom_agg", col("sh"), lit(100000L)))
+      .head.getAs[Array[Byte]](0)
+    input.toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("docId"), col("ts"),
+        explode(when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array())).as("sh"))
+      .filter(call_function("bloom_might_contain", lit(bloom), col("sh")))
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col("docId"), col("sh"))
+  }
+
   /** The reference's foreachPartition open/write/close lifecycle
     * (KafkaStreamerToHbase.scala:88-167) as a real ForeachWriter; sinks each
     * record into a per-JVM buffer keyed by a test-supplied id. */

@@ -309,6 +309,39 @@ class StreamJobsSpec extends SparkSpec {
     assert(kv.filter($"qualifier" === "messages").count() === 2)
   }
 
+  test("streamingDecontaminate flags exactly the docs a batch recompute " +
+      "flags, across multiple micro-batches") {
+    import StreamJobs.StreamDoc
+    val bench = Seq("alpha beta gamma", "beta gamma delta", "zeta eta theta")
+      .toDF("sh")
+    val in = MemoryStream[StreamDoc]
+    val out = StreamJobs.streamingDecontaminate(in.toDS(), bench)
+    val qname = "sdecon_" + System.nanoTime()
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    def doc(id: Long, text: String, sec: Long) =
+      StreamDoc(id, text, new Timestamp(sec * 1000))
+    val docs = Seq(
+      doc(1, "alpha beta gamma delta epsilon", 10), // hits 2 bench shingles
+      doc(2, "clean words only here none", 11),
+      doc(3, "zeta eta theta iota", 12), // hits 1
+      doc(4, "xx", 13), // <3 tokens: no shingles, never flagged
+      doc(5, "eta theta zeta", 14)) // shingle "eta theta zeta" not in bench
+    in.addData(docs.take(2)); q.processAllAvailable()
+    in.addData(docs.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table(qname).select($"docId", $"sh")
+      .as[(Long, String)].collect().toSet
+    // batch recompute over the same docs
+    val benchSet = Set("alpha beta gamma", "beta gamma delta", "zeta eta theta")
+    val expected = docs.flatMap { d =>
+      d.text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .filter(benchSet).map(sh => (d.docId, sh))
+    }.toSet
+    assert(got === expected)
+    assert(got.map(_._1) === Set(1L, 3L))
+  }
+
   test("streamingNearDup state survives a checkpoint restart: a dup of a " +
       "pre-restart doc is still detected against the restored bucket index") {
     import StreamJobs.StreamDoc
