@@ -175,6 +175,124 @@ object TextOps extends QueryModule {
       .limit(20)
       .select(col("doc_id"), col("n_terms"), col("bm25"))
 
+  private lazy val langIdSql: String =
+    s"""WITH sw(cand_lang, word) AS (VALUES $stopwordSqlValues),
+        |tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), hits AS (
+        |  SELECT doc_id, cand_lang, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM tokens JOIN sw USING (word) GROUP BY 1, 2
+        |), ntok AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), scored AS (
+        |  SELECT ntok.doc_id, ntok.lang, hits.cand_lang,
+        |         COALESCE(hits.hits, 0) / CAST(ntok.n_tokens AS DOUBLE) AS score
+        |  FROM ntok LEFT JOIN hits ON ntok.doc_id = hits.doc_id
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, cand_lang) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang,
+        |       CASE WHEN score > 0.0 THEN cand_lang ELSE 'und' END AS detected_lang,
+        |       score
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Language-ID confusion matrix: the offline eval every classifier ships
+    * with — per (true lang, detected lang) cell counts plus per-true-lang
+    * recall, composed on top of the audited `lang_id` plan (two extra hash
+    * aggregates over its per-doc verdicts; the per-lang total rides a
+    * lang-partitioned window over the ≤\|langs\|² cell domain). */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    langId(s, dir)
+      .groupBy(col("lang"), col("detected_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall",
+        when(col("lang") === col("detected_lang"),
+          col("n").cast("double") / sum(col("n")).over(w).cast("double")))
+      .orderBy(col("lang"), col("detected_lang"))
+  }
+
+  private def langConfusionSql(langIdSql: String): String =
+    s"""WITH verdicts AS (
+       |${langIdSql.replace("ORDER BY doc_id", "")}
+       |), cells AS (
+       |  SELECT lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM verdicts GROUP BY lang, detected_lang
+       |)
+       |SELECT lang, detected_lang, n,
+       |  CASE WHEN lang = detected_lang THEN
+       |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+       |  END AS recall
+       |FROM cells ORDER BY lang, detected_lang""".stripMargin
+
+  /** Zipf-law fit per source: OLS slope of ln(freq) on ln(rank) over each
+    * source's full term-frequency table — the corpus-health diagnostic
+    * (natural language tracks slope ≈ −1; template/boilerplate-heavy or
+    * synthetic sources bend the curve). Ranks come from a window over the
+    * compressed per-source term domain (partitioned — never raw tokens);
+    * both logs are quantized to 1e-6 longs so the OLS sums are exact and
+    * order-free on a DECIMAL(38,0) carrier (ln values ≤ ~21e6 as scaled
+    * longs; Σx·y stays < 1e38 to ~1e24 terms); the slope/intercept assembly
+    * runs in DOUBLE with identical expression text in both engines.
+    */
+  private def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("term"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("source"),
+        round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    ranked
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        expr("""(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms)
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms)"""
+          .replaceAll("\n\\s*", " ")).as("zipf_slope"),
+        expr("""(CAST(sy AS DOUBLE)/n_terms
+                - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms)
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms)
+                  * (CAST(sx AS DOUBLE)/n_terms)) / 1e6"""
+          .replaceAll("\n\\s*", " ")).as("ln_intercept"))
+      .orderBy(col("source"))
+  }
+
+  private def zipfSlopeSql: String =
+    """WITH tf AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY source, term
+      |), ranked AS (
+      |  SELECT source,
+      |    CAST(ROUND(LN(CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |         ORDER BY freq DESC, term) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |    CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM tf
+      |), sums AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      |  FROM ranked GROUP BY source
+      |)
+      |SELECT source, n_terms,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms)
+      |    AS zipf_slope,
+      |  (CAST(sy AS DOUBLE)/n_terms - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms) * (CAST(sx AS DOUBLE)/n_terms)) / 1e6
+      |    AS ln_intercept
+      |FROM sums ORDER BY source""".stripMargin
+
   /** Language ID: stopword-hit ratio per language, argmax with deterministic
     * tie-break; 'und' when nothing matches. N-gram-heuristic family.
     */
@@ -925,30 +1043,9 @@ object TextOps extends QueryModule {
         |)
         |SELECT doc_id, rk, term, tf, df, tfidf FROM ranked
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
-    Q("lang_id", langId, Some(
-      s"""WITH sw(cand_lang, word) AS (VALUES $stopwordSqlValues),
-        |tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-        |), hits AS (
-        |  SELECT doc_id, cand_lang, CAST(COUNT(*) AS BIGINT) AS hits
-        |  FROM tokens JOIN sw USING (word) GROUP BY 1, 2
-        |), ntok AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), scored AS (
-        |  SELECT ntok.doc_id, ntok.lang, hits.cand_lang,
-        |         COALESCE(hits.hits, 0) / CAST(ntok.n_tokens AS DOUBLE) AS score
-        |  FROM ntok LEFT JOIN hits ON ntok.doc_id = hits.doc_id
-        |), ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-        |            ORDER BY score DESC, cand_lang) AS rk
-        |  FROM scored
-        |)
-        |SELECT doc_id, lang,
-        |       CASE WHEN score > 0.0 THEN cand_lang ELSE 'und' END AS detected_lang,
-        |       score
-        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+    Q("lang_id", langId, Some(langIdSql)),
+    Q("lang_confusion", langConfusion, Some(langConfusionSql(langIdSql))),
+    Q("zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     Q("quality_score", qualityScore, Some(qualityScoreSql)),
     Q("doc_fingerprint", fingerprint, Some(
       """SELECT doc_id, md5(lower(text)) AS fp_md5,

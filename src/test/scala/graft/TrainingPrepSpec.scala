@@ -14,6 +14,49 @@ class TrainingPrepSpec extends SparkSpec {
     Tables.t(spark, sf001, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
 
+  test("lang_confusion cells partition the per-doc lang_id verdicts and " +
+      "recall recounts") {
+    val verdicts = SparkEntry.queries("lang_id")(spark, sf001)
+      .select($"lang", $"detected_lang").as[(String, String)].collect()
+    val got = SparkEntry.queries("lang_confusion")(spark, sf001)
+      .select($"lang", $"detected_lang", $"n", $"recall")
+      .as[(String, String, Long, Option[Double])].collect()
+    val expected = verdicts.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap === expected.toMap)
+    assert(got.map(_._3).sum === verdicts.length)
+    val perLang = verdicts.groupBy(_._1).view.mapValues(_.length.toLong)
+    got.foreach { case (l, d, n, rec) =>
+      if (l == d) assert(rec.exists(r => math.abs(r - n.toDouble / perLang(l)) < 1e-12))
+      else assert(rec.isEmpty)
+    }
+  }
+
+  test("zipf_slope equals a plain-Scala quantized OLS over ln-rank/ln-freq") {
+    val rows = Tables.t(spark, sf001, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val got = SparkEntry.queries("zipf_slope")(spark, sf001)
+      .select($"source", $"n_terms", $"zipf_slope", $"ln_intercept")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      val freq = grp.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (t, f) => (-f, t) }
+      val xy = freq.zipWithIndex.map { case ((_, f), i) =>
+        (math.round(math.log((i + 1).toDouble) * 1e6),
+          math.round(math.log(f.toDouble) * 1e6))
+      }
+      val n = xy.length.toDouble
+      val (sx, sy) = (xy.map(_._1).sum.toDouble, xy.map(_._2).sum.toDouble)
+      val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+      val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+      val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val (_, gn, gSlope, gInt) = got(src)
+      assert(gn === xy.length)
+      assert(math.abs(gSlope - slope) < 1e-9, s"slope $src")
+      assert(math.abs(gInt - (sy / n - slope * (sx / n)) / 1e6) < 1e-9)
+    }
+  }
+
   test("moments_by_type matches a plain-Scala central-moment recompute") {
     val vals = Tables.t(spark, sf001, "events")
       .select($"event_type", $"value").as[(String, Double)].collect()
