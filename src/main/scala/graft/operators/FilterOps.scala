@@ -440,6 +440,91 @@ object FilterOps extends QueryModule {
       |       AS BIGINT) AS rows_at_risk
       |FROM classes""".stripMargin
 
+  // ---- curriculum phases --------------------------------------------------
+
+  /** Curriculum-learning phase assignment: corpus docs ranked by composite
+    * quality (worst → best) and cut into 4 equal-rank phases — the
+    * easy-to-hard training schedule. The global rank rides
+    * [[PrefixOps.withGlobalPrefix]] (two-level prefix sum, no
+    * single-reducer window); the phase is pure rank arithmetic and the
+    * report is one hash aggregate. Mean quality is exact: 1e-9-quantized
+    * scores summed on a DECIMAL carrier.
+    */
+  private def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = TextOps.qualityScore(s, dir)
+      .withColumn("qq", round(col("quality") * 1e9).cast("long"))
+    val ranked = PrefixOps.withGlobalPrefix(q,
+      bucketBy = col("qq"), order = Seq(col("qq"), col("doc_id")))
+    ranked
+      .withColumn("phase", expr("((g_rank - 1) * 4) div g_n + 1"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("qq").cast(dec)).cast("double") / count(lit(1)) / 1e9)
+          .as("mean_quality"))
+      .orderBy(col("phase"))
+  }
+
+  private def curriculumPhasesSql: String =
+    s"""WITH scored AS (
+       |${TextOps.qualityScoreSql.replace("ORDER BY doc_id", "")}
+       |), ranked AS (
+       |  SELECT n_tokens,
+       |         CAST(ROUND(quality * 1e9) AS BIGINT) AS qq,
+       |         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(quality * 1e9) AS BIGINT),
+       |                            doc_id) AS rk,
+       |         COUNT(*) OVER () AS n
+       |  FROM scored
+       |)
+       |SELECT ((rk - 1) * 4) // n + 1 AS phase,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(qq) AS DOUBLE) / COUNT(*) / 1e9 AS mean_quality
+       |FROM ranked GROUP BY 1 ORDER BY phase""".stripMargin
+
+  // ---- epoch planning -----------------------------------------------------
+
+  /** Epoch plan for a fixed training-token budget split uniformly across
+    * sources (the data-recipe table in every LLM report: how many full
+    * epochs of each source, plus the fractional remainder, to hit its
+    * share). One per-source token aggregate; the plan is pure integer
+    * arithmetic on that ≤|sources|-row table — up-sampling factors
+    * (epochs > 1) for small sources and down-sampling (0 full epochs,
+    * fractional take) for large ones fall out of the same division.
+    */
+  private val EPOCH_BUDGET = 2000000L
+
+  private def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val nSources = perSource.agg(count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(nSources))
+      .withColumn("target_tokens", expr(s"$EPOCH_BUDGET div n_sources"))
+      .withColumn("full_epochs", expr("target_tokens div n_tokens"))
+      .withColumn("frac_epoch_milli",
+        expr("((target_tokens % n_tokens) * 1000) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("full_epochs"), col("frac_epoch_milli"))
+      .orderBy(col("source"))
+  }
+
+  private def epochPlanSql: String =
+    s"""WITH per_source AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM per_source)
+       |SELECT source, n_docs, n_tokens,
+       |       $EPOCH_BUDGET // n_sources AS target_tokens,
+       |       ($EPOCH_BUDGET // n_sources) // n_tokens AS full_epochs,
+       |       ((($EPOCH_BUDGET // n_sources) % n_tokens) * 1000) // n_tokens
+       |         AS frac_epoch_milli
+       |FROM per_source CROSS JOIN ns
+       |ORDER BY source""".stripMargin
+
   // ---- bloom-prefiltered benchmark decontamination ------------------------
 
   /** Clean-corpus selection by two-phase bloom decontamination: keep only
@@ -494,6 +579,8 @@ object FilterOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("curriculum_phases", curriculumPhases, Some(curriculumPhasesSql)),
+    Q("epoch_plan", epochPlan, Some(epochPlanSql)),
     Q("bloom_decontaminate", bloomDecontaminate, Some(bloomDecontaminateSql)),
     Q("k_anonymity_report", kAnonymityReport, Some(kAnonymityReportSql)),
     Q("corpus_topp_select", corpusToppSelect, Some(corpusToppSelectSql)),

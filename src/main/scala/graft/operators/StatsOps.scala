@@ -1923,14 +1923,21 @@ object StatsOps extends QueryModule {
     * quartile numerators over a denominator of 4).
     */
   private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    Tables.t(s, dir, "lineitem")
+    // cumulative weights through PrefixOps: the per-flag price domain is
+    // data-proportional (nearly one distinct price per row here), so a
+    // flag-partitioned window would still funnel each flag through one
+    // reducer at 100× — the equidepth_histogram lesson. Two-level prefix
+    // sum keeps every stage parallel.
+    val comp = Tables.t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum(col("l_quantity").cast("long")).as("w"))
-      .withColumn("cum", sum(col("w")).over(wCum))
-      .withColumn("tot", sum(col("w")).over(wAll))
+    PrefixOps.withGlobalPrefix(comp,
+      bucketBy = col("l_extendedprice"),
+      order = Seq(col("l_extendedprice")),
+      groupKeys = Seq("l_returnflag"),
+      sums = Seq("w"))
+      .withColumn("cum", col("g_run_w"))
+      .withColumn("tot", col("g_tot_w"))
       .groupBy(col("l_returnflag"))
       .agg(
         max(col("tot")).as("total_weight"),

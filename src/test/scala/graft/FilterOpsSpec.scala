@@ -136,6 +136,49 @@ class FilterOpsSpec extends SparkSpec {
     }
   }
 
+  test("curriculum_phases partitions the ranked corpus into 4 contiguous " +
+      "quality bands whose stats recount") {
+    val q = SparkEntry.queries("quality_score")(spark, sf001)
+      .select($"doc_id", $"n_tokens", $"quality")
+      .as[(Long, Long, Double)].collect()
+    val ranked = q.map { case (id, nt, qual) =>
+      (math.round(qual * 1e9), id, nt)
+    }.sortBy(t => (t._1, t._2))
+    val n = ranked.length
+    val expected = ranked.zipWithIndex.map { case ((qq, _, nt), i) =>
+      (((i.toLong * 4) / n) + 1, qq, nt)
+    }.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.map(_._3).sum,
+        rows.map(_._2).sum.toDouble / rows.length / 1e9)
+    }.toMap
+    val got = SparkEntry.queries("curriculum_phases")(spark, sf001)
+      .select($"phase", $"n_docs", $"total_tokens", $"mean_quality")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    got.foreach { case (p, nd, tt, mq) =>
+      val (en, et, em) = expected(p)
+      assert(nd === en && tt === et, s"phase $p counts")
+      assert(math.abs(mq - em) < 1e-9, s"phase $p mean quality")
+    }
+  }
+
+  test("epoch_plan integer arithmetic recounts and up/down-samples correctly") {
+    val got = SparkEntry.queries("epoch_plan")(spark, sf001)
+      .select($"source", $"n_tokens", $"target_tokens", $"full_epochs",
+        $"frac_epoch_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val budget = 2000000L
+    val nSources = got.length.toLong
+    got.foreach { case (src, nt, target, fe, fm) =>
+      assert(target === budget / nSources, src)
+      assert(fe === target / nt, src)
+      assert(fm === ((target % nt) * 1000) / nt, src)
+      // planned tokens ≈ target within one milli-epoch of one source
+      val planned = fe * nt + fm * nt / 1000
+      assert(planned <= target && target - planned <= nt / 1000 + nt / 500 + 1, src)
+    }
+  }
+
   test("cdc_chunking tiles every document and matches a sequential " +
       "rolling-boundary recompute") {
     val got = SparkEntry.queries("cdc_chunking")(spark, sf001)

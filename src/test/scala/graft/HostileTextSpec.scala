@@ -37,7 +37,8 @@ class HostileTextSpec extends SparkSpec {
     "multimodal_frame_sample", "source_mixture_weights",
     "payload_frame_dup", "cluster_size_histogram", "source_dedup_matrix",
     "jaccard_histogram", "cdc_chunking", "containment_pairs",
-    "bloom_decontaminate", "lang_confusion", "zipf_slope")
+    "bloom_decontaminate", "lang_confusion", "zipf_slope",
+    "curriculum_phases", "epoch_plan")
 
   test("every documents-backed query survives the hostile corpus, twice") {
     docQueries.foreach { name =>
