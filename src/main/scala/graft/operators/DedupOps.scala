@@ -1210,7 +1210,164 @@ object DedupOps extends QueryModule {
        |WHERE i.inter * 1.0 / s.n_sh >= 0.8
        |ORDER BY inner_id, outer_id""".stripMargin
 
+  // ---- Fellegi-Sunter record-linkage scoring ------------------------------
+
+  /** Fellegi-Sunter probabilistic record linkage over the
+    * sorted-neighborhood candidate pairs: each pair gets an agreement
+    * vector over four comparators (same source, same lang, |Δchars| ≤ 10,
+    * simhash hamming ≤ 8) and a log-likelihood match score
+    * Σ ln(m/u) / ln((1−m)/(1−u)) — the classical linkage model, with the
+    * standard match/possible/non-match decision bands at ±2.
+    *
+    * u-probabilities (chance agreement between two RANDOM records) are
+    * estimated from the corpus itself: same-group collision probability
+    * from the source/lang marginals, and the length comparator's u from a
+    * range self-join over the COMPRESSED n_chars histogram (bounded by the
+    * length domain, never by corpus size). m-probabilities are fixed model
+    * constants (the EM fit a production linker would run is out of scope).
+    * Each pair's four log-weights are quantized to 1e-6 longs before the
+    * sum, so the score and the decision bands are bit-deterministic.
+    *
+    * Scale posture: candidates come from the same two-level-prefix-sum
+    * blocking as sorted_neighborhood (W−1 shifted equi-joins, never n²);
+    * the u-stats are a 1-row broadcast; metadata attaches through two
+    * id equi-joins.
+    */
+  private val FS_M = Seq(0.95, 0.9, 0.85, 0.9)
+
+  private def fsTerm(flag: String, m: Double, u: String): String =
+    s"""CASE WHEN $flag THEN
+       |  CAST(ROUND(LN(CAST($m AS DOUBLE) / $u) * 1e6) AS BIGINT)
+       |ELSE
+       |  CAST(ROUND(LN((1 - CAST($m AS DOUBLE)) / (1 - $u)) * 1e6) AS BIGINT)
+       |END""".stripMargin.replaceAll("\n\\s*", " ")
+
+  private def fellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars").cast("long").as("nc"))
+    val ranked = PrefixOps.withGlobalPrefix(
+        simhash(s, dir), col("simhash"),
+        Seq(col("simhash"), col("doc_id")))
+      .select(col("doc_id"), col("simhash"), col("g_rank").as("rk"))
+      .cache()
+    val shifted = (1 until SN_W).map { dd =>
+      ranked.select((col("rk") - dd).as("rk"),
+        col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    }.reduce(_ unionAll _)
+    val pairs = ranked.join(shifted, "rk")
+      .select(
+        least(col("doc_id"), col("b_id")).as("a_id"),
+        greatest(col("doc_id"), col("b_id")).as("b_id"),
+        bit_count(col("simhash").bitwiseXOR(col("b_sim"))).cast("long")
+          .as("hamming"))
+      .distinct()
+    // corpus-estimated u-probabilities, one broadcast row
+    val nRow = d.agg(count(lit(1)).as("nn"))
+    val s2 = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("s2"))
+    val l2 = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("l2"))
+    val hist = d.groupBy(col("nc")).agg(count(lit(1)).as("c"))
+    val len2 = hist.as("h1")
+      .join(broadcast(hist.select(col("nc").as("nc2"), col("c").as("c2"))),
+        abs(col("nc") - col("nc2")) <= 10)
+      .agg(sum(col("c") * col("c2")).as("len2"))
+    val u = nRow.crossJoin(broadcast(s2)).crossJoin(broadcast(l2))
+      .crossJoin(broadcast(len2))
+      .select(
+        expr("(CAST(s2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn)").as("u_src"),
+        expr("(CAST(l2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn)").as("u_lang"),
+        expr("(CAST(len2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn)").as("u_len"),
+        lit(0.05).cast("double").as("u_sim"))
+    val meta = (p: String) => d.select(col("doc_id").as(s"${p}_id"),
+      col("source").as(s"${p}_source"), col("lang").as(s"${p}_lang"),
+      col("nc").as(s"${p}_nc"))
+    val score = Seq(
+      fsTerm("f_src = 1", FS_M(0), "u_src"),
+      fsTerm("f_lang = 1", FS_M(1), "u_lang"),
+      fsTerm("f_len = 1", FS_M(2), "u_len"),
+      fsTerm("f_sim = 1", FS_M(3), "u_sim")).mkString(" + ")
+    pairs
+      .join(meta("a"), "a_id").join(meta("b"), "b_id")
+      .crossJoin(broadcast(u))
+      .withColumn("f_src", (col("a_source") === col("b_source")).cast("long"))
+      .withColumn("f_lang", (col("a_lang") === col("b_lang")).cast("long"))
+      .withColumn("f_len", (abs(col("a_nc") - col("b_nc")) <= 10).cast("long"))
+      .withColumn("f_sim", (col("hamming") <= 8).cast("long"))
+      .withColumn("score", expr(s"CAST($score AS DOUBLE) / 1e6"))
+      .withColumn("verdict",
+        when(col("score") >= 2.0, "match")
+          .when(col("score") <= -2.0, "non_match")
+          .otherwise("possible"))
+      .select(col("a_id"), col("b_id"), col("f_src"), col("f_lang"),
+        col("f_len"), col("f_sim"), col("score"), col("verdict"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def fellegiSunterSql: String = {
+    val shifts = (1 until SN_W).map(d =>
+      s"SELECT rk - $d AS rk, doc_id AS b_id, simhash AS b_sim FROM ranked")
+      .mkString("\n  UNION ALL ")
+    val score = Seq(
+      fsTerm("f_src = 1", FS_M(0), "u_src"),
+      fsTerm("f_lang = 1", FS_M(1), "u_lang"),
+      fsTerm("f_len = 1", FS_M(2), "u_len"),
+      fsTerm("f_sim = 1", FS_M(3), "u_sim")).mkString(" + ")
+    s"""WITH sig AS ($simhashSql),
+       |ranked AS (
+       |  SELECT doc_id, simhash,
+       |         ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS rk
+       |  FROM sig
+       |), shifted AS (
+       |  $shifts
+       |), pairs AS (
+       |  SELECT DISTINCT
+       |    LEAST(r.doc_id, s.b_id) AS a_id,
+       |    GREATEST(r.doc_id, s.b_id) AS b_id,
+       |    CAST(bit_count(xor(r.simhash, s.b_sim)) AS BIGINT) AS hamming
+       |  FROM ranked r JOIN shifted s USING (rk)
+       |), d AS (
+       |  SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS nc
+       |  FROM documents
+       |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+       |s2 AS (SELECT CAST(SUM(c*c) AS BIGINT) AS s2 FROM
+       |       (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY source)),
+       |l2 AS (SELECT CAST(SUM(c*c) AS BIGINT) AS l2 FROM
+       |       (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY lang)),
+       |hist AS (SELECT nc, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY nc),
+       |len2 AS (
+       |  SELECT CAST(SUM(h1.c * h2.c) AS BIGINT) AS len2
+       |  FROM hist h1 JOIN hist h2 ON ABS(h1.nc - h2.nc) <= 10
+       |), u AS (
+       |  SELECT
+       |    (CAST(s2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn) AS u_src,
+       |    (CAST(l2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn) AS u_lang,
+       |    (CAST(len2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn) AS u_len,
+       |    CAST(0.05 AS DOUBLE) AS u_sim
+       |  FROM nn, s2, l2, len2
+       |), feat AS (
+       |  SELECT p.a_id, p.b_id,
+       |    CAST(a.source = b.source AS BIGINT) AS f_src,
+       |    CAST(a.lang = b.lang AS BIGINT) AS f_lang,
+       |    CAST(ABS(a.nc - b.nc) <= 10 AS BIGINT) AS f_len,
+       |    CAST(p.hamming <= 8 AS BIGINT) AS f_sim,
+       |    u_src, u_lang, u_len, u_sim
+       |  FROM pairs p
+       |  JOIN d a ON a.doc_id = p.a_id
+       |  JOIN d b ON b.doc_id = p.b_id
+       |  CROSS JOIN u
+       |)
+       |SELECT a_id, b_id, f_src, f_lang, f_len, f_sim,
+       |  CAST($score AS DOUBLE) / 1e6 AS score,
+       |  CASE WHEN CAST($score AS DOUBLE) / 1e6 >= 2.0 THEN 'match'
+       |       WHEN CAST($score AS DOUBLE) / 1e6 <= -2.0 THEN 'non_match'
+       |       ELSE 'possible' END AS verdict
+       |FROM feat
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("fellegi_sunter", fellegiSunter, Some(fellegiSunterSql)),
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     Q("clustering_coefficient", clusteringCoefficient,

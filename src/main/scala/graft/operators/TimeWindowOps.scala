@@ -714,6 +714,50 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Seasonal-adjusted anomaly days: the seasonal_dow residual series
+    * z-scored per event type against its own exact-moment mean/σ, reporting
+    * days beyond |z| > 2 — the "this Tuesday was NOT a normal Tuesday"
+    * readout a raw-value z-score misses on weekly-cyclic metrics. One
+    * per-type stats aggregate (DECIMAL carrier) broadcast back over the
+    * calendar-bounded daily table; z is assembled in DOUBLE from exact
+    * integers with identical expression text in both engines, so the
+    * |z| > 2 cut is deterministic.
+    */
+  private def seasonalOutliers(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val resid = seasonalDow(s, dir)
+    val stats = resid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("residual_micro").cast(dec)).as("sr"),
+        sum((col("residual_micro") * col("residual_micro")).cast(dec)).as("srr"))
+    resid.join(broadcast(stats), "event_type")
+      .withColumn("z", expr(
+        """(CAST(residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n)
+           / sqrt(CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))"""
+          .replaceAll("\n\\s*", " ")))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("day"), col("mean_micro"),
+        col("seasonal_micro"), col("residual_micro"), col("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private def seasonalOutliersSql(dowSql: String): String =
+    s"""WITH resid AS (
+       |${dowSql.replace("ORDER BY d.event_type, d.day", "")}
+       |), stats AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |         SUM(residual_micro) AS sr,
+       |         SUM(residual_micro * residual_micro) AS srr
+       |  FROM resid GROUP BY event_type
+       |)
+       |SELECT r.event_type, r.day, r.mean_micro, r.seasonal_micro,
+       |       r.residual_micro,
+       |       (CAST(r.residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n) / sqrt(CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))
+       |         AS z
+       |FROM resid r JOIN stats s ON r.event_type = s.event_type
+       |WHERE ABS((CAST(r.residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n) / sqrt(CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))) > 2
+       |ORDER BY r.event_type, r.day""".stripMargin
+
   private val seasonalDowSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
@@ -818,6 +862,7 @@ object TimeWindowOps extends QueryModule {
     Q("max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
     Q("time_to_conversion", timeToConversion, Some(timeToConversionSql)),
     Q("seasonal_dow", seasonalDow, Some(seasonalDowSql)),
+    Q("seasonal_outliers", seasonalOutliers, Some(seasonalOutliersSql(seasonalDowSql))),
     Q("acf_daily", acfDaily, Some(
       """WITH per_day AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x

@@ -34,6 +34,70 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("fellegi_sunter: agreement flags recount from metadata, scores are " +
+      "the quantized log-weight sums, bands partition the pairs") {
+    val meta = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val nn = meta.size.toDouble
+    def coll(f: ((Long, String, String, Long)) => Any): Double = {
+      val s2 = meta.values.groupBy(f).values.map(g => g.size.toLong * g.size).sum
+      (s2 - nn) / (nn * nn - nn)
+    }
+    val uSrc = coll(_._2)
+    val uLang = coll(_._3)
+    val uLen = {
+      val byLen = meta.values.groupBy(_._4).view.mapValues(_.size.toLong)
+      val s = (for ((c1, n1) <- byLen; (c2, n2) <- byLen
+        if math.abs(c1 - c2) <= 10) yield n1 * n2).sum
+      (s - nn) / (nn * nn - nn)
+    }
+    val ms = Seq(0.95, 0.9, 0.85, 0.9)
+    val us = Seq(uSrc, uLang, uLen, 0.05)
+    def w(agree: Boolean, i: Int): Long =
+      if (agree) math.round(math.log(ms(i) / us(i)) * 1e6)
+      else math.round(math.log((1 - ms(i)) / (1 - us(i))) * 1e6)
+    val got = SparkEntry.queries("fellegi_sunter")(spark, sf001)
+      .select($"a_id", $"b_id", $"f_src", $"f_lang", $"f_len", $"f_sim",
+        $"score", $"verdict")
+      .as[(Long, Long, Long, Long, Long, Long, Double, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, fs, fl, fn, fm, score, verdict) =>
+      val (ma, mb) = (meta(a), meta(b))
+      assert(fs === (if (ma._2 == mb._2) 1L else 0L), s"f_src $a-$b")
+      assert(fl === (if (ma._3 == mb._3) 1L else 0L), s"f_lang $a-$b")
+      assert(fn === (if (math.abs(ma._4 - mb._4) <= 10) 1L else 0L), s"f_len $a-$b")
+      val exp = (w(fs == 1, 0) + w(fl == 1, 1) + w(fn == 1, 2) + w(fm == 1, 3)) / 1e6
+      assert(math.abs(score - exp) < 1e-9, s"score $a-$b: $score vs $exp")
+      val band = if (score >= 2.0) "match"
+        else if (score <= -2.0) "non_match" else "possible"
+      assert(verdict === band)
+    }
+  }
+
+  test("seasonal_outliers are exactly the |z| > 2 residual days of " +
+      "seasonal_dow") {
+    val resid = SparkEntry.queries("seasonal_dow")(spark, sf001)
+      .select($"event_type", $"day", $"residual_micro")
+      .as[(String, java.sql.Date, Long)].collect()
+    val stats = resid.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.length.toDouble
+      val sr = rows.map(_._3).sum.toDouble
+      val srr = rows.map(r => r._3 * r._3).sum.toDouble
+      (n, sr / n, srr / n - (sr / n) * (sr / n))
+    }.toMap
+    val expected = resid.filter { case (et, _, r) =>
+      val (_, mean, v) = stats(et)
+      math.abs((r - mean) / math.sqrt(v)) > 2.0
+    }.map(t => (t._1, t._2.toString)).toSet
+    val got = SparkEntry.queries("seasonal_outliers")(spark, sf001)
+      .select($"event_type", $"day", $"z")
+      .as[(String, java.sql.Date, Double)].collect()
+    assert(got.map(t => (t._1, t._2.toString)).toSet === expected)
+    got.foreach { case (_, _, z) => assert(math.abs(z) > 2.0) }
+  }
+
   test("kaplan_meier: at-risk counts telescope, hazards recount, curve " +
       "is non-increasing") {
     val rows = SparkEntry.queries("kaplan_meier")(spark, sf001)

@@ -116,6 +116,9 @@ class PlanShapeSpec extends SparkSpec {
       "quantile_normalize", // 1-row pool-size broadcast + PrefixOps min/max
       "clustering_agreement", // 1-row Rand-term aggregates cross-broadcast
       "sorted_neighborhood", // PrefixOps 1-row min/max broadcast
+      // PrefixOps broadcast + n_chars-histogram range self-join (bounded by
+      // the length domain) + 1-row u-probability broadcast
+      "fellegi_sunter",
       "emd_pairwise", // |types|-row broadcast to densify the value grid
       "percent_of_parent", // 1-row grand-total broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
@@ -128,7 +131,8 @@ class PlanShapeSpec extends SparkSpec {
       "kaplan_meier", // 1-row observation-window-end broadcast
       "dedup_impact_report", // three 1-row report aggregates crossed
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
-      "customer_rfm", "supplier_pareto", "vocab_growth")
+      "customer_rfm", "supplier_pareto", "vocab_growth", "curriculum_phases",
+      "epoch_plan") // 1-row source-count broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
