@@ -587,7 +587,66 @@ object AdvancedOps extends QueryModule {
       |  FROM orders WHERE o_totalprice <= 0.0
       |) ORDER BY check_name""".stripMargin
 
+  /** Snapshot diff (time travel): the per-user as-of state (last event type
+    * by (ts, event_id)) at two snapshot times, full-outer-joined and
+    * classified added / changed / unchanged — the "what moved between
+    * yesterday's and today's snapshot" readout a lakehouse time-travel
+    * audit produces. Each as-of state is one user-partitioned window over
+    * the time-pruned scan (the predicate pushes to the scan, so the T1
+    * side reads only its half of the data); the diff is a single user-key
+    * equi-join. Append-only input means no 'removed' class; the classifier
+    * still emits it so schema-stable consumers see the full enum.
+    */
+  private val SNAP_T1 = "2024-01-15"
+
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def asOf(upTo: Option[String], p: String): DataFrame = {
+      val base = upTo.foldLeft(events(s, dir))((d, t) =>
+        d.filter(col("ts") <= lit(t).cast("timestamp")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as(s"${p}_type"))
+    }
+    asOf(Some(SNAP_T1), "t1")
+      .join(asOf(None, "t2"), Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("t1_type").isNull, "added")
+          .when(col("t2_type").isNull, "removed")
+          .when(col("t1_type") =!= col("t2_type"), "changed")
+          .otherwise("unchanged"))
+      .select(col("user_id"), col("t1_type"), col("t2_type"), col("status"))
+      .orderBy(col("user_id"))
+  }
+
+  private def snapshotDiffSql: String =
+    s"""WITH t1 AS (
+       |  SELECT user_id, event_type AS t1_type FROM (
+       |    SELECT user_id, event_type,
+       |           ROW_NUMBER() OVER (PARTITION BY user_id
+       |             ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$SNAP_T1 00:00:00')
+       |  WHERE rn = 1
+       |), t2 AS (
+       |  SELECT user_id, event_type AS t2_type FROM (
+       |    SELECT user_id, event_type,
+       |           ROW_NUMBER() OVER (PARTITION BY user_id
+       |             ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events)
+       |  WHERE rn = 1
+       |)
+       |SELECT COALESCE(t1.user_id, t2.user_id) AS user_id, t1_type, t2_type,
+       |  CASE WHEN t1_type IS NULL THEN 'added'
+       |       WHEN t2_type IS NULL THEN 'removed'
+       |       WHEN t1_type <> t2_type THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+       |ORDER BY user_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("data_quality_report", dataQualityReport, Some(dataQualityReportSql)),
     Q("zorder_key", zorderKey, Some(zorderKeySql)),

@@ -2146,7 +2146,103 @@ object StatsOps extends QueryModule {
       |        / 1e12) AS abs_dev
       |FROM g ORDER BY digit""".stripMargin
 
+  /** CUPED variance-reduced A/B readout: per-user pre-period (days ≤ 15)
+    * and post-period value sums, md5-hash arms, pooled
+    * θ = cov(pre, post)/var(pre), adjusted metric
+    * adj = post − θ·(pre − mean(pre)) — the standard experimentation
+    * technique that shrinks metric variance using pre-experiment behaviour.
+    * Reports per arm: n, raw and adjusted means, raw and adjusted
+    * variances, and the variance-reduction fraction.
+    *
+    * Determinism: per-user sums are exact micro longs; θ and mean(pre)
+    * come from one 1-row broadcast of DECIMAL-exact moment sums assembled
+    * in DOUBLE with identical expression text; each user's adj is
+    * RE-QUANTIZED to a micro long before the per-arm sums, so arm
+    * aggregates stay order-free; the final variance assembly repeats the
+    * identical-text pattern. Two shuffles total (user agg, arm agg).
+    */
+  private def cupedLift(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val arm = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(2L))
+    val perUser = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(to_date(col("ts")) <= lit("2024-01-15"),
+          round(col("value") * 1e6).cast("long")).otherwise(0L)).as("pre"),
+        sum(when(to_date(col("ts")) > lit("2024-01-15"),
+          round(col("value") * 1e6).cast("long")).otherwise(0L)).as("post"))
+      .withColumn("arm", arm)
+    val theta = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("pre").cast(dec)).as("sx"),
+      sum(col("post").cast(dec)).as("sy"),
+      sum((col("pre").cast(dec) * col("pre").cast(dec))).as("sxx"),
+      sum((col("pre").cast(dec) * col("post").cast(dec))).as("sxy"))
+    val adj = perUser.crossJoin(broadcast(theta))
+      .withColumn("adjq", round(expr(
+        """CAST(post AS DOUBLE)
+           - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+             * (CAST(pre AS DOUBLE) - CAST(sx AS DOUBLE)/n)"""
+          .replaceAll("\n\\s*", " "))).cast("long"))
+    adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_arm"),
+        sum(col("post").cast(dec)).as("ay"),
+        sum((col("post").cast(dec) * col("post").cast(dec))).as("ayy"),
+        sum(col("adjq").cast(dec)).as("aj"),
+        sum((col("adjq").cast(dec) * col("adjq").cast(dec))).as("ajj"))
+      .select(col("arm"), col("n_arm"),
+        expr("CAST(ay AS DOUBLE)/n_arm/1e6").as("mean_post"),
+        expr("CAST(aj AS DOUBLE)/n_arm/1e6").as("mean_adj"),
+        expr("""(CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm)) / 1e12""")
+          .as("var_post"),
+        expr("""(CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / 1e12""")
+          .as("var_adj"),
+        expr("""1 - (CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / (CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm))""")
+          .as("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  private def cupedLiftSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+      |      THEN CAST(ROUND(value * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+      |    CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+      |      THEN CAST(ROUND(value * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS post,
+      |    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS BIGINT) AS arm
+      |  FROM events GROUP BY user_id
+      |), theta AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(pre AS HUGEINT)) AS sx, SUM(CAST(post AS HUGEINT)) AS sy,
+      |    SUM(CAST(pre AS HUGEINT) * pre) AS sxx,
+      |    SUM(CAST(pre AS HUGEINT) * post) AS sxy
+      |  FROM per_user
+      |), adj AS (
+      |  SELECT arm, post,
+      |    CAST(ROUND(CAST(post AS DOUBLE) - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) * (CAST(pre AS DOUBLE) - CAST(sx AS DOUBLE)/n)) AS BIGINT) AS adjq
+      |  FROM per_user CROSS JOIN theta
+      |), arms AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+      |    SUM(CAST(post AS HUGEINT)) AS ay,
+      |    SUM(CAST(post AS HUGEINT) * post) AS ayy,
+      |    SUM(CAST(adjq AS HUGEINT)) AS aj,
+      |    SUM(CAST(adjq AS HUGEINT) * adjq) AS ajj
+      |  FROM adj GROUP BY arm
+      |)
+      |SELECT arm, n_arm,
+      |  CAST(ay AS DOUBLE)/n_arm/1e6 AS mean_post,
+      |  CAST(aj AS DOUBLE)/n_arm/1e6 AS mean_adj,
+      |  (CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm)) / 1e12 AS var_post,
+      |  (CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / 1e12 AS var_adj,
+      |  1 - (CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / (CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm)) AS var_reduction
+      |FROM arms ORDER BY arm""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("cuped_lift", cupedLift, Some(cupedLiftSql)),
     Q("moments_by_type", momentsByType, Some(momentsByTypeSql)),
     Q("benford_digits", benfordDigits, Some(benfordDigitsSql)),
     Q("kaplan_meier", kaplanMeier, Some(kaplanMeierSql)),

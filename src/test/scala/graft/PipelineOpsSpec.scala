@@ -34,6 +34,76 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot_diff classifies every user against an independent as-of " +
+      "recompute") {
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val t1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    def stateAt(cut: Option[java.sql.Timestamp]): Map[Long, String] =
+      ev.filter(e => cut.forall(c => !e._2.after(c)))
+        .groupBy(_._1).view.mapValues(
+          _.maxBy(e => (e._2.getTime, e._3))._4).toMap
+    val (s1, s2) = (stateAt(Some(t1)), stateAt(None))
+    val got = SparkEntry.queries("snapshot_diff")(spark, sf001)
+      .select($"user_id", $"status").as[(Long, String)].collect().toMap
+    assert(got.keySet === s2.keySet)
+    got.foreach { case (u, st) =>
+      val expected = (s1.get(u), s2.get(u)) match {
+        case (None, Some(_)) => "added"
+        case (Some(a), Some(b)) if a != b => "changed"
+        case _ => "unchanged"
+      }
+      assert(st === expected, s"user $u")
+    }
+  }
+
+  test("cuped_lift: theta shrinks variance exactly as the plain-Scala " +
+      "recompute says, arms partition the users") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.t(spark, sf001, "events")
+      .select($"user_id", to_date($"ts").as("d"), $"value")
+      .as[(Long, java.sql.Date, Double)].collect()
+    val cut = java.time.LocalDate.parse("2024-01-15")
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      val pre = rows.filter(!_._2.toLocalDate.isAfter(cut))
+        .map(r => math.round(r._3 * 1e6)).sum
+      val post = rows.filter(_._2.toLocalDate.isAfter(cut))
+        .map(r => math.round(r._3 * 1e6)).sum
+      val arm = java.lang.Long.parseLong(md5hex(u.toString).take(15), 16) % 2
+      (arm, pre, post)
+    }.toSeq
+    val n = perUser.size.toDouble
+    val sx = perUser.map(_._2).sum.toDouble
+    val sy = perUser.map(_._3).sum.toDouble
+    val sxx = perUser.map(t => BigInt(t._2) * BigInt(t._2)).sum.toDouble
+    val sxy = perUser.map(t => BigInt(t._2) * BigInt(t._3)).sum.toDouble
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val got = SparkEntry.queries("cuped_lift")(spark, sf001)
+      .select($"arm", $"n_arm", $"mean_adj", $"var_post", $"var_adj")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._2).sum === perUser.size)
+    got.foreach { case (arm, nArm, meanAdj, varPost, varAdj) =>
+      val rows = perUser.filter(_._1 == arm)
+      assert(nArm === rows.size)
+      val adjq = rows.map { case (_, pre, post) =>
+        math.round(post.toDouble - theta * (pre.toDouble - sx / n))
+      }
+      val na = adjq.size.toDouble
+      val meanA = adjq.sum.toDouble / na / 1e6
+      assert(math.abs(meanAdj - meanA) < 1e-6, s"arm $arm mean_adj")
+      val varA = (adjq.map(a => BigInt(a) * BigInt(a)).sum.toDouble / na
+        - (adjq.sum.toDouble / na) * (adjq.sum.toDouble / na)) / 1e12
+      assert(math.abs(varAdj - varA) / varA < 1e-9, s"arm $arm var_adj")
+      val posts = rows.map(_._3)
+      val varP = (posts.map(p => BigInt(p) * BigInt(p)).sum.toDouble / na
+        - (posts.sum.toDouble / na) * (posts.sum.toDouble / na)) / 1e12
+      assert(math.abs(varPost - varP) / varP < 1e-9, s"arm $arm var_post")
+    }
+  }
+
   test("fellegi_sunter: agreement flags recount from metadata, scores are " +
       "the quantized log-weight sums, bands partition the pairs") {
     val meta = Tables.t(spark, sf001, "documents")

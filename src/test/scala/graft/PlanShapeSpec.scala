@@ -132,7 +132,8 @@ class PlanShapeSpec extends SparkSpec {
       "dedup_impact_report", // three 1-row report aggregates crossed
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth", "curriculum_phases",
-      "epoch_plan") // 1-row source-count broadcast
+      "epoch_plan", // 1-row source-count broadcast
+      "cuped_lift") // 1-row pooled-theta moment broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
