@@ -888,6 +888,120 @@ object RelationalOps extends QueryModule {
       |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision_at_1
       |FROM scored""".stripMargin
 
+  /** Recommender ranking quality — NDCG@3 of the co-occurrence recommender
+    * over the same md5-deterministic train/held-out split as
+    * [[recsysPrecisionEval]] (which only scores the top-1 hit; NDCG grades
+    * the whole ranked list with graded position discounts). Per test
+    * (basket, part): top-3 co-parts ranked (count desc, id asc), binary
+    * relevance = "rec is in the basket", DCG = Σ hit_i · w_i with the
+    * 1/log2(i+1) discounts PRE-QUANTIZED to the micro literals
+    * {1000000, 630930, 500000} (libm log2 is not correctly rounded across
+    * engines — baking the three constants removes the only inexact
+    * ingredient), IDCG from the capped relevant count, and per-pair NDCG
+    * quantized before the order-free long sum. Three hash joins + two hash
+    * aggregates; ranking state is bounded by rn ≤ 3 pre-shuffle.
+    */
+  private def recsysNdcgEval(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(5L))
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("is_test", bucket === 0L)
+      .cache()
+    val train = baskets.filter(!col("is_test"))
+    val pairs = train.as("a").join(train.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("p")).orderBy(col("c").desc, col("q"))
+    val recs = pairs.withColumn("i", row_number().over(w))
+      .filter(col("i") <= 3)
+      .select(col("p"), col("q").as("rec"), col("i"))
+    val test = baskets.filter(col("is_test"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val sizes = test.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("long").as("bsz"))
+    val wI = when(col("i") === 1, 1000000L)
+      .when(col("i") === 2, 630930L).otherwise(500000L)
+    val perPair = test.join(recs, test("l_partkey") === recs("p"))
+      .select(col("l_orderkey"), col("l_partkey"), col("rec"), col("i"))
+      .join(test.select(col("l_orderkey"), col("l_partkey").as("rec"))
+          .withColumn("hit", lit(1L)),
+        Seq("l_orderkey", "rec"), "left")
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum(coalesce(col("hit"), lit(0L)) * wI).cast("long").as("dcg_micro"))
+      .join(sizes, "l_orderkey")
+      .withColumn("r", least(col("bsz") - 1L, lit(3L)))
+      .filter(col("r") >= 1L)
+      .withColumn("idcg_micro",
+        when(col("r") === 1, 1000000L).when(col("r") === 2, 1630930L)
+          .otherwise(2130930L))
+      .withColumn("ndcg_micro",
+        round(col("dcg_micro").cast("double") /
+          col("idcg_micro").cast("double") * 1e6).cast("long"))
+    perPair.agg(
+      countDistinct(col("l_orderkey")).cast("long").as("n_test_baskets"),
+      count(lit(1)).cast("long").as("n_evaluable"),
+      sum(col("ndcg_micro")).cast("long").as("sum_ndcg_micro"))
+      .withColumn("mean_ndcg",
+        col("sum_ndcg_micro").cast("double") /
+          col("n_evaluable").cast("double") / 1e6)
+  }
+
+  private val recsysNdcgEvalSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey,
+      |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      |         AS BIGINT) % 5 = 0 AS is_test
+      |  FROM lineitem
+      |), train AS (
+      |  SELECT l_orderkey, l_partkey FROM baskets WHERE NOT is_test
+      |), pairs AS (
+      |  SELECT a.l_partkey AS p, b.l_partkey AS q,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM train a JOIN train b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2
+      |), recs AS (
+      |  SELECT p, q AS rec, i FROM (
+      |    SELECT p, q, ROW_NUMBER() OVER (PARTITION BY p
+      |                                    ORDER BY c DESC, q) AS i
+      |    FROM pairs)
+      |  WHERE i <= 3
+      |), test AS (
+      |  SELECT l_orderkey, l_partkey FROM baskets WHERE is_test
+      |), sizes AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS bsz
+      |  FROM test GROUP BY 1
+      |), per_pair AS (
+      |  SELECT t.l_orderkey, t.l_partkey,
+      |    CAST(SUM((CASE WHEN h.l_partkey IS NOT NULL THEN 1 ELSE 0 END) *
+      |      (CASE r.i WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+      |                ELSE 500000 END)) AS BIGINT) AS dcg_micro
+      |  FROM test t
+      |  JOIN recs r ON t.l_partkey = r.p
+      |  LEFT JOIN test h ON h.l_orderkey = t.l_orderkey
+      |                  AND h.l_partkey = r.rec
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT p.l_orderkey, p.l_partkey, p.dcg_micro,
+      |    CASE LEAST(s.bsz - 1, 3) WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+      |         ELSE 2130930 END AS idcg_micro
+      |  FROM per_pair p JOIN sizes s ON p.l_orderkey = s.l_orderkey
+      |  WHERE s.bsz >= 2
+      |)
+      |SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_test_baskets,
+      |  CAST(COUNT(*) AS BIGINT) AS n_evaluable,
+      |  CAST(SUM(CAST(ROUND(CAST(dcg_micro AS DOUBLE) /
+      |    CAST(idcg_micro AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+      |    AS sum_ndcg_micro,
+      |  CAST(SUM(CAST(ROUND(CAST(dcg_micro AS DOUBLE) /
+      |    CAST(idcg_micro AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_ndcg
+      |FROM scored""".stripMargin
+
   /** Community detection by synchronous label propagation (2 rounds) over
     * the undirected co-purchase part graph: every node starts as its own
     * label; each round it adopts the MODAL label among its neighbors
@@ -1821,6 +1935,7 @@ object RelationalOps extends QueryModule {
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("label_propagation", labelPropagation, Some(labelPropagationSql)),
     Q("recsys_precision_eval", recsysPrecisionEval, Some(recsysPrecisionEvalSql)),
+    Q("recsys_ndcg_eval", recsysNdcgEval, Some(recsysNdcgEvalSql)),
     Q("degree_distribution", degreeDistribution, Some(degreeDistributionSql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),

@@ -2241,7 +2241,236 @@ object StatsOps extends QueryModule {
       |  1 - (CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / (CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm)) AS var_reduction
       |FROM arms ORDER BY arm""".stripMargin
 
+  /** Two-sample Kolmogorov-Smirnov test: click vs view `value`
+    * distributions. D = max |F_a(x) − F_b(x)| over the MERGED value
+    * domain, evaluated exactly: both empirical CDFs are integer
+    * cumulative counts over the compressed (distinct-vm) domain via
+    * [[PrefixOps]] (one two-level prefix pass carries BOTH running sums —
+    * no unpartitioned window), and the max gap is taken on the
+    * cross-multiplied integer |cum_a·n_b − cum_b·n_a| so no division
+    * happens until the single final row. The α=0.05 decision compares
+    * against the asymptotic critical value c(α)·sqrt((n_a+n_b)/(n_a·n_b))
+    * — one sqrt on identical inputs, bit-equal across engines. Carrier
+    * bound: cum·n stays int64 to ~3e9 rows per sample; past that the d38
+    * carrier pattern applies.
+    */
+  private def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view") &&
+        col("value").isNotNull)
+      .select(round(col("value") * 1e6).cast("long").as("vm"),
+        (col("event_type") === "click").as("is_a"))
+    val grp = ev.groupBy(col("vm")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).cast("long").as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).cast("long").as("cb"))
+    val pfx = PrefixOps.withGlobalPrefix(grp, col("vm"), Seq(col("vm")),
+      sums = Seq("ca", "cb"))
+    val tot = grp.agg(sum(col("ca")).cast("long").as("n_a"),
+      sum(col("cb")).cast("long").as("n_b"))
+    val agg = pfx.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("g_run_ca") * col("n_b") - col("g_run_cb") * col("n_a")))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("gap")).cast("long").as("d_num"))
+    val d = col("d_num").cast("double") /
+      (col("n_a") * col("n_b")).cast("double")
+    agg
+      .withColumn("d_micro", round(d * 1e6).cast("long"))
+      .withColumn("reject_05",
+        d > lit(1.3581015) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")))
+  }
+
+  private val ksTestSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ROUND(value * 1e6) AS BIGINT) AS vm,
+      |    event_type = 'click' AS is_a
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      |), grp AS (
+      |  SELECT vm,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM ev GROUP BY 1
+      |), pfx AS (
+      |  SELECT vm,
+      |    CAST(SUM(ca) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS cum_b
+      |  FROM grp
+      |), tot AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+      |         CAST(SUM(cb) AS BIGINT) AS n_b
+      |  FROM grp
+      |), agg AS (
+      |  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+      |    CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+      |  FROM pfx CROSS JOIN tot
+      |)
+      |SELECT n_a, n_b, d_num,
+      |  CAST(ROUND(CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) * 1e6)
+      |       AS BIGINT) AS d_micro,
+      |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) >
+      |    1.3581015 * SQRT(CAST(n_a + n_b AS DOUBLE) /
+      |                     CAST(n_a * n_b AS DOUBLE)) AS reject_05
+      |FROM agg""".stripMargin
+
+  /** Welch's unequal-variance t-test, each event type vs the rest of the
+    * corpus (the robust default when arm sizes/variances differ — unlike
+    * Student's t it does not pool). One partial-agg pass collects exact
+    * micro-quantized power sums per type on the d38 carrier; the
+    * complement arm is total − type (exact integer algebra on the
+    * broadcast single-row global), so the corpus is read once. t and the
+    * Welch–Satterthwaite df assemble in doubles from exact int128 moments
+    * with the identical expression tree on both engines, then quantize.
+    */
+  private def welchTtest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 1e6).cast("long").as("vm"))
+    val per = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n_x"),
+      sum(d38(col("vm"))).as("s_x"),
+      sum(d38(col("vm")) * d38(col("vm"))).as("q_x"))
+    val tot = per.agg(sum(col("n_x")).cast("long").as("n"),
+      sum(col("s_x")).as("s"), sum(col("q_x")).as("q"))
+    val nxD = col("n_x").cast("double")
+    val nyD = col("n_y").cast("double")
+    val sxD = col("s_x").cast("double")
+    val syD = col("s_y").cast("double")
+    val qxD = col("q_x").cast("double")
+    val qyD = col("q_y").cast("double")
+    val vx = (qxD - sxD * sxD / nxD) / (nxD - lit(1.0))
+    val vy = (qyD - syD * syD / nyD) / (nyD - lit(1.0))
+    val sse = vx / nxD + vy / nyD
+    val tStat = (sxD / nxD - syD / nyD) / sqrt(sse)
+    val dfW = sse * sse /
+      ((vx / nxD) * (vx / nxD) / (nxD - lit(1.0)) +
+        (vy / nyD) * (vy / nyD) / (nyD - lit(1.0)))
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_y", col("n") - col("n_x"))
+      .withColumn("s_y", col("s") - col("s_x"))
+      .withColumn("q_y", col("q") - col("q_x"))
+      .select(col("event_type"), col("n_x"), col("n_y"),
+        round(tStat * 1e6).cast("long").as("t_micro"),
+        round(dfW * 1e3).cast("long").as("df_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  private val welchTtestSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 1e6) AS BIGINT) AS vm
+      |  FROM events WHERE value IS NOT NULL
+      |), per AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_x,
+      |    SUM(CAST(vm AS HUGEINT)) AS s_x,
+      |    SUM(CAST(vm AS HUGEINT) * vm) AS q_x
+      |  FROM ev GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(n_x) AS BIGINT) AS n, SUM(s_x) AS s, SUM(q_x) AS q
+      |  FROM per
+      |), arms AS (
+      |  SELECT event_type, n_x, n - n_x AS n_y,
+      |    s_x, s - s_x AS s_y, q_x, q - q_x AS q_y
+      |  FROM per CROSS JOIN tot
+      |), assembled AS (
+      |  SELECT event_type, n_x, n_y,
+      |    (CAST(q_x AS DOUBLE) -
+      |      CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) / CAST(n_x AS DOUBLE))
+      |      / (CAST(n_x AS DOUBLE) - 1.0) AS vx,
+      |    (CAST(q_y AS DOUBLE) -
+      |      CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) / CAST(n_y AS DOUBLE))
+      |      / (CAST(n_y AS DOUBLE) - 1.0) AS vy,
+      |    CAST(s_x AS DOUBLE) / CAST(n_x AS DOUBLE) AS mx,
+      |    CAST(s_y AS DOUBLE) / CAST(n_y AS DOUBLE) AS my
+      |  FROM arms
+      |)
+      |SELECT event_type, n_x, n_y,
+      |  CAST(ROUND((mx - my) /
+      |    SQRT(vx / CAST(n_x AS DOUBLE) + vy / CAST(n_y AS DOUBLE)) * 1e6)
+      |    AS BIGINT) AS t_micro,
+      |  CAST(ROUND(
+      |    (vx / CAST(n_x AS DOUBLE) + vy / CAST(n_y AS DOUBLE)) *
+      |    (vx / CAST(n_x AS DOUBLE) + vy / CAST(n_y AS DOUBLE)) /
+      |    ((vx / CAST(n_x AS DOUBLE)) * (vx / CAST(n_x AS DOUBLE)) /
+      |       (CAST(n_x AS DOUBLE) - 1.0) +
+      |     (vy / CAST(n_y AS DOUBLE)) * (vy / CAST(n_y AS DOUBLE)) /
+      |       (CAST(n_y AS DOUBLE) - 1.0)) * 1e3)
+      |    AS BIGINT) AS df_milli
+      |FROM assembled ORDER BY event_type""".stripMargin
+
+  /** Hellinger distance of each day's event-type mix vs the day-1
+    * baseline — the bounded-[0,1] categorical-drift complement to
+    * [[psiDrift]]'s value-decile PSI (PSI needs ln and blows up on empty
+    * buckets; Hellinger is sqrt-only — every operation correctly rounded
+    * in IEEE — and handles zero cells exactly). The grid is days ×
+    * broadcast type list, so types absent on a day still contribute their
+    * (√0 − √q)² mass; per-cell terms quantize to picos before the
+    * order-free long sum, and the final sqrt runs on that exact integer.
+    */
+  private def hellingerDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val types = counts.select(col("event_type")).distinct()
+    val days = counts.groupBy(col("day")).agg(sum(col("c")).cast("long").as("nd"))
+    val base = counts.filter(col("day") === lit("2024-01-01").cast("date"))
+      .select(col("event_type"), col("c").as("qc"))
+    val baseTot = base.agg(sum(col("qc")).cast("long").as("nq"))
+    val diff = sqrt(col("c").cast("double") / col("nd").cast("double")) -
+      sqrt(col("qc").cast("double") / col("nq").cast("double"))
+    days.crossJoin(broadcast(types))
+      .join(counts, Seq("day", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(broadcast(base), Seq("event_type"), "left")
+      .withColumn("qc", coalesce(col("qc"), lit(0L)))
+      .crossJoin(broadcast(baseTot))
+      .withColumn("term_pico", round(diff * diff * 1e12).cast("long"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("c") > 0L, 1L).otherwise(0L)).cast("long").as("n_types"),
+        sum(col("term_pico")).cast("long").as("h2_pico"))
+      .withColumn("hellinger",
+        sqrt(col("h2_pico").cast("double") / 2e12))
+      .orderBy(col("day"))
+  }
+
+  private val hellingerDriftSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), days AS (
+      |  SELECT day, CAST(SUM(c) AS BIGINT) AS nd FROM counts GROUP BY 1
+      |), types AS (SELECT DISTINCT event_type FROM counts),
+      |base AS (
+      |  SELECT event_type, c AS qc FROM counts WHERE day = DATE '2024-01-01'
+      |), bt AS (SELECT CAST(SUM(qc) AS BIGINT) AS nq FROM base),
+      |grid AS (
+      |  SELECT d.day, t.event_type, d.nd,
+      |    COALESCE(c.c, 0) AS c, COALESCE(b.qc, 0) AS qc
+      |  FROM days d CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+      |  LEFT JOIN base b ON b.event_type = t.event_type
+      |), terms AS (
+      |  SELECT day, c,
+      |    CAST(ROUND(
+      |      (SQRT(CAST(c AS DOUBLE) / CAST(nd AS DOUBLE)) -
+      |       SQRT(CAST(qc AS DOUBLE) / CAST(nq AS DOUBLE))) *
+      |      (SQRT(CAST(c AS DOUBLE) / CAST(nd AS DOUBLE)) -
+      |       SQRT(CAST(qc AS DOUBLE) / CAST(nq AS DOUBLE))) * 1e12)
+      |      AS BIGINT) AS term_pico
+      |  FROM grid CROSS JOIN bt
+      |)
+      |SELECT day,
+      |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+      |  CAST(SUM(term_pico) AS BIGINT) AS h2_pico,
+      |  SQRT(CAST(SUM(term_pico) AS DOUBLE) / 2e12) AS hellinger
+      |FROM terms GROUP BY 1 ORDER BY day""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("ks_test", ksTest, Some(ksTestSql)),
+    Q("welch_ttest", welchTtest, Some(welchTtestSql)),
+    Q("hellinger_drift", hellingerDrift, Some(hellingerDriftSql)),
     Q("cuped_lift", cupedLift, Some(cupedLiftSql)),
     Q("moments_by_type", momentsByType, Some(momentsByTypeSql)),
     Q("benford_digits", benfordDigits, Some(benfordDigitsSql)),

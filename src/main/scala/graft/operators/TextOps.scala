@@ -956,7 +956,51 @@ object TextOps extends QueryModule {
       |       - (s_milli * 1000) // n_tokens AS DOUBLE) / 1e6 AS entropy
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-vocabulary coverage: per-source out-of-vocabulary token
+    * rate against the corpus top-1000 vocabulary (count desc, token asc —
+    * a total order, so the cut is deterministic). The thing to check
+    * before committing a tokenizer vocab: which sources a fixed vocab
+    * under-serves. Scale posture: the vocab cut is a TakeOrderedAndProject
+    * (bounded heap pre-shuffle, never a global sort) and the 1000-row
+    * vocab broadcasts; the corpus side is one explode + broadcast-left
+    * join + per-source aggregate — no fat shuffle. The rate is an exact
+    * integer ppm.
+    */
+  private def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("term")).limit(1000)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val oovRateSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1)
+      |  ORDER BY c DESC, term LIMIT 1000
+      |)
+      |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS oov_ppm
+      |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+      |GROUP BY 1 ORDER BY t.source""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("oov_rate", oovRate, Some(oovRateSql)),
     Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     Q("token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("bm25_score", bm25Score, Some(

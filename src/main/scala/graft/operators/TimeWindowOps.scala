@@ -858,7 +858,87 @@ object TimeWindowOps extends QueryModule {
       |  median_hours, p90_hours
       |FROM ns CROSS JOIN stats""".stripMargin
 
+  /** Single best changepoint per event type over the daily-mean series —
+    * the split k maximizing the between-segment SSE reduction
+    * S_k²/k + (S−S_k)²/(n−k) − S²/n (binary-segmentation step 1, the
+    * core of every alerting pipeline's "when did the metric move").
+    * Prefix sums make every candidate split O(1); the windows partition
+    * by event_type over the DAILY series, whose length is bounded by the
+    * observation window in days (the kaplan_meier argument), never raw
+    * rows. Scores assemble in doubles from exact integer sums with the
+    * identical expression tree on both engines, quantize to micros, and
+    * the argmax tie-breaks on earliest day — fully deterministic.
+    */
+  private def changepointDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).cast("long")
+        .as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("sum_micro div cnt"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val skD = col("sk").cast("double")
+    val restD = (col("s") - col("sk")).cast("double")
+    val kD = col("k").cast("double")
+    val nkD = (col("n") - col("k")).cast("double")
+    val sD = col("s").cast("double")
+    val nD = col("n").cast("double")
+    val scored = daily
+      .withColumn("k", row_number().over(wRun))
+      .withColumn("sk", sum(col("m")).over(wRun).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s", sum(col("m")).over(wAll).cast("long"))
+      .filter(col("k") < col("n"))
+      .withColumn("score_micro",
+        round((skD * skD / kD + restD * restD / nkD - sD * sD / nD) / 1e6)
+          .cast("long"))
+      .withColumn("mean_before_micro", expr("sk div k"))
+      .withColumn("mean_after_micro", expr("(s - sk) div (n - k)"))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("score_micro").desc, col("day"))
+    scored.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("chg_day"),
+        col("n").as("n_days"), col("score_micro"),
+        col("mean_before_micro"), col("mean_after_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val changepointDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM events GROUP BY 1, 2
+      |), pfx AS (
+      |  SELECT event_type, day, m,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY day
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |  FROM daily
+      |), scored AS (
+      |  SELECT event_type, day, n,
+      |    CAST(ROUND((CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) /
+      |                  CAST(k AS DOUBLE) +
+      |                CAST(s - sk AS DOUBLE) * CAST(s - sk AS DOUBLE) /
+      |                  CAST(n - k AS DOUBLE) -
+      |                CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |                  CAST(n AS DOUBLE)) / 1e6) AS BIGINT) AS score_micro,
+      |    sk // k AS mean_before_micro,
+      |    (s - sk) // (n - k) AS mean_after_micro
+      |  FROM pfx WHERE k < n
+      |)
+      |SELECT event_type, day AS chg_day, n AS n_days, score_micro,
+      |  mean_before_micro, mean_after_micro
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY score_micro DESC, day) AS rn FROM scored)
+      |WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("changepoint_daily", changepointDaily, Some(changepointDailySql)),
     Q("max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
     Q("time_to_conversion", timeToConversion, Some(timeToConversionSql)),
     Q("seasonal_dow", seasonalDow, Some(seasonalDowSql)),

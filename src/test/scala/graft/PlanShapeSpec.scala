@@ -133,7 +133,9 @@ class PlanShapeSpec extends SparkSpec {
       // PrefixOps ungrouped min/max: a 1-row aggregate cross-broadcast
       "customer_rfm", "supplier_pareto", "vocab_growth", "curriculum_phases",
       "epoch_plan", // 1-row source-count broadcast
-      "cuped_lift") // 1-row pooled-theta moment broadcast
+      "cuped_lift", // 1-row pooled-theta moment broadcast
+      "hellinger_drift", // type-list (~5 rows) + 1-row baseline-total broadcasts
+      "ks_test", "welch_ttest") // 1-row global-moment broadcasts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -378,4 +378,156 @@ class TrainingPrepSpec extends SparkSpec {
       assert(quotas(maxSrc) / sampled <= counts(maxSrc) / totalDocs + 1e-9)
     }
   }
+
+  private def eventVals(types: String*): Map[String, Seq[Long]] =
+    Tables.t(spark, sf001, "events")
+      .filter($"value".isNotNull &&
+        (if (types.isEmpty) lit(true) else $"event_type".isin(types: _*)))
+      .select($"event_type", round($"value" * 1e6).cast("long"))
+      .as[(String, Long)].collect().toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+
+  test("ks_test D equals the brute-force max CDF gap over the merged domain") {
+    val vals = eventVals("click", "view")
+    val (a, b) = (vals("click").sorted, vals("view").sorted)
+    val domain = (a ++ b).distinct.sorted
+    val dNum = domain.map { x =>
+      math.abs(a.count(_ <= x).toLong * b.length - b.count(_ <= x).toLong * a.length)
+    }.max
+    val row = SparkEntry.queries("ks_test")(spark, sf001)
+      .select($"n_a", $"n_b", $"d_num", $"d_micro", $"reject_05")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(row._1 === a.length.toLong)
+    assert(row._2 === b.length.toLong)
+    assert(row._3 === dNum)
+    assert(row._4 === math.round(dNum.toDouble / (a.length.toLong * b.length) * 1e6))
+    val d = dNum.toDouble / (a.length.toLong * b.length)
+    val crit = 1.3581015 * math.sqrt((a.length + b.length).toDouble /
+      (a.length.toLong * b.length).toDouble)
+    assert(row._5 === d > crit)
+  }
+
+  test("welch_ttest matches a plain-Scala one-vs-rest Welch computation") {
+    val vals = eventVals()
+    val all = vals.values.flatten.toSeq
+    val got = SparkEntry.queries("welch_ttest")(spark, sf001)
+      .select($"event_type", $"n_x", $"n_y", $"t_micro", $"df_milli")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    vals.foreach { case (et, xs) =>
+      val ys = all.diff(xs)
+      def mv(zs: Seq[Long]): (Double, Double) = {
+        val n = zs.length.toDouble
+        val s = zs.map(BigInt(_)).sum
+        val q = zs.map(z => BigInt(z) * z).sum
+        val m = s.toDouble / n
+        (m, (q.toDouble - s.toDouble * s.toDouble / n) / (n - 1.0))
+      }
+      val ((mx, vx), (my, vy)) = (mv(xs), mv(ys))
+      val sse = vx / xs.length + vy / ys.length
+      val t = (mx - my) / math.sqrt(sse)
+      val df = sse * sse / ((vx / xs.length) * (vx / xs.length) / (xs.length - 1.0) +
+        (vy / ys.length) * (vy / ys.length) / (ys.length - 1.0))
+      val (_, nx, ny, tMicro, dfMilli) = got(et)
+      assert(nx === xs.length.toLong)
+      assert(ny === ys.length.toLong)
+      assert(math.abs(tMicro - t * 1e6) <= 1.0, s"t for $et")
+      assert(math.abs(dfMilli - df * 1e3) <= 1.0, s"df for $et")
+      // Welch df is bounded by min(nx,ny)-1 below and nx+ny-2 above
+      assert(dfMilli >= (math.min(nx, ny) - 1) * 1000 - 1000)
+      assert(dfMilli <= (nx + ny - 2) * 1000 + 1000)
+    }
+  }
+
+  test("hellinger_drift: zero on the baseline day, [0,1]-bounded, recount") {
+    val rows = Tables.t(spark, sf001, "events")
+      .select(to_date($"ts").cast("string"), $"event_type")
+      .as[(String, String)].collect().toSeq
+    val byDay = rows.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val base = byDay("2024-01-01")
+    val nq = base.values.sum.toDouble
+    val types = rows.map(_._2).distinct
+    val got = SparkEntry.queries("hellinger_drift")(spark, sf001)
+      .select($"day".cast("string"), $"n_types", $"h2_pico", $"hellinger")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === byDay.keySet)
+    got.foreach { case (day, nTypes, h2Pico, h) =>
+      val counts = byDay(day)
+      val nd = counts.values.sum.toDouble
+      assert(nTypes === counts.size.toLong)
+      val expected = types.map { t =>
+        val d = math.sqrt(counts.getOrElse(t, 0L) / nd) -
+          math.sqrt(base.getOrElse(t, 0L) / nq)
+        math.round(d * d * 1e12)
+      }.sum
+      assert(h2Pico === expected, s"day $day")
+      assert(h === math.sqrt(h2Pico.toDouble / 2e12))
+      assert(h >= 0.0 && h <= 1.0 + 1e-12)
+      if (day == "2024-01-01") assert(h === 0.0)
+    }
+  }
+
+  test("changepoint_daily picks the brute-force best SSE-reduction split") {
+    val daily = Tables.t(spark, sf001, "events")
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+      .agg(sum(round($"value" * 1e6).cast("long")).as("sm"), count(lit(1)).as("c"))
+      .select($"event_type", $"day", ($"sm" / $"c").cast("long"),
+        expr("sm div c"))
+      .as[(String, String, Long, Long)].collect()
+    val got = SparkEntry.queries("changepoint_daily")(spark, sf001)
+      .select($"event_type", $"chg_day".cast("string"), $"n_days",
+        $"score_micro", $"mean_before_micro", $"mean_after_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    daily.groupBy(_._1).foreach { case (et, grp) =>
+      val series = grp.sortBy(_._2).map(_._4) // sm div c, in day order
+      val days = grp.sortBy(_._2).map(_._2)
+      val n = series.length
+      val s = series.sum
+      val scored = (1 until n).map { k =>
+        val sk = series.take(k).sum
+        val score = math.round((sk.toDouble * sk / k +
+          (s - sk).toDouble * (s - sk) / (n - k) - s.toDouble * s / n) / 1e6)
+        (score, days(k - 1), sk / k, (s - sk) / (n - k))
+      }
+      val best = scored.maxBy(c => (c._1, -days.indexOf(c._2)))
+      // tie-break: earliest day among equal scores
+      val bestEarliest = scored.filter(_._1 == best._1).minBy(_._2)
+      val (_, gDay, gN, gScore, gBefore, gAfter) = got(et)
+      assert(gN === n.toLong)
+      assert(gScore === bestEarliest._1, s"score for $et")
+      assert(gDay === bestEarliest._2, s"day for $et")
+      assert(gBefore === bestEarliest._3)
+      assert(gAfter === bestEarliest._4)
+    }
+  }
+
+  test("recsys_ndcg_eval: bounded by 1, consistent with the top-1 hit count") {
+    val ndcg = SparkEntry.queries("recsys_ndcg_eval")(spark, sf001)
+      .select($"n_test_baskets", $"n_evaluable", $"sum_ndcg_micro", $"mean_ndcg")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(ndcg._2 > 0)
+    assert(ndcg._4 >= 0.0 && ndcg._4 <= 1.0)
+    assert(ndcg._4 === ndcg._3.toDouble / ndcg._2.toDouble / 1e6)
+    assert(ndcg._1 <= ndcg._2) // every basket contributes >= 1 evaluable part
+  }
+
+  test("oov_rate: vocab cut is exact and per-source rates recount") {
+    val rows = Tables.t(spark, sf001, "documents")
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    val toks = rows.flatMap { case (src, txt) => txt.split(" ", -1).map(src -> _) }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(1000).map(_._1).toSet
+    val got = SparkEntry.queries("oov_rate")(spark, sf001)
+      .select($"source", $"n_tokens", $"n_oov", $"oov_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    val expected = toks.groupBy(_._1).view.mapValues { ts =>
+      (ts.length.toLong, ts.count(t => !vocab.contains(t._2)).toLong)
+    }.toMap
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (src, nTok, nOov, ppm) =>
+      assert((nTok, nOov) === expected(src), s"source $src")
+      assert(ppm === nOov * 1000000L / nTok)
+    }
+  }
 }
