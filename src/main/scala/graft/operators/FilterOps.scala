@@ -440,6 +440,45 @@ object FilterOps extends QueryModule {
       |       AS BIGINT) AS rows_at_risk
       |FROM classes""".stripMargin
 
+  /** L-diversity audit — the companion check to [[kAnonymityReport]]:
+    * k-anonymity bounds how many people share a quasi-identifier tuple,
+    * but a class where everyone shares the same SENSITIVE value still
+    * leaks it (the homogeneity attack). Over the same QI tuple
+    * (mktsegment, nationkey) with account-balance band as the sensitive
+    * attribute, reports the distribution of l = distinct sensitive values
+    * per equivalence class: classes and rows at each l, flagging l = 1.
+    * Two hash aggregates; the histogram domain is bounded by the band
+    * count, the class table by |QI-domain|.
+    */
+  private def lDiversityReport(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.t(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("qi_segment"),
+        col("c_nationkey").as("qi_nation"))
+      .agg(count(lit(1)).cast("long").as("class_size"),
+        countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+          .cast("long").as("l"))
+    classes.groupBy(col("l"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_rows"),
+        min(col("class_size")).cast("long").as("min_class_size"))
+      .withColumn("homogeneous", col("l") === 1L)
+      .orderBy(col("l"))
+  }
+
+  private val lDiversityReportSql: String =
+    """WITH classes AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size,
+      |    CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+      |         AS BIGINT) AS l
+      |  FROM customer GROUP BY 1, 2
+      |)
+      |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      |  CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+      |  l = 1 AS homogeneous
+      |FROM classes GROUP BY l ORDER BY l""".stripMargin
+
   // ---- curriculum phases --------------------------------------------------
 
   /** Curriculum-learning phase assignment: corpus docs ranked by composite
@@ -583,6 +622,7 @@ object FilterOps extends QueryModule {
     Q("epoch_plan", epochPlan, Some(epochPlanSql)),
     Q("bloom_decontaminate", bloomDecontaminate, Some(bloomDecontaminateSql)),
     Q("k_anonymity_report", kAnonymityReport, Some(kAnonymityReportSql)),
+    Q("l_diversity_report", lDiversityReport, Some(lDiversityReportSql)),
     Q("corpus_topp_select", corpusToppSelect, Some(corpusToppSelectSql)),
     Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("repetition_score", repetitionScore, Some(repetitionScoreSql)),

@@ -810,6 +810,62 @@ object RelationalOps extends QueryModule {
       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
       |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
 
+  /** HITS hubs & authorities over the BIPARTITE customer→part purchase
+    * graph (directed, unlike [[pagerank]]'s undirected co-purchase graph):
+    * hub score for buyers, authority for parts, 2 mutual-reinforcement
+    * rounds from auth₀ = 1 — hub₁ = degree, auth₁ = Σ buyer degrees,
+    * hub₂ = Σ auth₁, auth₂ = Σ hub₂ — all in EXACT integer arithmetic on
+    * the DECIMAL(38,0)/HUGEINT carrier (unnormalized iterates grow like
+    * (Σdeg)^k, well inside 1e38 for k=2 at any real scale; normalizing
+    * once at the end by max-authority floor-division keeps every engine
+    * bit-identical, where per-round float normalization would drift).
+    * Each round is one equi-join + one partial-aggregated groupBy; the
+    * only driver value is the 1-row max broadcast. Top 20 authorities.
+    */
+  private def hitsScores(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("p")).distinct()
+      .cache()
+    val hub1 = edges.groupBy(col("u")).agg(count(lit(1)).cast("long").as("h1"))
+    val auth1 = edges.join(hub1, "u")
+      .groupBy(col("p")).agg(sum(col("h1")).cast("long").as("a1"))
+    val hub2 = edges.join(auth1, "p")
+      .groupBy(col("u")).agg(sum(d38(col("a1"))).as("h2"))
+    val auth2 = edges.join(hub2, "u")
+      .groupBy(col("p")).agg(sum(col("h2")).as("a2"),
+        count(lit(1)).cast("long").as("n_buyers"))
+    val maxA = auth2.agg(max(col("a2")).as("ma"))
+    auth2.crossJoin(broadcast(maxA))
+      .select(col("p").as("part"), col("n_buyers"),
+        expr("CAST((a2 * 1000000) div ma AS BIGINT)").as("auth_ppm"),
+        col("a2").cast("double").as("auth_score"))
+      .orderBy(col("auth_ppm").desc, col("part")).limit(20)
+  }
+
+  private val hitsScoresSql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), hub1 AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS h1 FROM edges GROUP BY 1
+      |), auth1 AS (
+      |  SELECT e.p, CAST(SUM(h.h1) AS BIGINT) AS a1
+      |  FROM edges e JOIN hub1 h ON e.u = h.u GROUP BY 1
+      |), hub2 AS (
+      |  SELECT e.u, SUM(CAST(a.a1 AS HUGEINT)) AS h2
+      |  FROM edges e JOIN auth1 a ON e.p = a.p GROUP BY 1
+      |), auth2 AS (
+      |  SELECT e.p, SUM(h.h2) AS a2, CAST(COUNT(*) AS BIGINT) AS n_buyers
+      |  FROM edges e JOIN hub2 h ON e.u = h.u GROUP BY 1
+      |), ma AS (SELECT MAX(a2) AS ma FROM auth2)
+      |SELECT p AS part, n_buyers,
+      |  CAST((a2 * 1000000) // ma AS BIGINT) AS auth_ppm,
+      |  CAST(a2 AS DOUBLE) AS auth_score
+      |FROM auth2 CROSS JOIN ma
+      |ORDER BY auth_ppm DESC, part LIMIT 20""".stripMargin
+
   /** Recommender offline evaluation — precision@1 of "customers also
     * bought" co-occurrence recommendations against held-out baskets: train
     * on the md5-deterministic 80% of orders (pair counts over per-order
@@ -1933,6 +1989,7 @@ object RelationalOps extends QueryModule {
         |HAVING COUNT(*) >= 10
         |ORDER BY support DESC, b1, b2, b3 LIMIT 20""".stripMargin)),
     Q("pagerank", pagerank, Some(pagerankSql)),
+    Q("hits_scores", hitsScores, Some(hitsScoresSql)),
     Q("label_propagation", labelPropagation, Some(labelPropagationSql)),
     Q("recsys_precision_eval", recsysPrecisionEval, Some(recsysPrecisionEvalSql)),
     Q("recsys_ndcg_eval", recsysNdcgEval, Some(recsysNdcgEvalSql)),

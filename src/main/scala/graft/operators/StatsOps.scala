@@ -2467,7 +2467,82 @@ object StatsOps extends QueryModule {
       |  SQRT(CAST(SUM(term_pico) AS DOUBLE) / 2e12) AS hellinger
       |FROM terms GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Decile lift & gain chart — the first readout of any propensity
+    * model eval: users ranked by an engagement score (click+view count),
+    * cut into 10 equal-rank deciles, and each decile's purchase rate
+    * compared to the global rate. The global rank rides [[PrefixOps]]
+    * (two-level prefix sum — ranking billions of users never funnels one
+    * reducer); decile assignment is pure rank arithmetic; lift and
+    * cumulative gain are exact integer ppm (cross-multiplied before any
+    * division). The only window left is the cumulative gain over the
+    * fixed 10-row decile table. Carrier bound: n_conv·n_total stays int64
+    * to ~3e9 users; past that the d38 pattern applies.
+    */
+  private def liftByDecile(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.t(s, dir, "events").groupBy(col("user_id")).agg(
+      sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L))
+        .cast("long").as("score"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .cast("long").as("label"))
+    val ranked = PrefixOps.withGlobalPrefix(users, -col("score"),
+      Seq(col("score").desc, col("user_id")))
+    val dec = ranked
+      .withColumn("decile", expr("((g_rank - 1) * 10) div g_n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("label")).cast("long").as("n_conv"),
+        min(col("score")).cast("long").as("min_score"),
+        max(col("score")).cast("long").as("max_score"))
+    val tot = dec.agg(sum(col("n_users")).cast("long").as("nt"),
+      sum(col("n_conv")).cast("long").as("ct"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.crossJoin(broadcast(tot))
+      .withColumn("conv_ppm", expr("n_conv * 1000000 div n_users"))
+      .withColumn("lift_micro",
+        expr("(n_conv * nt * 1000000) div (n_users * ct)"))
+      .withColumn("cum_conv", sum(col("n_conv")).over(w).cast("long"))
+      .withColumn("cum_gain_ppm", expr("cum_conv * 1000000 div ct"))
+      .select(col("decile"), col("n_users"), col("n_conv"), col("min_score"),
+        col("max_score"), col("conv_ppm"), col("lift_micro"),
+        col("cum_gain_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  private val liftByDecileSql: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0
+      |             END) AS BIGINT) AS score,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS label
+      |  FROM events GROUP BY 1
+      |), ranked AS (
+      |  SELECT score, label,
+      |    ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rk,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM users
+      |), dec AS (
+      |  SELECT ((rk - 1) * 10) // n + 1 AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(label) AS BIGINT) AS n_conv,
+      |    CAST(MIN(score) AS BIGINT) AS min_score,
+      |    CAST(MAX(score) AS BIGINT) AS max_score
+      |  FROM ranked GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
+      |         CAST(SUM(n_conv) AS BIGINT) AS ct
+      |  FROM dec
+      |)
+      |SELECT decile, n_users, n_conv, min_score, max_score,
+      |  n_conv * 1000000 // n_users AS conv_ppm,
+      |  (n_conv * nt * 1000000) // (n_users * ct) AS lift_micro,
+      |  CAST(SUM(n_conv) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |       AS BIGINT) * 1000000 // ct AS cum_gain_ppm
+      |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("lift_by_decile", liftByDecile, Some(liftByDecileSql)),
     Q("ks_test", ksTest, Some(ksTestSql)),
     Q("welch_ttest", welchTtest, Some(welchTtestSql)),
     Q("hellinger_drift", hellingerDrift, Some(hellingerDriftSql)),

@@ -386,6 +386,29 @@ class FilterOpsSpec extends SparkSpec {
     }
   }
 
+  test("l_diversity_report recounts distinct sensitive bands per QI class") {
+    val rows = Tables.t(spark, sf001, "customer")
+      .select($"c_mktsegment", $"c_nationkey".cast("long"),
+        floor($"c_acctbal" / 1000).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val classes = rows.groupBy(r => (r._1, r._2)).toSeq.map { case (_, g) =>
+      (g.length.toLong, g.map(_._3).distinct.length.toLong)
+    }
+    val expected = classes.groupBy(_._2).map { case (l, g) =>
+      l -> (g.length.toLong, g.map(_._1).sum, g.map(_._1).min)
+    }
+    val got = SparkEntry.queries("l_diversity_report")(spark, sf001)
+      .select($"l", $"n_classes", $"n_rows", $"min_class_size", $"homogeneous")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (l, nc, nr, mcs, homog) =>
+      assert((nc, nr, mcs) === expected(l), s"l=$l")
+      assert(homog === (l == 1L))
+    }
+    // every customer row is accounted for exactly once
+    assert(got.map(_._3).sum === rows.length.toLong)
+  }
+
   test("cluster_balanced_sample takes at most 3 distinct vectors per cell") {
     val rows = SparkEntry.queries("cluster_balanced_sample")(spark, sf001)
       .as[(Long, Long, Long)].collect()

@@ -74,8 +74,9 @@ class PlanShapeSpec extends SparkSpec {
     // kaplan_meier: cumulative hazard over the distinct-lifetime domain —
     // bounded by the observation window in days, same class as daily_interp
     // benford_digits: total over the 9-row first-digit domain
+    // lift_by_decile: cumulative gain over the fixed 10-row decile table
     val allowed = Set("monthly_revenue_mom", "batch_summary", "skyline_parts",
-      "daily_interp", "kaplan_meier", "benford_digits")
+      "daily_interp", "kaplan_meier", "benford_digits", "lift_by_decile")
     // AQE off so executedPlan is a plain traversable tree (restored after)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -135,7 +136,9 @@ class PlanShapeSpec extends SparkSpec {
       "epoch_plan", // 1-row source-count broadcast
       "cuped_lift", // 1-row pooled-theta moment broadcast
       "hellinger_drift", // type-list (~5 rows) + 1-row baseline-total broadcasts
-      "ks_test", "welch_ttest") // 1-row global-moment broadcasts
+      "ks_test", "welch_ttest", // 1-row global-moment broadcasts
+      "hits_scores", // 1-row max-authority broadcast
+      "lift_by_decile") // 1-row global-rate broadcast over the 10-row deciles
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

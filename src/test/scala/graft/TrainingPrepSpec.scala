@@ -512,6 +512,70 @@ class TrainingPrepSpec extends SparkSpec {
     assert(ndcg._1 <= ndcg._2) // every basket contributes >= 1 evaluable part
   }
 
+  test("hits_scores equals a plain-Scala 2-round mutual reinforcement") {
+    val edges = Tables.t(spark, sf001, "orders")
+      .join(Tables.t(spark, sf001, "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val hub1 = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val auth1 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => hub1(e._1)).sum).toMap
+    val hub2 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => BigInt(auth1(e._2))).sum).toMap
+    val auth2 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => hub2(e._1)).sum).toMap
+    val maxA = auth2.values.max
+    val got = SparkEntry.queries("hits_scores")(spark, sf001)
+      .select($"part", $"n_buyers", $"auth_ppm", $"auth_score")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length === math.min(20, auth2.size))
+    val expectedTop = auth2.toSeq
+      .map { case (p, a) => (p, (a * 1000000 / maxA).toLong) }
+      .sortBy { case (p, ppm) => (-ppm, p) }.take(got.length)
+    assert(got.map(r => (r._1, r._3)).toSeq === expectedTop)
+    got.foreach { case (p, nb, _, score) =>
+      assert(nb === edges.count(_._2 == p).toLong)
+      assert(score === auth2(p).toDouble)
+    }
+    // the top authority is at ppm 1000000 iff it is the argmax
+    assert(got.map(_._3).max === 1000000L)
+  }
+
+  test("lift_by_decile: decile cuts, lift, and cumulative gain recount") {
+    val users = Tables.t(spark, sf001, "events")
+      .groupBy($"user_id").agg(
+        sum(when($"event_type".isin("click", "view"), 1L).otherwise(0L))
+          .as("score"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("label"))
+      .select($"user_id", $"score".cast("long"), $"label".cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val ranked = users.sortBy { case (uid, sc, _) => (-sc, uid) }.zipWithIndex
+    val n = users.length.toLong
+    val byDecile = ranked.groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+    val ct = users.map(_._3).sum
+    val got = SparkEntry.queries("lift_by_decile")(spark, sf001)
+      .select($"decile", $"n_users", $"n_conv", $"min_score", $"max_score",
+        $"conv_ppm", $"lift_micro", $"cum_gain_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    var cum = 0L
+    got.foreach { case (d, nu, nc, mins, maxs, ppm, lift, gain) =>
+      val grp = byDecile(d).map(_._1)
+      assert(nu === grp.length.toLong, s"decile $d")
+      assert(nc === grp.map(_._3).sum)
+      assert(mins === grp.map(_._2).min)
+      assert(maxs === grp.map(_._2).max)
+      assert(ppm === nc * 1000000L / nu)
+      assert(lift === nc * n * 1000000L / (nu * ct))
+      cum += nc
+      assert(gain === cum * 1000000L / ct)
+    }
+    assert(got.map(_._2).sum === n)
+    // gain curve ends at 100%
+    assert(got.last._8 === 1000000L)
+  }
+
   test("oov_rate: vocab cut is exact and per-source rates recount") {
     val rows = Tables.t(spark, sf001, "documents")
       .select($"source", $"text").as[(String, String)].collect().toSeq
