@@ -1366,7 +1366,41 @@ object DedupOps extends QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Fuzzy product-name matching with the custom codegen
+    * [[graft.functions.JaroWinkler]] expression — the record-linkage
+    * comparator (typos, transpositions, prefix-weighted) that
+    * [[fellegiSunter]]'s agree/disagree features would plug in on real
+    * name columns. Scale posture: the pair space is the DISTINCT-name
+    * domain (the exact_percentiles compression move — aggregate first,
+    * pair the compressed domain), so cost is domain² however many billion
+    * rows carry those names; the name list broadcasts. Byte-based JW is
+    * verified bit-identical to DuckDB's `jaro_winkler_similarity`, so the
+    * micro-quantized score hash-matches.
+    */
+  private def jaroWinklerPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    val names = Tables.t(s, dir, "part").select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.join(broadcast(b), col("name_a") < col("name_b"))
+      .withColumn("jw_micro",
+        round(expr("jaro_winkler(name_a, name_b)") * 1e6).cast("long"))
+      .filter(col("jw_micro") >= 600000L)
+      .orderBy(col("jw_micro").desc, col("name_a"), col("name_b"))
+  }
+
+  private val jaroWinklerPairsSql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6)
+      |       AS BIGINT) AS jw_micro
+      |FROM names a JOIN names b ON a.p_name < b.p_name
+      |WHERE CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6)
+      |           AS BIGINT) >= 600000
+      |ORDER BY jw_micro DESC, name_a, name_b""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("jaro_winkler_pairs", jaroWinklerPairs, Some(jaroWinklerPairsSql)),
     Q("fellegi_sunter", fellegiSunter, Some(fellegiSunterSql)),
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),

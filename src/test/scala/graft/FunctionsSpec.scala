@@ -42,6 +42,52 @@ class FunctionsSpec extends SparkSpec {
       UTF8String.fromString("kitten"), UTF8String.fromString("sitting")) === 3)
   }
 
+  test("jaro_winkler reference values, properties, and codegen agreement") {
+    TextFunctions.register(spark)
+    // reference values verified against DuckDB's jaro_winkler_similarity
+    // (byte-based, threshold 0.7, prefix cap 4) in the dev probe
+    val refs = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "b", 0.0),
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      // multi-byte: DuckDB compares BYTES — é is 2 bytes, so 'éclair' vs
+      // 'eclair' is a 7-vs-6-byte comparison, NOT a 1-char substitution
+      ("éclair", "eclair", 0.8492063492063492),
+      ("日本語", "日本誤", 0.9555555555555556))
+    val got = refs.map(r => (r._1, r._2)).toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)").as[Double]).collect()
+    got.zip(refs).foreach { case (g, (a, b, want)) =>
+      assert(g === want, s"jw($a, $b)")
+    }
+    // interpreted path agrees with the codegen'd column values
+    refs.foreach { case (a, b, want) =>
+      assert(graft.functions.JaroWinkler.jw(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) === want)
+    }
+    // properties on a deterministic pseudo-random pool: symmetric,
+    // bounded, 1 iff equal (non-empty)
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 40).map(_ =>
+      (0 until 1 + rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    for (x <- pool; y <- pool) {
+      val f = graft.functions.JaroWinkler.jw(x.getBytes, y.getBytes)
+      val r = graft.functions.JaroWinkler.jw(y.getBytes, x.getBytes)
+      assert(f === r, s"symmetry $x $y")
+      assert(f >= 0.0 && f <= 1.0)
+      if (x == y) assert(f === 1.0)
+    }
+    // null propagation
+    val n = Seq(("abc", null.asInstanceOf[String])).toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("rolling_hash is order-sensitive (unlike bag-of-bytes hashes)") {
     TextFunctions.register(spark)
     val Seq(ab, ba) = Seq("ab", "ba").toDF("s")

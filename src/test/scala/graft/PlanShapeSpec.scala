@@ -138,7 +138,8 @@ class PlanShapeSpec extends SparkSpec {
       "hellinger_drift", // type-list (~5 rows) + 1-row baseline-total broadcasts
       "ks_test", "welch_ttest", // 1-row global-moment broadcasts
       "hits_scores", // 1-row max-authority broadcast
-      "lift_by_decile") // 1-row global-rate broadcast over the 10-row deciles
+      "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
+      "jaro_winkler_pairs") // distinct-name domain (~64 rows) broadcast pair join
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
