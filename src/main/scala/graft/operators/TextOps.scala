@@ -956,6 +956,108 @@ object TextOps extends QueryModule {
       |       - (s_milli * 1000) // n_tokens AS DOUBLE) / 1e6 AS entropy
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  private val BpeRounds = 4
+
+  /** LEARNED byte-pair-encoding merges — trained operator #3 next to
+    * k-means and the power-iteration PCA: the first `BpeRounds` merge
+    * rules a BPE tokenizer trainer would learn from this corpus
+    * (argmax adjacent-symbol pair by weighted count, merge, repeat).
+    * [[bpePairCounts]] counts round-1 pairs; this runs the actual
+    * training loop.
+    *
+    * Scale posture: the working table is the VOCABULARY (distinct words
+    * with counts — bounded by the language, not the corpus; the corpus is
+    * read once to build it). Each round is one explode + hash aggregate
+    * over the vocab, a TakeOrdered(1) argmax, and a broadcast-merge
+    * rewrite; rounds are materialized (cache + count, the dedup_clusters
+    * lesson) so lineage stays flat. Words are symbol sequences in a
+    * sentinel string form `<s1><s2>…` so the merge is ONE non-regex
+    * replace — `replace` scans left-to-right non-overlapping in both
+    * engines, which is exactly BPE's greedy merge order, and the
+    * per-symbol <> wrapping makes cross-boundary false matches
+    * structurally impossible. Argmax ties break (count desc, a, b) —
+    * fully deterministic; the oracle replays all rounds as unrolled CTEs.
+    * Only [a-z]+ words train (multi-byte char segmentation differs
+    * between engines; a real byte-level trainer would pre-map to bytes).
+    */
+  private def bpeLearnedMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
+    var vocab = words.select(
+      regexp_replace(col("w"), "(.)", "<$1>").as("repr"), col("cnt")).cache()
+    vocab.count()
+    val bests = Seq.newBuilder[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val pc = vocab
+        .withColumn("syms",
+          split(expr("substring(repr, 2, length(repr) - 2)"), "><"))
+        .filter(size(col("syms")) >= 2) // 1-symbol words carry no pairs
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).cast("long").as("c"))
+      val best = pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .select(lit(r.toLong).as("round"), col("a"), col("b"), col("c"))
+        .cache()
+      best.count()
+      bests += best
+      if (r < BpeRounds) {
+        val next = vocab.crossJoin(broadcast(best))
+          .select(expr("replace(repr, '<' || a || '><' || b || '>', " +
+            "'<' || a || b || '>')").as("repr"), col("cnt")).cache()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      } else vocab.unpersist()
+    }
+    bests.result().reduce(_ unionAll _)
+      .select(col("round"), col("a").as("sym_a"), col("b").as("sym_b"),
+        col("c").as("pair_count"), concat(col("a"), col("b")).as("merged"))
+      .orderBy(col("round"))
+  }
+
+  private val bpeLearnedMergesSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s""",
+         |s$r AS (
+         |  SELECT string_split(substr(repr, 2, length(repr) - 2), '><')
+         |           AS syms, cnt
+         |  FROM $prev
+         |), p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM s$r, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$r AS (
+         |  SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1
+         |), v$r AS (
+         |  SELECT replace(repr, '<' || b$r.a || '><' || b$r.b || '>',
+         |                 '<' || b$r.a || b$r.b || '>') AS repr, cnt
+         |  FROM $prev CROSS JOIN b$r
+         |)""".stripMargin
+    }.mkString
+    val selects = (1 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
+        s"c AS pair_count, a || b AS merged FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1
+       |), v0 AS (
+       |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS repr, cnt
+       |  FROM words
+       |)$rounds
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY round""".stripMargin
+  }
+
   /** Tokenizer-vocabulary coverage: per-source out-of-vocabulary token
     * rate against the corpus top-1000 vocabulary (count desc, token asc —
     * a total order, so the cut is deterministic). The thing to check
@@ -1000,6 +1102,7 @@ object TextOps extends QueryModule {
       |GROUP BY 1 ORDER BY t.source""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("bpe_learned_merges", bpeLearnedMerges, Some(bpeLearnedMergesSql)),
     Q("oov_rate", oovRate, Some(oovRateSql)),
     Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     Q("token_entropy", tokenEntropy, Some(tokenEntropySql)),

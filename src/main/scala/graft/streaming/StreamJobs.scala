@@ -308,6 +308,62 @@ object StreamJobs {
     }.start()
   }
 
+  /** Streaming distribution-drift monitor — the batch `hellinger_drift`
+    * readout as a continuous per-window alarm: per-(window, key) counts
+    * with a watermark, and for each CLOSED window the Hellinger distance
+    * of its key mix against a static baseline distribution, flagged when
+    * H² crosses `alarmPico` (picos of squared distance). Append mode emits
+    * a window's counts exactly once (all in the micro-batch where the
+    * watermark passes window end), so the foreachBatch distance is FINAL
+    * per window — late rows are dropped by the aggregation and can never
+    * revise an emitted alarm. Same exact arithmetic as the batch query
+    * (per-cell terms quantized to picos before the order-free long sum;
+    * sqrt only on exact integers), so the monitor and the batch readout
+    * agree bit-for-bit. State = one count per in-flight (window, key);
+    * the baseline is a tiny broadcast.
+    */
+  def streamingDriftMonitor(
+      input: DataFrame,
+      window_ : String,
+      watermark: String,
+      baseline: DataFrame, // static (key, qc) counts
+      out: TopicTableSink,
+      alarmPico: Long,
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val counts = windowedCounts(input, window_, watermark)
+    val base = counts.writeStream.outputMode("append").trigger(trigger)
+    checkpoint.foreach(base.option("checkpointLocation", _))
+    base.foreachBatch { (df: DataFrame, batchId: Long) =>
+      if (!df.isEmpty) {
+        val bl = baseline.select(col("key"), col("qc").cast("long").as("qc"))
+        val keys = bl.select(col("key"))
+          .union(df.select(col("key"))).distinct()
+        val windows = df.groupBy(col("window_start"))
+          .agg(sum(col("n")).cast("long").as("nd"))
+        val baseTot = bl.agg(sum(col("qc")).cast("long").as("nq"))
+        val diff =
+          sqrt(col("n").cast("double") / col("nd").cast("double")) -
+            sqrt(col("qc").cast("double") / col("nq").cast("double"))
+        val scored = windows.crossJoin(broadcast(keys))
+          .join(df.select(col("window_start"), col("key"), col("n")),
+            Seq("window_start", "key"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .join(broadcast(bl), Seq("key"), "left")
+          .withColumn("qc", coalesce(col("qc"), lit(0L)))
+          .crossJoin(broadcast(baseTot))
+          .withColumn("term_pico", round(diff * diff * 1e12).cast("long"))
+          .groupBy(col("window_start"))
+          .agg(sum(col("term_pico")).cast("long").as("h2_pico"),
+            max(col("nd")).as("n_events"))
+          .withColumn("hellinger", sqrt(col("h2_pico").cast("double") / 2e12))
+          .withColumn("alarm", col("h2_pico") >= alarmPico)
+        out.appendBatch(scored, batchId)
+      }
+      ()
+    }.start()
+  }
+
   /** Cross-batch streaming dedup with watermark (D1 generalized). */
   def streamingDedup(input: DataFrame, watermark: String): DataFrame =
     input

@@ -38,7 +38,8 @@ class HostileTextSpec extends SparkSpec {
     "payload_frame_dup", "cluster_size_histogram", "source_dedup_matrix",
     "jaccard_histogram", "cdc_chunking", "containment_pairs",
     "bloom_decontaminate", "lang_confusion", "zipf_slope",
-    "curriculum_phases", "epoch_plan", "fellegi_sunter", "oov_rate")
+    "curriculum_phases", "epoch_plan", "fellegi_sunter", "oov_rate",
+    "bpe_learned_merges")
 
   test("every documents-backed query survives the hostile corpus, twice") {
     docQueries.foreach { name =>

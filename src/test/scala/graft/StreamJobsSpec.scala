@@ -184,6 +184,47 @@ class StreamJobsSpec extends SparkSpec {
       Seq((100L, "a", 3L, 1L), (100L, "b", 2L, 2L)))
   }
 
+  test("streamingDriftMonitor: closed-window Hellinger equals the batch " +
+      "recompute; matching mix scores 0; skewed mix alarms") {
+    val in = MemoryStream[KafkaShaped]
+    val out = new TopicTableSink(tmp() + "/drift")
+    // baseline mix: a:2, b:2 (uniform)
+    val baseline = Seq(("a", 2L), ("b", 2L)).toDF("key", "qc")
+    val q = StreamJobs.streamingDriftMonitor(
+      in.toDF(), "10 seconds", "10 seconds", baseline, out, alarmPico = 100000000000L)
+    // window [100,110): a×2, b×2 — exactly the baseline mix → H = 0
+    in.addData(rec("a", "1", 100, 0), rec("a", "2", 101, 1),
+      rec("b", "3", 102, 2), rec("b", "4", 103, 3))
+    q.processAllAvailable()
+    // window [200,210): all c (a key the baseline has never seen) → max drift
+    in.addData(rec("c", "5", 200, 4), rec("c", "6", 201, 5))
+    q.processAllAvailable()
+    in.addData(rec("a", "7", 300, 6)) // watermark → 290, closes [200,210)
+    q.processAllAvailable()
+    q.stop()
+    val got = out.read(spark)
+      .select(unix_timestamp($"window_start").as[Long], $"n_events".as[Long],
+        $"h2_pico".as[Long], $"hellinger".as[Double], $"alarm".as[Boolean])
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(100L, 200L))
+    val w1 = got(0)
+    assert(w1._2 === 4L)
+    assert(w1._3 === 0L) // identical mix: every (√p−√q)² term is exactly 0
+    assert(w1._4 === 0.0)
+    assert(!w1._5)
+    val w2 = got(1)
+    // batch recompute: keys {a,b,c}, window mix c=1.0; baseline a=.5, b=.5
+    val terms = Seq(
+      math.sqrt(0.0) - math.sqrt(0.5), // a
+      math.sqrt(0.0) - math.sqrt(0.5), // b
+      math.sqrt(1.0) - math.sqrt(0.0)) // c
+      .map(d => math.round(d * d * 1e12)).sum
+    assert(w2._2 === 2L)
+    assert(w2._3 === terms)
+    assert(w2._4 === math.sqrt(terms.toDouble / 2e12))
+    assert(w2._5) // disjoint support → H = 1 → far above the alarm line
+  }
+
   test("streamingDedup dedups across batches within the watermark") {
     val in = MemoryStream[KafkaShaped]
     val q = StreamJobs.streamingDedup(in.toDF(), "1 hour")

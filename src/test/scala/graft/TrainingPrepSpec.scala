@@ -512,6 +512,41 @@ class TrainingPrepSpec extends SparkSpec {
     assert(ndcg._1 <= ndcg._2) // every basket contributes >= 1 evaluable part
   }
 
+  test("bpe_learned_merges equals a plain-Scala greedy BPE trainer") {
+    val words = Tables.t(spark, sf001, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var vocab: Map[Vector[String], Long] =
+      words.toSeq.map { case (w, c) => w.map(_.toString).toVector -> c }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = (1 to 4).map { r =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      vocab = vocab.toSeq.map { case (syms, cnt) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> cnt
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (r.toLong, a, b, c, a + b)
+    }
+    val got = SparkEntry.queries("bpe_learned_merges")(spark, sf001)
+      .select($"round", $"sym_a", $"sym_b", $"pair_count", $"merged")
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("hits_scores equals a plain-Scala 2-round mutual reinforcement") {
     val edges = Tables.t(spark, sf001, "orders")
       .join(Tables.t(spark, sf001, "lineitem"),
