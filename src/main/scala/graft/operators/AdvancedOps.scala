@@ -183,6 +183,110 @@ object AdvancedOps extends QueryModule {
     * window over (user, window id) sub-partitions; the per-user purchase
     * total is an aggregated-domain equi-join. Output is |touch types| rows.
     */
+  /** Shapley-value channel attribution — the game-theoretic answer to
+    * "which touchpoints caused the conversions" that last-touch/position
+    * rules approximate: channels are the 4 non-purchase event types, the
+    * coalition value v(S) is the observed conversion rate of users whose
+    * touched-channel set is exactly S, and each channel's credit is the
+    * exact 4-player Shapley sum φ_c = Σ_S w(|S|)·(v(S∪c) − v(S)).
+    *
+    * Scale posture: the corpus collapses to ONE per-user aggregate (bitmask
+    * of touched channels + converted flag) and one 16-row coalition table;
+    * every Shapley term is a join between two tiny broadcast tables. The
+    * weights w(s) = s!(n−1−s)!/n! enter as the same literal expressions in
+    * both engines; v-rates divide exact longs; each term quantizes to
+    * picos before the order-free sum (the psi_drift assembly discipline).
+    * Unobserved coalitions take v = 0 (marketing-Shapley convention);
+    * when all 16 are observed, Σφ = v(full) − v(∅) (efficiency) — pinned
+    * in the spec.
+    */
+  private def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val users = events(s, dir).groupBy(col("user_id")).agg(
+      (max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+        max(when(col("event_type") === "view", 2L).otherwise(0L)) +
+        max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+        max(when(col("event_type") === "error", 8L).otherwise(0L))).as("mask"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val obs = users.groupBy(col("mask")).agg(
+      count(lit(1)).cast("long").as("nu"),
+      sum(col("conv")).cast("long").as("nc"))
+    val grid = s.range(16).toDF("mask")
+      .join(broadcast(obs), Seq("mask"), "left")
+      .select(col("mask"),
+        coalesce(col("nu"), lit(0L)).as("nu"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+      .withColumn("v", when(col("nu") > 0L,
+        col("nc").cast("double") / col("nu").cast("double")).otherwise(lit(0.0)))
+    val channels = s.createDataFrame(Seq(
+      ("click", 1L), ("view", 2L), ("signup", 4L), ("error", 8L)))
+      .toDF("channel", "bit")
+    val s0 = grid.select(col("mask").as("m0"), col("v").as("v0"))
+    val s1 = grid.select(col("mask").as("m1"), col("v").as("v1"))
+    val w = when(bit_count(col("m0")).isin(0, 3), lit(0.25))
+      .otherwise(lit(1.0) / lit(12.0))
+    // per-channel reach from the 16-row coalition table, not the corpus
+    val touched = broadcast(channels)
+      .join(broadcast(grid.select(col("mask"), col("nu"))),
+        expr("(mask & bit) <> 0"))
+      .groupBy(col("channel"))
+      .agg(sum(col("nu")).cast("long").as("n_touched_users"))
+    broadcast(channels).join(broadcast(s0), expr("(m0 & bit) = 0"))
+      .join(broadcast(s1), expr("m1 = (m0 | bit)"))
+      .withColumn("term_pico", round(w * (col("v1") - col("v0")) * 1e12).cast("long"))
+      .groupBy(col("channel"))
+      .agg(sum(col("term_pico")).cast("long").as("phi_pico"))
+      .join(broadcast(touched), Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("n_touched_users"), lit(0L)).as("n_touched_users"),
+        col("phi_pico"),
+        (col("phi_pico").cast("double") / 1e12).as("phi"))
+      .orderBy(col("channel"))
+  }
+
+  private val shapleyAttributionSql: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+      |      + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+      |      + MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1
+      |), obs AS (
+      |  SELECT mask, CAST(COUNT(*) AS BIGINT) AS nu,
+      |    CAST(SUM(conv) AS BIGINT) AS nc
+      |  FROM users GROUP BY 1
+      |), grid AS (
+      |  SELECT g.mask, COALESCE(o.nu, 0) AS nu, COALESCE(o.nc, 0) AS nc,
+      |    CASE WHEN COALESCE(o.nu, 0) > 0
+      |         THEN CAST(o.nc AS DOUBLE) / CAST(o.nu AS DOUBLE)
+      |         ELSE 0.0 END AS v
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS mask) g
+      |  LEFT JOIN obs o ON o.mask = g.mask
+      |), channels AS (
+      |  SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4),
+      |                        ('error', 8)) AS t(channel, bit)
+      |), touched AS (
+      |  SELECT channel, CAST(SUM(nu) AS BIGINT) AS n_touched_users
+      |  FROM channels JOIN grid ON (grid.mask & channels.bit) <> 0
+      |  GROUP BY 1
+      |), terms AS (
+      |  SELECT c.channel,
+      |    CAST(ROUND(
+      |      (CASE WHEN bit_count(s0.mask) IN (0, 3) THEN 0.25
+      |            ELSE 1.0 / 12.0 END)
+      |      * (s1.v - s0.v) * 1e12) AS BIGINT) AS term_pico
+      |  FROM channels c
+      |  JOIN grid s0 ON (s0.mask & c.bit) = 0
+      |  JOIN grid s1 ON s1.mask = (s0.mask | c.bit)
+      |)
+      |SELECT t.channel,
+      |  COALESCE(tc.n_touched_users, 0) AS n_touched_users,
+      |  CAST(SUM(t.term_pico) AS BIGINT) AS phi_pico,
+      |  CAST(CAST(SUM(t.term_pico) AS BIGINT) AS DOUBLE) / 1e12 AS phi
+      |FROM terms t LEFT JOIN touched tc ON tc.channel = t.channel
+      |GROUP BY 1, 2 ORDER BY t.channel""".stripMargin
+
   private def attributionPosition(s: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = events(s, dir)
@@ -723,6 +827,7 @@ object AdvancedOps extends QueryModule {
         |FROM events ORDER BY event_id""".stripMargin)),
     Q("attribution_last_touch", attributionLastTouch,
       Some(attributionLastTouchSql)),
+    Q("shapley_attribution", shapleyAttribution, Some(shapleyAttributionSql)),
     Q("attribution_position", attributionPosition,
       Some(attributionPositionSql)),
     Q("range_join_bands", rangeJoinBands, Some(

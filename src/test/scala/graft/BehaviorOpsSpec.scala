@@ -127,6 +127,42 @@ class BehaviorOpsSpec extends SparkSpec {
   private def toEpochDay(date: String): Long =
     java.time.LocalDate.parse(date).toEpochDay
 
+  test("shapley_attribution equals the exact 4-player Shapley sum and " +
+      "satisfies efficiency when all coalitions are observed") {
+    val bits = Map("click" -> 1, "view" -> 2, "signup" -> 4, "error" -> 8)
+    val perUser = events.groupBy(_._1).values.map { evs =>
+      val types = evs.map(_._4).toSet
+      val mask = bits.collect { case (t, b) if types(t) => b }.sum
+      (mask, if (types("purchase")) 1L else 0L)
+    }.toSeq
+    val obs = perUser.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    def v(mask: Int): Double = obs.get(mask) match {
+      case Some((nu, nc)) if nu > 0 => nc.toDouble / nu
+      case _ => 0.0
+    }
+    def w(s: Int): Double = if (s == 0 || s == 3) 0.25 else 1.0 / 12.0
+    val got = SparkEntry.queries("shapley_attribution")(spark, sf001)
+      .select($"channel", $"n_touched_users", $"phi_pico", $"phi")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    bits.foreach { case (ch, bit) =>
+      val phiPico = (0 until 16).filter(m => (m & bit) == 0).map { m =>
+        math.round(w(Integer.bitCount(m)) * (v(m | bit) - v(m)) * 1e12)
+      }.sum
+      val (_, touched, gPico, gPhi) = got(ch)
+      assert(gPico === phiPico, s"phi for $ch")
+      assert(gPhi === gPico.toDouble / 1e12)
+      assert(touched ===
+        perUser.count { case (m, _) => (m & bit) != 0 }.toLong)
+    }
+    // efficiency: sum of credits = v(everything) - v(nothing), exact to
+    // the per-term pico quantization, when every coalition is observed
+    if ((0 until 16).forall(obs.contains)) {
+      val sum = got.values.map(_._3).sum
+      assert(math.abs(sum - math.round((v(15) - v(0)) * 1e12)) <= 32L)
+    }
+  }
+
   test("attribution_position credits sum to 1000 per attributed window " +
       "and match a sequential recount") {
     val got = SparkEntry.queries("attribution_position")(spark, sf001)

@@ -139,7 +139,9 @@ class PlanShapeSpec extends SparkSpec {
       "ks_test", "welch_ttest", // 1-row global-moment broadcasts
       "hits_scores", // 1-row max-authority broadcast
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
-      "jaro_winkler_pairs") // distinct-name domain (~64 rows) broadcast pair join
+      "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
+      "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
+      "bpe_learned_merges") // 1-row argmax-pair broadcast per merge round
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
