@@ -453,6 +453,165 @@ object SimilarityOps extends QueryModule {
        |FROM afinal GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  // ---- product-quantization codebooks (trained operator #4) ----------------
+
+  private val PQ_SUBS = 0 until 4 // 4 subspaces × 4 dims over the 16-dim prefix
+  private val PQ_K = 4            // codes per subspace → 4^4 composite codes
+  private val PQ_ITERS = 40       // SQL recursion bound, same slack as KM_ITERS
+
+  /** vec_id + the 4 µ-quantized features of subspace `m` (dims 4m..4m+3). */
+  private def pqFeats(s: SparkSession, dir: String, m: Int): DataFrame =
+    (0 until 4).foldLeft(emb(s, dir))((df, j) =>
+      df.withColumn(s"y$j",
+        round(element_at(col("embedding"), 4 * m + j + 1).cast("double") * 1e6)
+          .cast("long")))
+      .select(col("vec_id") +: (0 until 4).map(j => col(s"y$j")): _*)
+
+  private def pqCentsDf(s: SparkSession, c: Seq[(Long, Seq[Double])]): DataFrame =
+    s.createDataFrame(c.map { case (code, v) => (code, v(0), v(1), v(2), v(3)) })
+      .toDF("code", "d0", "d1", "d2", "d3")
+
+  /** Nearest-code assignment for one subspace; keeps the L2 `dist` column
+    * (the per-vector quantization error) for the SSE rollup. */
+  private def pqAssign(points: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = (0 until 4).map { j =>
+      val d = col(s"y$j").cast("double") - col(s"d$j")
+      d * d
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("code"))
+    points.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "d0", "d1", "d2", "d3")
+  }
+
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, Seq[Double])]]()
+
+  private def pqCollect(df: DataFrame): Seq[(Long, Seq[Double])] =
+    df.collect().map(r =>
+      (r.getLong(0), (0 until 4).map(j => r.getDouble(j + 1)).toSeq))
+      .toSeq.sortBy(_._1)
+
+  /** One PQ Lloyd iteration for subspace `m`: assign to `c`, recompute means. */
+  private[graft] def pqStep(s: SparkSession, dir: String, m: Int,
+      c: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+    pqCollect(
+      pqAssign(pqFeats(s, dir, m), pqCentsDf(s, c)).groupBy(col("code"))
+        .agg((sum(col("y0")).cast("double") / count(lit(1))).as("d0"),
+          (1 until 4).map(j =>
+            (sum(col(s"y$j")).cast("double") / count(lit(1))).as(s"d$j")): _*)
+        .select(col("code") +: (0 until 4).map(j => col(s"d$j")): _*))
+
+  /** Per-subspace Lloyd to convergence (same fixpoint/cap discipline as
+    * [[trainedCentroids]]); init = vectors 0..PQ_K-1's subvectors. */
+  private[graft] def pqCodebook(s: SparkSession, dir: String, m: Int): Seq[(Long, Seq[Double])] =
+    pqMemo.computeIfAbsent((dir, m), { _ =>
+      var c = pqCollect(pqFeats(s, dir, m).filter(col("vec_id") < PQ_K)
+        .select(col("vec_id").as("code") +:
+          (0 until 4).map(j => col(s"y$j").cast("double").as(s"d$j")): _*))
+      var converged = false
+      var i = 0
+      while (i < PQ_ITERS - 1 && !converged) {
+        i += 1
+        val cNew = pqStep(s, dir, m, c)
+        converged = cNew == c
+        c = cNew
+      }
+      c
+    })
+
+  /** Product-quantization codebook report — trained operator #4, the PQ
+    * half of a FAISS-style IVF-PQ index next to [[annIvf]]'s coarse
+    * quantizer: the vectors' leading 16 dims (the same prefix-feature
+    * convention as the coarse quantizer's 4 and the PCA's 16) split into
+    * 4 contiguous 4-dim subspaces, an independent k=4 Lloyd codebook
+    * trains per subspace (composite code space 4⁴ = 256 cells; 64 bytes
+    * of prefix float → one 8-bit code per vector), and the report shows
+    * per-(subspace, code) population, the
+    * reconstruction centroid, and the exact SSE — the quantization-error
+    * budget that decides PQ bit-width in production ANN.
+    *
+    * Scale posture: each subspace's training is the k-means shape (per
+    * iteration one broadcast-assign + one k-row aggregate; the loop
+    * carries k·4 doubles to the driver, memoized per dir); the report is
+    * 4 assign-passes + 16-group aggregates. Determinism: µ-quantized
+    * features, fixed-order double L2, argmin ties to the lowest code,
+    * per-vector SSE quantized to µ-unit² longs before the order-free sum.
+    * The oracle replays all four trainings as FOUR recursive CTEs in one
+    * WITH RECURSIVE (Spark-at-convergence ≡ SQL-at-N, the kmeans_trained
+    * argument).
+    */
+  private def pqQuantization(s: SparkSession, dir: String): DataFrame = {
+    val reports = PQ_SUBS.map { m =>
+      val assigned = pqAssign(pqFeats(s, dir, m),
+        pqCentsDf(s, pqCodebook(s, dir, m)))
+        .withColumn("err_micro", round(col("dist") / 1e6).cast("long"))
+      assigned.groupBy(col("code"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          ((0 until 4).map(j =>
+            (sum(col(s"y$j")).cast("double") / count(lit(1)) / 1e6).as(s"m$j")) :+
+            sum(col("err_micro")).cast("long").as("sse_micro")): _*)
+        .select(lit(m.toLong).as("subspace"), col("code"), col("n"),
+          col("m0"), col("m1"), col("m2"), col("m3"), col("sse_micro"))
+    }
+    reports.reduce(_ unionAll _).orderBy(col("subspace"), col("code"))
+  }
+
+  private def pqQuantizationSql: String = {
+    def featCols(m: Int) = (0 until 4).map(j =>
+      s"CAST(ROUND(CAST(embedding[${4 * m + j + 1}] AS DOUBLE) * 1e6) AS BIGINT) AS y$j")
+      .mkString(", ")
+    def dist(f: String, c: String) = (0 until 4).map(j =>
+      s"(CAST($f.y$j AS DOUBLE) - $c.d$j) * (CAST($f.y$j AS DOUBLE) - $c.d$j)")
+      .mkString(" + ")
+    val ctes = PQ_SUBS.map { m =>
+      s"""feats$m AS (
+         |  SELECT vec_id, ${featCols(m)} FROM embeddings
+         |), cents$m AS (
+         |  SELECT 0 AS it, vec_id AS code,
+         |         ${(0 until 4).map(j => s"CAST(y$j AS DOUBLE) AS d$j").mkString(", ")}
+         |  FROM feats$m WHERE vec_id < $PQ_K
+         |  UNION ALL
+         |  SELECT it + 1 AS it, code,
+         |         ${(0 until 4).map(j => s"CAST(SUM(y$j) AS DOUBLE) / COUNT(*) AS d$j").mkString(", ")}
+         |  FROM (
+         |    SELECT c.it, c.code, ${(0 until 4).map(j => s"f.y$j").mkString(", ")},
+         |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |             ORDER BY ${dist("f", "c")}, c.code) AS rn
+         |    FROM feats$m f CROSS JOIN cents$m c
+         |    WHERE c.it < ${PQ_ITERS - 1}
+         |  ) WHERE rn = 1
+         |  GROUP BY it, code
+         |), cf$m AS (
+         |  SELECT code, ${(0 until 4).map(j => s"d$j").mkString(", ")}
+         |  FROM cents$m WHERE it = ${PQ_ITERS - 1}
+         |), a$m AS (
+         |  SELECT code, ${(0 until 4).map(j => s"y$j").mkString(", ")},
+         |         CAST(ROUND(dist / 1e6) AS BIGINT) AS err_micro
+         |  FROM (
+         |    SELECT c.code, ${(0 until 4).map(j => s"f.y$j").mkString(", ")},
+         |           ${dist("f", "c")} AS dist,
+         |           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |             ORDER BY ${dist("f", "c")}, c.code) AS rn
+         |    FROM feats$m f CROSS JOIN cf$m c)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val selects = PQ_SUBS.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS subspace, code,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${(0 until 4).map(j => s"CAST(SUM(y$j) AS DOUBLE) / COUNT(*) / 1e6 AS m$j").mkString(", ")},
+         |  CAST(SUM(err_micro) AS BIGINT) AS sse_micro
+         |FROM a$m GROUP BY code""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $ctes
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY subspace, code""".stripMargin
+  }
+
   /** IVF ANN with the k-means-trained coarse quantizer: every vector is
     * assigned to its nearest trained centroid (L2 over the same 4 quantized
     * dims the quantizer was trained on — an 8-way broadcast compare);
@@ -1337,6 +1496,7 @@ object SimilarityOps extends QueryModule {
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSql)),
     Q("kmeans_trained", kmeansTrained, Some(kmeansTrainedSql)),
+    Q("pq_quantization", pqQuantization, Some(pqQuantizationSql)),
     Q("pca_projection", pcaProjection, Some(pcaProjectionSql)),
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("cluster_balanced_sample", clusterBalancedSample, Some(clusterBalancedSampleSql)),

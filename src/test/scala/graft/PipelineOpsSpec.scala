@@ -491,6 +491,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c.nonEmpty && c.size <= 8)
   }
 
+  test("pq_quantization: every subspace codebook is a Lloyd fixpoint, " +
+      "codes are argmin assignments, and SSE recounts") {
+    // fixpoint per subspace (the oracle unrolls PQ_ITERS; agreement needs
+    // real convergence — one more step must be the identity)
+    val books = (0 until 4).map { m =>
+      val c = graft.operators.SimilarityOps.pqCodebook(spark, sf001, m)
+      assert(graft.operators.SimilarityOps.pqStep(spark, sf001, m, c) === c,
+        s"subspace $m did not converge")
+      assert(c.nonEmpty && c.size <= 4)
+      m -> c.toMap
+    }.toMap
+    val embs = Tables.t(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val got = SparkEntry.queries("pq_quantization")(spark, sf001)
+      .select($"subspace", $"code", $"n", $"sse_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
+    (0 until 4).foreach { m =>
+      val book = books(m)
+      // plain-Scala argmin assignment + SSE recount
+      val assigned = embs.map { case (_, e) =>
+        val y = (0 until 4).map(j => math.round(e(4 * m + j).toDouble * 1e6))
+        val byCode = book.toSeq.sortBy(_._1).map { case (code, d) =>
+          val dist = (0 until 4).map { j =>
+            val dd = y(j).toDouble - d(j); dd * dd
+          }.sum
+          (code, dist)
+        }
+        val (code, dist) = byCode.minBy { case (cd, ds) => (ds, cd) }
+        (code, math.round(dist / 1e6))
+      }
+      val expected = assigned.groupBy(_._1).view
+        .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+      val gotM = got.filter(_._1 == m.toLong)
+        .map(r => r._2 -> (r._3, r._4)).toMap
+      assert(gotM === expected, s"subspace $m")
+    }
+    // every vector is coded in every subspace
+    assert(got.groupBy(_._1).values.forall(_.map(_._3).sum == embs.length.toLong))
+  }
+
   test("merge_upsert branches are consistent with target/source membership") {
     val target = Tables.t(spark, sf001, "customer")
       .filter($"c_mktsegment" === "BUILDING")

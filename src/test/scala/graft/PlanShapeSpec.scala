@@ -141,7 +141,8 @@ class PlanShapeSpec extends SparkSpec {
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
-      "bpe_learned_merges") // 1-row argmax-pair broadcast per merge round
+      "bpe_learned_merges", // 1-row argmax-pair broadcast per merge round
+      "pq_quantization") // 4-row per-subspace codebook broadcasts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
