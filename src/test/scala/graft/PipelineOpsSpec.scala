@@ -532,6 +532,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.map(_._3).sum == embs.length.toLong))
   }
 
+  test("pq_ann_eval: ADC recall equals the plain-Scala recount and beats " +
+      "the chance floor") {
+    val books = (0 until 4).map(m =>
+      m -> graft.operators.SimilarityOps.pqCodebook(spark, sf001, m).toMap).toMap
+    val embs = Tables.t(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    def sub(e: Array[Float], m: Int): Seq[Double] =
+      (0 until 4).map(j => math.round(e(4 * m + j).toDouble * 1e6).toDouble)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      (0 until 4).map { j => val d = a(j) - b(j); d * d }.sum
+    // codes per vector
+    val codes = embs.map { case (id, e) =>
+      id -> (0 until 4).map { m =>
+        books(m).toSeq.sortBy(_._1)
+          .map { case (c, d) => (c, l2(sub(e, m), d)) }
+          .minBy { case (c, d) => (d, c) }._1
+      }
+    }.toMap
+    val got = SparkEntry.queries("pq_ann_eval")(spark, sf001)
+      .select($"q_id", $"k", $"n_hit", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length === 20)
+    got.foreach { case (q, k, nHit, recall) =>
+      val qe = embs.find(_._1 == q).get._2
+      // ADC top-3 recount
+      val adc = embs.filter(_._1 != q).map { case (cid, _) =>
+        val d = (0 until 4).map(m => l2(sub(qe, m), books(m)(codes(cid)(m)))).sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(3).map(_._1).toSet
+      // exact 16-dim top-3 recount
+      def full(e: Array[Float]): Seq[Double] =
+        (0 until 16).map(i => math.round(e(i).toDouble * 1e6).toDouble)
+      val exact = embs.filter(_._1 != q).map { case (cid, ce) =>
+        val d = (0 until 16).map { i =>
+          val dd = full(qe)(i) - full(ce)(i); dd * dd
+        }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(3).map(_._1).toSet
+      assert(k === 3L, s"q=$q")
+      assert(nHit === (exact & adc).size.toLong, s"q=$q")
+      assert(recall === nHit.toDouble / k)
+    }
+    // aggregate signal: comfortably above the 3/(n-1) chance floor
+    val mean = got.map(_._4).sum / got.length
+    assert(mean >= 3.0 * 3.0 / (embs.length - 1))
+  }
+
   test("merge_upsert branches are consistent with target/source membership") {
     val target = Tables.t(spark, sf001, "customer")
       .filter($"c_mktsegment" === "BUILDING")

@@ -142,7 +142,8 @@ class PlanShapeSpec extends SparkSpec {
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
       "bpe_learned_merges", // 1-row argmax-pair broadcast per merge round
-      "pq_quantization") // 4-row per-subspace codebook broadcasts
+      "pq_quantization", // 4-row per-subspace codebook broadcasts
+      "pq_ann_eval") // codebook/LUT/probe-id broadcasts (≤ 20×4×4 rows)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
