@@ -296,6 +296,91 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("k"))
   }
 
+  /** Cross-correlation function between the daily click and purchase
+    * series at lags −7..+7 — the lead-lag readout behind "do clicks
+    * predict purchases k days later?" (the marketing-mix modeling
+    * pre-flight; [[acfDaily]] is the self-correlation special case).
+    * Same scaled-integer centering trick: c = n·x − Σx needs no division,
+    * lag products accumulate exactly on DECIMAL, and ONE final IEEE
+    * division by the fixed global normalization √(Σcx²)·√(Σcy²) per lag.
+    * The series lives on the calendar spine (wall-clock-bounded domain);
+    * negative lags mean clicks LAG purchases, positive mean clicks LEAD.
+    */
+  private def ccfDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spine = events(s, dir)
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    def daily(et: String, name: String) =
+      spine.join(
+        events(s, dir).filter(col("event_type") === et)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as(name)),
+        Seq("day"), "left")
+        .select(col("day"), coalesce(col(name), lit(0L)).as(name))
+    val series = daily("click", "x").join(daily("purchase", "y"), "day").cache()
+    val st = series.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val cd = series.crossJoin(broadcast(st))
+      .select(col("day"),
+        (col("n") * col("x") - col("sx")).cast(DecimalType(19, 0)).as("cx"),
+        (col("n") * col("y") - col("sy")).cast(DecimalType(19, 0)).as("cy"))
+      .cache()
+    val den = cd.agg(sum(col("cx") * col("cx")).as("dx"),
+      sum(col("cy") * col("cy")).as("dy"))
+    val lhs = cd.select(col("day"), col("cx"),
+        explode(sequence(lit(-7), lit(7))).as("k"))
+      .select(date_add(col("day"), col("k")).as("tday"),
+        col("cx"), col("k").cast("long").as("k"))
+    val rhs = cd.select(col("day").as("tday"), col("cy"))
+    lhs.join(rhs, "tday")
+      .groupBy(col("k"))
+      .agg(sum(col("cx") * col("cy")).as("num"), count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        (col("num").cast("double") /
+          (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+          .as("ccf"))
+      .orderBy(col("k"))
+  }
+
+  private val ccfDailySql: String =
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      |        FROM events)
+      |), xs AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'click' GROUP BY 1
+      |), ys AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), series AS (
+      |  SELECT s.day, COALESCE(x.x, 0) AS x, COALESCE(y.y, 0) AS y
+      |  FROM spine s LEFT JOIN xs x ON x.day = s.day
+      |               LEFT JOIN ys y ON y.day = s.day
+      |), st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(y) AS BIGINT) AS sy
+      |  FROM series
+      |), cd AS (
+      |  SELECT day, CAST(n * x - sx AS HUGEINT) AS cx,
+      |         CAST(n * y - sy AS HUGEINT) AS cy
+      |  FROM series CROSS JOIN st
+      |), den AS (
+      |  SELECT SUM(cx * cx) AS dx, SUM(cy * cy) AS dy FROM cd
+      |), lagged AS (
+      |  SELECT k.k, a.cx, b.cy
+      |  FROM cd a
+      |  CROSS JOIN (SELECT unnest(generate_series(-7, 7)) AS k) k
+      |  JOIN cd b ON b.day = a.day + CAST(k.k AS INTEGER)
+      |)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(cx * cy) AS DOUBLE) /
+      |    (sqrt(CAST((SELECT dx FROM den) AS DOUBLE)) *
+      |     sqrt(CAST((SELECT dy FROM den) AS DOUBLE))) AS ccf
+      |FROM lagged GROUP BY k ORDER BY k""".stripMargin
+
   /** Linear-interpolation gap-fill: a sparse daily series (a deterministic
     * md5 1/256 sample of purchase events, so most calendar days have no
     * observation) densified by interpolating between the nearest observed
@@ -939,6 +1024,7 @@ object TimeWindowOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("changepoint_daily", changepointDaily, Some(changepointDailySql)),
+    Q("ccf_daily", ccfDaily, Some(ccfDailySql)),
     Q("max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
     Q("time_to_conversion", timeToConversion, Some(timeToConversionSql)),
     Q("seasonal_dow", seasonalDow, Some(seasonalDowSql)),

@@ -458,6 +458,53 @@ object StreamJobs {
       }
   }
 
+  /** Streaming heavy hitters with BOUNDED state — Misra-Gries summaries
+    * per key over the value stream via `mapGroupsWithState`: state is at
+    * most `capacity` (value, counter) slots plus the processed total,
+    * however many distinct values flow through — the state-store
+    * complement of the batch CMS sketch. MG's deterministic guarantee
+    * (independent of arrival order, which streaming cannot promise):
+    * every estimate obeys true − n/(capacity+1) ≤ est ≤ true, so any
+    * value with frequency above n/(capacity+1) is GUARANTEED present —
+    * exactly the property the spec asserts against a batch recount.
+    * Emits one row per tracked slot per trigger in update mode.
+    */
+  def streamingHeavyHitters(input: org.apache.spark.sql.Dataset[KafkaShaped],
+      capacity: Int): org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val stateEnc: Encoder[(Map[String, Long], Long)] =
+      Encoders.product[(Map[String, Long], Long)]
+    implicit val rowEnc: Encoder[(String, String, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaLong)
+    input.groupByKey(r => if (r.key == null) "" else r.key)
+      .flatMapGroupsWithState[(Map[String, Long], Long),
+        (String, String, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val st0 = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          var slots: Map[String, Long] = st0._1
+          var n: Long = st0._2
+          rows.foreach { r =>
+            val v = if (r.value == null) "" else r.value
+            n += 1
+            slots.get(v) match {
+              case Some(c) => slots = slots.updated(v, c + 1)
+              case None if slots.size < capacity => slots = slots.updated(v, 1L)
+              case None =>
+                slots = slots.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+            }
+          }
+          state.update((slots, n))
+          val total = n
+          slots.toSeq.sortBy { case (v, c) => (-c, v) }
+            .map { case (v, c) => (key, v, c, total) }.iterator
+      }
+  }
+
   /** One tagged row of the merged dim-update/event stream. */
   case class TemporalTagged(key: String, kind: String, value: String, tsMs: Long)
   /** An event enriched with the dim version in force at its event time. */

@@ -225,6 +225,43 @@ class StreamJobsSpec extends SparkSpec {
     assert(w2._5) // disjoint support → H = 1 → far above the alarm line
   }
 
+  test("streamingHeavyHitters: bounded Misra-Gries state obeys the " +
+      "frequency-error guarantee against a batch recount") {
+    val in = MemoryStream[KafkaShaped]
+    val cap = 3
+    val q = StreamJobs.streamingHeavyHitters(in.toDS(), cap)
+      .writeStream.outputMode("update").format("memory").queryName("mg").start()
+    // skewed value stream across two batches, plus distinct-value churn
+    // far beyond the 3-slot capacity
+    val b1 = Seq.fill(20)("hot") ++ Seq.fill(8)("warm") ++
+      (1 to 12).map(i => s"cold$i")
+    val b2 = Seq.fill(15)("hot") ++ Seq.fill(6)("tepid") ++
+      (13 to 24).map(i => s"cold$i")
+    in.addData(b1.zipWithIndex.map { case (v, i) => rec("k", v, 100 + i, i) }: _*)
+    q.processAllAvailable()
+    in.addData(b2.zipWithIndex.map { case (v, i) => rec("k", v, 300 + i, 100 + i) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest trigger's rows for key k
+    val rows = spark.sql("select * from mg").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == "k")
+    val n = (b1 ++ b2).length.toLong
+    val latest = rows.filter(_._4 == n)
+    assert(latest.nonEmpty && latest.length <= cap) // bounded state
+    val trueCounts = (b1 ++ b2).groupBy(identity).view.mapValues(_.length.toLong)
+    latest.foreach { case (_, v, est, total) =>
+      assert(total === n)
+      val t = trueCounts.getOrElse(v, 0L)
+      assert(est <= t, s"$v overestimated")              // MG never overcounts
+      assert(est >= t - n / (cap + 1), s"$v undershoots the MG bound")
+    }
+    // any value with frequency > n/(cap+1) is guaranteed tracked
+    trueCounts.filter(_._2 > n / (cap + 1)).keys.foreach { hot =>
+      assert(latest.exists(_._2 == hot), s"guaranteed heavy hitter $hot missing")
+    }
+  }
+
   test("streamingDedup dedups across batches within the watermark") {
     val in = MemoryStream[KafkaShaped]
     val q = StreamJobs.streamingDedup(in.toDF(), "1 hour")

@@ -42,6 +42,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ccf_daily equals the sequential cross-correlation and is the ACF " +
+      "shape at matching structure") {
+    val (lo, hi) = dayBounds
+    def series(et: String): IndexedSeq[Long] = {
+      val byDay = events.filter(_._3 == et)
+        .groupBy(_._2 / usPerDay).view.mapValues(_.size.toLong).toMap
+      (lo to hi).map(d => byDay.getOrElse(d, 0L))
+    }
+    val (xs, ys) = (series("click"), series("purchase"))
+    val n = xs.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val cx = xs.map(x => BigInt(n * x - sx))
+    val cy = ys.map(y => BigInt(n * y - sy))
+    val dx = cx.map(v => v * v).sum
+    val dy = cy.map(v => v * v).sum
+    val got = SparkEntry.queries("ccf_daily")(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === (-7L to 7L))
+    got.foreach { case (k, nPairs, ccf) =>
+      val ki = k.toInt
+      assert(nPairs === n - math.abs(k))
+      // num(k) = sum over t of cx(t) * cy(t + k)
+      val idx = (0 until xs.size).filter(i => i + ki >= 0 && i + ki < xs.size)
+      val num = idx.map(i => cx(i) * cy(i + ki)).sum
+      val expected = num.toDouble /
+        (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+      assert(ccf === expected, s"lag $k")
+      assert(math.abs(ccf) <= 1.0 + 1e-12)
+    }
+  }
+
   test("daily_interp is exact on observed days and an integer lerp between") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =
