@@ -980,12 +980,18 @@ object TextOps extends QueryModule {
     * Only [a-z]+ words train (multi-byte char segmentation differs
     * between engines; a real byte-level trainer would pre-map to bytes).
     */
-  private def bpeLearnedMerges(s: SparkSession, dir: String): DataFrame = {
+  /** The BPE training chain: `BpeRounds` argmax-merge rounds over the
+    * vocabulary (each round's winner materialized and broadcast into the
+    * next round's one-`replace` rewrite). Returns the per-round winners
+    * and the FINAL merged vocabulary (word, repr, cnt) — shared by the
+    * merge-table query and the compression eval. The final vocab stays
+    * cached for the caller's action (Q caching contract). */
+  private def bpeMergeChain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     val words = Tables.t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
-    var vocab = words.select(
+    var vocab = words.select(col("w").as("word"),
       regexp_replace(col("w"), "(.)", "<$1>").as("repr"), col("cnt")).cache()
     vocab.count()
     val bests = Seq.newBuilder[DataFrame]
@@ -1005,19 +1011,102 @@ object TextOps extends QueryModule {
         .cache()
       best.count()
       bests += best
-      if (r < BpeRounds) {
-        val next = vocab.crossJoin(broadcast(best))
-          .select(expr("replace(repr, '<' || a || '><' || b || '>', " +
+      val next = vocab.crossJoin(broadcast(best))
+        .select(col("word"),
+          expr("replace(repr, '<' || a || '><' || b || '>', " +
             "'<' || a || b || '>')").as("repr"), col("cnt")).cache()
-        next.count()
-        vocab.unpersist()
-        vocab = next
-      } else vocab.unpersist()
+      next.count()
+      vocab.unpersist()
+      vocab = next
     }
-    bests.result().reduce(_ unionAll _)
+    (bests.result(), vocab)
+  }
+
+  private def bpeLearnedMerges(s: SparkSession, dir: String): DataFrame = {
+    val (bests, finalVocab) = bpeMergeChain(s, dir)
+    finalVocab.unpersist()
+    bests.reduce(_ unionAll _)
       .select(col("round"), col("a").as("sym_a"), col("b").as("sym_b"),
         col("c").as("pair_count"), concat(col("a"), col("b")).as("merged"))
       .orderBy(col("round"))
+  }
+
+  /** Tokenizer-compression eval for the learned merges — the readout that
+    * justifies a vocab size: per source, characters (= symbols before any
+    * merge) vs symbols after the [[bpeMergeChain]] merges, as exact
+    * integer ppm. The corpus term table joins the ≤vocabulary-sized
+    * merged-vocab broadcast on the word itself; everything else is hash
+    * aggregates.
+    */
+  private def bpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val (_, finalVocab) = bpeMergeChain(s, dir)
+    val merged = finalVocab.select(col("word"),
+      size(split(expr("substring(repr, 2, length(repr) - 2)"), "><"))
+        .cast("long").as("syms_after"))
+    val srcWords = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val out = srcWords.join(broadcast(merged), "word")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"),
+        sum(col("cnt") * col("syms_after")).cast("long").as("n_tokens"))
+      .withColumn("compression_ppm",
+        expr("n_tokens * 1000000 div n_chars"))
+      .orderBy(col("source"))
+    finalVocab.unpersist()
+    out
+  }
+
+  private val bpeCompressionSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s""",
+         |s$r AS (
+         |  SELECT string_split(substr(repr, 2, length(repr) - 2), '><')
+         |           AS syms, cnt
+         |  FROM $prev
+         |), p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM s$r, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$r AS (
+         |  SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1
+         |), v$r AS (
+         |  SELECT word, replace(repr, '<' || b$r.a || '><' || b$r.b || '>',
+         |                 '<' || b$r.a || b$r.b || '>') AS repr, cnt
+         |  FROM $prev CROSS JOIN b$r
+         |)""".stripMargin
+    }.mkString
+    s"""WITH words AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1
+       |), v0 AS (
+       |  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS repr, cnt
+       |  FROM words
+       |)$rounds,
+       |merged AS (
+       |  SELECT word,
+       |    CAST(len(string_split(substr(repr, 2, length(repr) - 2), '><'))
+       |         AS BIGINT) AS syms_after
+       |  FROM v$BpeRounds
+       |), src_words AS (
+       |  SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) s
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1, 2
+       |)
+       |SELECT sw.source, CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(sw.cnt * length(sw.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(sw.cnt * m.syms_after) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(sw.cnt * m.syms_after) AS BIGINT) * 1000000
+       |    // CAST(SUM(sw.cnt * length(sw.word)) AS BIGINT) AS compression_ppm
+       |FROM src_words sw JOIN merged m ON m.word = sw.word
+       |GROUP BY 1 ORDER BY sw.source""".stripMargin
   }
 
   private val bpeLearnedMergesSql: String = {
@@ -1103,6 +1192,7 @@ object TextOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("bpe_learned_merges", bpeLearnedMerges, Some(bpeLearnedMergesSql)),
+    Q("bpe_compression", bpeCompression, Some(bpeCompressionSql)),
     Q("oov_rate", oovRate, Some(oovRateSql)),
     Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     Q("token_entropy", tokenEntropy, Some(tokenEntropySql)),

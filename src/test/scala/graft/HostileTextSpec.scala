@@ -39,7 +39,7 @@ class HostileTextSpec extends SparkSpec {
     "jaccard_histogram", "cdc_chunking", "containment_pairs",
     "bloom_decontaminate", "lang_confusion", "zipf_slope",
     "curriculum_phases", "epoch_plan", "fellegi_sunter", "oov_rate",
-    "bpe_learned_merges")
+    "bpe_learned_merges", "bpe_compression")
 
   test("every documents-backed query survives the hostile corpus, twice") {
     docQueries.foreach { name =>

@@ -113,6 +113,7 @@ class PlanShapeSpec extends SparkSpec {
       "key_skew_report", // 1-row hottest-key broadcast
       "psi_drift", // 1-row decile-boundary array broadcast
       "acf_daily", // 1-row (n, S) + denominator broadcasts over the day spine
+      "ccf_daily", // same class: 1-row moment/denominator broadcasts
       "assoc_rules", // 1-row order-count broadcast (lift denominator)
       "quantile_normalize", // 1-row pool-size broadcast + PrefixOps min/max
       "clustering_agreement", // 1-row Rand-term aggregates cross-broadcast
@@ -141,7 +142,7 @@ class PlanShapeSpec extends SparkSpec {
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
-      "bpe_learned_merges", // 1-row argmax-pair broadcast per merge round
+      "bpe_learned_merges", "bpe_compression", // 1-row argmax-pair broadcast per merge round
       "pq_quantization", // 4-row per-subspace codebook broadcasts
       "pq_ann_eval") // codebook/LUT/probe-id broadcasts (≤ 20×4×4 rows)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

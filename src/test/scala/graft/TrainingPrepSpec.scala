@@ -547,6 +547,53 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bpe_compression: per-source token counts equal the trainer's " +
+      "final vocabulary applied to the corpus") {
+    // reuse the plain-Scala trainer from the merges test to get the final
+    // vocab's symbol count per word
+    val rows = Tables.t(spark, sf001, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val words = rows.flatMap(_._2.split(" ", -1)).filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var vocab: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    (1 to 4).foreach { _ =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (w, syms) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) =>
+            pc((a, b)) = pc.getOrElse((a, b), 0L) + words(w)
+          case _ =>
+        }
+      }
+      val ((a, b), _) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      vocab = vocab.view.mapValues { syms =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }.toMap
+    }
+    val expected = rows.groupBy(_._1).view.mapValues { docs =>
+      val ws = docs.flatMap(_._2.split(" ", -1)).filter(_.matches("^[a-z]+$"))
+      val chars = ws.map(_.length.toLong).sum
+      val toks = ws.map(w => vocab(w).length.toLong).sum
+      (ws.length.toLong, chars, toks, toks * 1000000L / chars)
+    }.toMap
+    val got = SparkEntry.queries("bpe_compression")(spark, sf001)
+      .select($"source", $"n_words", $"n_chars", $"n_tokens", $"compression_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (src, nw, nc, nt, ppm) =>
+      assert((nw, nc, nt, ppm) === expected(src), s"source $src")
+      assert(nt <= nc) // merges only ever shrink the symbol count
+    }
+  }
+
   test("hits_scores equals a plain-Scala 2-round mutual reinforcement") {
     val edges = Tables.t(spark, sf001, "orders")
       .join(Tables.t(spark, sf001, "lineitem"),
