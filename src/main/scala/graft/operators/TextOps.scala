@@ -980,67 +980,83 @@ object TextOps extends QueryModule {
     * Only [a-z]+ words train (multi-byte char segmentation differs
     * between engines; a real byte-level trainer would pre-map to bytes).
     */
-  /** The BPE training chain: `BpeRounds` argmax-merge rounds over the
-    * vocabulary (each round's winner materialized and broadcast into the
-    * next round's one-`replace` rewrite). Returns the per-round winners
-    * and the FINAL merged vocabulary (word, repr, cnt) — shared by the
-    * merge-table query and the compression eval. The final vocab stays
-    * cached for the caller's action (Q caching contract). */
-  private def bpeMergeChain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
-    val words = Tables.t(s, dir, "documents")
+  /** Learned merge rules per data dir, memoized like the k-means/PQ
+    * codebooks: training is deterministic and the result is `BpeRounds`
+    * rows — exactly the "model" a real trainer persists, so carrying it
+    * on the driver is the kmeans-centroid shape, never data. */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]()
+
+  private def bpeBaseVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
-    var vocab = words.select(col("w").as("word"),
-      regexp_replace(col("w"), "(.)", "<$1>").as("repr"), col("cnt")).cache()
-    vocab.count()
-    val bests = Seq.newBuilder[DataFrame]
-    for (r <- 1 to BpeRounds) {
-      val pc = vocab
-        .withColumn("syms",
-          split(expr("substring(repr, 2, length(repr) - 2)"), "><"))
-        .filter(size(col("syms")) >= 2) // 1-symbol words carry no pairs
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).cast("long").as("c"))
-      val best = pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
-        .select(lit(r.toLong).as("round"), col("a"), col("b"), col("c"))
-        .cache()
-      best.count()
-      bests += best
-      val next = vocab.crossJoin(broadcast(best))
-        .select(col("word"),
-          expr("replace(repr, '<' || a || '><' || b || '>', " +
-            "'<' || a || b || '>')").as("repr"), col("cnt")).cache()
-      next.count()
-      vocab.unpersist()
-      vocab = next
-    }
-    (bests.result(), vocab)
-  }
+      .select(col("w").as("word"),
+        regexp_replace(col("w"), "(.)", "<$1>").as("repr"), col("cnt"))
 
-  private def bpeLearnedMerges(s: SparkSession, dir: String): DataFrame = {
-    val (bests, finalVocab) = bpeMergeChain(s, dir)
-    finalVocab.unpersist()
-    bests.reduce(_ unionAll _)
-      .select(col("round"), col("a").as("sym_a"), col("b").as("sym_b"),
-        col("c").as("pair_count"), concat(col("a"), col("b")).as("merged"))
+  /** The BPE training loop: `BpeRounds` argmax-merge rounds over the
+    * vocabulary (each round's 1-row winner materialized and broadcast
+    * into the next round's one-`replace` rewrite). */
+  private def bpeLearn(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeMemo.computeIfAbsent(dir, { _ =>
+      var vocab = bpeBaseVocab(s, dir).cache()
+      vocab.count()
+      val bests = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val pc = vocab
+          .withColumn("syms",
+            split(expr("substring(repr, 2, length(repr) - 2)"), "><"))
+          .filter(size(col("syms")) >= 2) // 1-symbol words carry no pairs
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).cast("long").as("c"))
+        val best = pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+          .select(col("a"), col("b"), col("c")).collect()
+        if (best.nonEmpty) {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          bests += ((r.toLong, a, b, c))
+          // a, b are [a-z]+ by the vocab filter — safe as SQL literals
+          val next = vocab.select(col("word"),
+            expr(s"replace(repr, '<$a><$b>', '<$a$b>')").as("repr"),
+            col("cnt")).cache()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+      vocab.unpersist()
+      bests.result()
+    })
+
+  /** The final merged vocabulary (word, repr, cnt): the memoized rules
+    * folded over the base vocab as literal replaces — one narrow pass. */
+  private def bpeMergedVocab(s: SparkSession, dir: String): DataFrame =
+    bpeLearn(s, dir).foldLeft(bpeBaseVocab(s, dir)) {
+      case (df, (_, a, b, _)) =>
+        df.withColumn("repr", expr(s"replace(repr, '<$a><$b>', '<$a$b>')"))
+    }
+
+  private def bpeLearnedMerges(s: SparkSession, dir: String): DataFrame =
+    s.createDataFrame(bpeLearn(s, dir))
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .withColumn("merged", concat(col("sym_a"), col("sym_b")))
       .orderBy(col("round"))
-  }
 
   /** Tokenizer-compression eval for the learned merges — the readout that
     * justifies a vocab size: per source, characters (= symbols before any
-    * merge) vs symbols after the [[bpeMergeChain]] merges, as exact
-    * integer ppm. The corpus term table joins the ≤vocabulary-sized
-    * merged-vocab broadcast on the word itself; everything else is hash
-    * aggregates.
+    * merge) vs symbols after the [[bpeLearn]] merges, as exact
+    * integer ppm. The learned rules fold over the base vocab as literal
+    * replaces ([[bpeMergedVocab]] — one narrow pass, no retraining); the
+    * corpus term table joins the ≤vocabulary-sized merged-vocab broadcast
+    * on the word itself; everything else is hash aggregates.
     */
   private def bpeCompression(s: SparkSession, dir: String): DataFrame = {
-    val (_, finalVocab) = bpeMergeChain(s, dir)
-    val merged = finalVocab.select(col("word"),
+    val merged = bpeMergedVocab(s, dir).select(col("word"),
       size(split(expr("substring(repr, 2, length(repr) - 2)"), "><"))
         .cast("long").as("syms_after"))
     val srcWords = Tables.t(s, dir, "documents")
@@ -1048,7 +1064,7 @@ object TextOps extends QueryModule {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-    val out = srcWords.join(broadcast(merged), "word")
+    srcWords.join(broadcast(merged), "word")
       .groupBy(col("source"))
       .agg(sum(col("cnt")).cast("long").as("n_words"),
         sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"),
@@ -1056,8 +1072,6 @@ object TextOps extends QueryModule {
       .withColumn("compression_ppm",
         expr("n_tokens * 1000000 div n_chars"))
       .orderBy(col("source"))
-    finalVocab.unpersist()
-    out
   }
 
   private val bpeCompressionSql: String = {
