@@ -410,6 +410,81 @@ object StatsOps extends QueryModule {
         col("rate_a"), col("rate_b"), col("z"))
   }
 
+  /** Wilson 95% score intervals for each arm's conversion rate — the
+    * interval that stays honest at small n and extreme rates where the
+    * naive Wald ±z√(p(1−p)/n) collapses (the standard readout next to
+    * [[abTestZscore]]'s point test). Same md5 arm split and conversion
+    * definition; the interval assembles in doubles from exact long
+    * (n, x) with the identical expression tree both engines, quantized
+    * to micros. The whole query is one per-user aggregate + a 2-row arm
+    * aggregate.
+    */
+  private def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val arm = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(2L))
+    val z = lit(1.959964)
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2n = z * z / nD
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / lit(2.0)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nD + z * z / (lit(4.0) * nD * nD)) /
+      denom
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 95.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", arm)
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("converted")).cast("long").as("x"))
+      .withColumn("rate", p)
+      .withColumn("lo_micro", round((center - half) * 1e6).cast("long"))
+      .withColumn("hi_micro", round((center + half) * 1e6).cast("long"))
+      .orderBy(col("arm"))
+  }
+
+  private val wilsonCiSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 95
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      |  FROM events GROUP BY 1
+      |), arms AS (
+      |  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 2 AS arm,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS x
+      |  FROM pu GROUP BY 1
+      |)
+      |SELECT arm, n, x,
+      |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |  CAST(ROUND((
+      |    (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |       + 1.959964 * 1.959964 / CAST(n AS DOUBLE) / 2.0)
+      |    / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+      |    - 1.959964 * SQRT(
+      |        CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / CAST(n AS DOUBLE)
+      |        + 1.959964 * 1.959964 /
+      |          (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |      / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))) * 1e6)
+      |    AS BIGINT) AS lo_micro,
+      |  CAST(ROUND((
+      |    (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |       + 1.959964 * 1.959964 / CAST(n AS DOUBLE) / 2.0)
+      |    / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+      |    + 1.959964 * SQRT(
+      |        CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / CAST(n AS DOUBLE)
+      |        + 1.959964 * 1.959964 /
+      |          (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |      / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))) * 1e6)
+      |    AS BIGINT) AS hi_micro
+      |FROM arms ORDER BY arm""".stripMargin
+
   /** Gini coefficient of revenue concentration per nation — the inequality
     * metric behind "how concentrated is each market". Suppliers rank by
     * exact revenue cents WITHIN their nation (a partitioned window — no
@@ -2543,6 +2618,7 @@ object StatsOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("lift_by_decile", liftByDecile, Some(liftByDecileSql)),
+    Q("wilson_ci", wilsonCi, Some(wilsonCiSql)),
     Q("ks_test", ksTest, Some(ksTestSql)),
     Q("welch_ttest", welchTtest, Some(welchTtestSql)),
     Q("hellinger_drift", hellingerDrift, Some(hellingerDriftSql)),

@@ -547,6 +547,26 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("wilson_ci equals the closed-form score interval and brackets the rate") {
+    val got = SparkEntry.queries("wilson_ci")(spark, sf001)
+      .select($"arm", $"n", $"x", $"rate", $"lo_micro", $"hi_micro")
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L))
+    val z = 1.959964
+    got.foreach { case (_, n, x, rate, lo, hi) =>
+      assert(rate === x.toDouble / n)
+      val p = x.toDouble / n
+      val denom = 1.0 + z * z / n
+      val center = (p + z * z / n / 2.0) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n.toDouble * n)) / denom
+      assert(lo === math.round((center - half) * 1e6))
+      assert(hi === math.round((center + half) * 1e6))
+      // interval properties: inside [0,1], brackets the observed rate
+      assert(lo >= 0L && hi <= 1000000L)
+      assert(lo <= math.round(rate * 1e6) && math.round(rate * 1e6) <= hi)
+    }
+  }
+
   test("bpe_compression: per-source token counts equal the trainer's " +
       "final vocabulary applied to the corpus") {
     // reuse the plain-Scala trainer from the merges test to get the final
