@@ -296,6 +296,113 @@ object TimeWindowOps extends QueryModule {
       .orderBy(col("k"))
   }
 
+  /** Piecewise trend around the detected changepoint — binary
+    * segmentation step 2: after [[changepointDaily]] picks each type's
+    * best split, fit an OLS slope to the daily-mean series on EACH side
+    * (the "how fast was it moving before vs after" readout an alerting
+    * triage wants next). Same prefix-sum split selection; slopes assemble
+    * as single rationals over exact long sums (the ols_by_type pattern —
+    * x is the day offset from the global epoch, bounded by the calendar),
+    * with a NULL slope for degenerate 1-day segments on both engines.
+    */
+  private def segmentedTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).cast("long")
+        .as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("sum_micro div cnt"))
+      .cache()
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val skD = col("sk").cast("double")
+    val restD = (col("s") - col("sk")).cast("double")
+    val kD = col("k").cast("double")
+    val nkD = (col("n") - col("k")).cast("double")
+    val sD = col("s").cast("double")
+    val nD = col("n").cast("double")
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("score_micro").desc, col("day"))
+    val best = daily
+      .withColumn("k", row_number().over(wRun))
+      .withColumn("sk", sum(col("m")).over(wRun).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s", sum(col("m")).over(wAll).cast("long"))
+      .filter(col("k") < col("n"))
+      .withColumn("score_micro",
+        round((skD * skD / kD + restD * restD / nkD - sD * sD / nD) / 1e6)
+          .cast("long"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("chg_day"))
+    val seg = daily.join(best, "event_type")
+      .withColumn("segment",
+        when(col("day") <= col("chg_day"), "1_before").otherwise("2_after"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
+        .cast("long"))
+    val nL = col("n_days")
+    val slopeNum = (nL * col("sxy") - col("sx") * col("sy")).cast("double")
+    val slopeDen = (nL * col("sxx") - col("sx") * col("sx")).cast("double")
+    seg.groupBy(col("event_type"), col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("m")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("m")).cast("long").as("sxy"))
+      .withColumn("slope_micro_per_day",
+        when(nL >= 2L, round(slopeNum / slopeDen * 1e6).cast("long")))
+      .select(col("event_type"), col("segment"), col("n_days"),
+        col("slope_micro_per_day"))
+      .orderBy(col("event_type"), col("segment"))
+  }
+
+  private val segmentedTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM events GROUP BY 1, 2
+      |), pfx AS (
+      |  SELECT event_type, day, m,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY day
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |  FROM daily
+      |), best AS (
+      |  SELECT event_type, day AS chg_day FROM (
+      |    SELECT event_type, day,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+      |        CAST(ROUND((CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) /
+      |                      CAST(k AS DOUBLE) +
+      |                    CAST(s - sk AS DOUBLE) * CAST(s - sk AS DOUBLE) /
+      |                      CAST(n - k AS DOUBLE) -
+      |                    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |                      CAST(n AS DOUBLE)) / 1e6) AS BIGINT) DESC,
+      |        day) AS rn
+      |    FROM pfx WHERE k < n)
+      |  WHERE rn = 1
+      |), seg AS (
+      |  SELECT d.event_type,
+      |    CASE WHEN d.day <= b.chg_day THEN '1_before' ELSE '2_after' END
+      |      AS segment,
+      |    CAST(d.day - DATE '2024-01-01' AS BIGINT) AS x, d.m
+      |  FROM daily d JOIN best b ON b.event_type = d.event_type
+      |), agg AS (
+      |  SELECT event_type, segment, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * m) AS BIGINT) AS sxy
+      |  FROM seg GROUP BY 1, 2
+      |)
+      |SELECT event_type, segment, n_days,
+      |  CASE WHEN n_days >= 2 THEN
+      |    CAST(ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+      |               CAST(n_days * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT)
+      |  END AS slope_micro_per_day
+      |FROM agg ORDER BY event_type, segment""".stripMargin
+
   /** Cross-correlation function between the daily click and purchase
     * series at lags −7..+7 — the lead-lag readout behind "do clicks
     * predict purchases k days later?" (the marketing-mix modeling
@@ -1025,6 +1132,7 @@ object TimeWindowOps extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("changepoint_daily", changepointDaily, Some(changepointDailySql)),
     Q("ccf_daily", ccfDaily, Some(ccfDailySql)),
+    Q("segmented_trend", segmentedTrend, Some(segmentedTrendSql)),
     Q("max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
     Q("time_to_conversion", timeToConversion, Some(timeToConversionSql)),
     Q("seasonal_dow", seasonalDow, Some(seasonalDowSql)),

@@ -73,6 +73,48 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("segmented_trend fits OLS on each side of the brute-force best split") {
+    val daily = events.groupBy(e => (e._3, e._2 / usPerDay)).toSeq
+      .map { case ((et, d), g) =>
+        val sm = g.map(e => math.round(e._4 * 1e6)).sum
+        (et, d, sm / g.length) // integer div, matches `div`
+      }
+    val epoch = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val got = SparkEntry.queries("segmented_trend")(spark, sf001)
+      .select($"event_type", $"segment", $"n_days", $"slope_micro_per_day")
+      .as[(String, String, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    daily.groupBy(_._1).foreach { case (et, grp) =>
+      val series = grp.sortBy(_._2)
+      val n = series.length
+      val s = series.map(_._3).sum
+      val scored = (1 until n).map { k =>
+        val sk = series.take(k).map(_._3).sum
+        (math.round((sk.toDouble * sk / k +
+          (s - sk).toDouble * (s - sk) / (n - k) - s.toDouble * s / n) / 1e6),
+          series(k - 1)._2)
+      }
+      val bestScore = scored.map(_._1).max
+      val chgDay = scored.filter(_._1 == bestScore).map(_._2).min
+      def ols(seg: Seq[(String, Long, Long)]): Option[Long] = {
+        if (seg.length < 2) return None
+        val xs = seg.map(p => p._2 - epoch)
+        val ys = seg.map(_._3)
+        val nn = seg.length.toLong
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxx = xs.map(x => x * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        Some(math.round(
+          (nn * sxy - sx * sy).toDouble / (nn * sxx - sx * sx).toDouble * 1e6))
+      }
+      val (before, after) = series.partition(_._2 <= chgDay)
+      assert(got((et, "1_before"))._3 === before.length.toLong)
+      assert(got((et, "2_after"))._3 === after.length.toLong)
+      assert(got((et, "1_before"))._4 === ols(before), s"before slope $et")
+      assert(got((et, "2_after"))._4 === ols(after), s"after slope $et")
+    }
+  }
+
   test("daily_interp is exact on observed days and an integer lerp between") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =
