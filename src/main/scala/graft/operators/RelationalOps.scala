@@ -819,6 +819,11 @@ object RelationalOps extends QueryModule {
     * (Σdeg)^k, well inside 1e38 for k=2 at any real scale; normalizing
     * once at the end by max-authority floor-division keeps every engine
     * bit-identical, where per-round float normalization would drift).
+    * The ppm scaling multiplies the iterate by a further 1e6, so the real
+    * headroom bound is a2 ≤ 1e32 (a2·1e6 ≤ 1e38): on overflow non-ANSI
+    * Spark would silently NULL while DuckDB's 128-bit HUGEINT keeps
+    * computing — a silent cross-engine divergence — so the guard below
+    * raises loudly if max-authority ever exceeds 1e32 instead.
     * Each round is one equi-join + one partial-aggregated groupBy; the
     * only driver value is the 1-row max broadcast. Top 20 authorities.
     */
@@ -839,7 +844,11 @@ object RelationalOps extends QueryModule {
     val maxA = auth2.agg(max(col("a2")).as("ma"))
     auth2.crossJoin(broadcast(maxA))
       .select(col("p").as("part"), col("n_buyers"),
-        expr("CAST((a2 * 1000000) div ma AS BIGINT)").as("auth_ppm"),
+        expr("""CAST(CASE WHEN ma > CAST(1e32 AS DECIMAL(38,0))
+          THEN CAST(raise_error(
+            'hits_scores: auth iterate exceeds DECIMAL(38,0) ppm headroom')
+            AS DECIMAL(38,0))
+          ELSE (a2 * 1000000) div ma END AS BIGINT)""").as("auth_ppm"),
         col("a2").cast("double").as("auth_score"))
       .orderBy(col("auth_ppm").desc, col("part")).limit(20)
   }

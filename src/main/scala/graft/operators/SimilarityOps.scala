@@ -222,7 +222,10 @@ object SimilarityOps extends QueryModule {
       }.mkString(" + ")
       s"CASE WHEN ($terms) > 0 THEN ${1L << (NPLANES - 1 - j)} ELSE 0 END"
     }
-    "(" + bits.mkString(" + ") + ")"
+    // BIGINT, not DuckDB's default INT32 for small literals: the Spark side
+    // is int64, and a dtype mismatch is a driver-hash miss even when every
+    // value agrees (the HUGEINT lesson, tools/dtype_audit.py)
+    "CAST((" + bits.mkString(" + ") + ") AS BIGINT)"
   }
 
   /** ANN via LSH buckets: exact cosine only within same-bucket candidates,

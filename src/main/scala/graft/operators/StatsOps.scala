@@ -1323,7 +1323,7 @@ object StatsOps extends QueryModule {
       |  FROM (SELECT vc, CAST(COUNT(*) AS BIGINT) AS pcnt FROM ev GROUP BY 1)
       |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pool FROM ev)
       |SELECT r.event_type, r.vc, r.cnt,
-      |  (r.r * np.n_pool + r.n_g - 1) // r.n_g AS q,
+      |  CAST((r.r * np.n_pool + r.n_g - 1) // r.n_g AS BIGINT) AS q,
       |  p.pvc AS norm_vc
       |FROM ranked r CROSS JOIN np
       |JOIN pooled p

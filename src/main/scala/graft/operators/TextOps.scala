@@ -573,11 +573,11 @@ object TextOps extends QueryModule {
        |  FROM d
        |)
        |SELECT source, doc_id, n_tokens,
-       |  end_tok - n_tokens AS start_tok,
-       |  (end_tok - n_tokens) // $PACK_BIN AS bin_first,
-       |  (end_tok - 1) // $PACK_BIN AS bin_last,
-       |  (end_tok - 1) // $PACK_BIN - (end_tok - n_tokens) // $PACK_BIN + 1
-       |    AS n_bins_spanned
+       |  CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+       |  CAST((end_tok - n_tokens) // $PACK_BIN AS BIGINT) AS bin_first,
+       |  CAST((end_tok - 1) // $PACK_BIN AS BIGINT) AS bin_last,
+       |  CAST((end_tok - 1) // $PACK_BIN - (end_tok - n_tokens) // $PACK_BIN
+       |    + 1 AS BIGINT) AS n_bins_spanned
        |FROM c ORDER BY source, doc_id""".stripMargin
 
   private val CHUNK_LEN = 64

@@ -459,7 +459,8 @@ object StreamJobs {
   }
 
   /** Streaming heavy hitters with BOUNDED state — Misra-Gries summaries
-    * per key over the value stream via `mapGroupsWithState`: state is at
+    * per key over the value stream via `flatMapGroupsWithState` (multi-row
+    * emission: one output row per tracked slot per trigger): state is at
     * most `capacity` (value, counter) slots plus the processed total,
     * however many distinct values flow through — the state-store
     * complement of the batch CMS sketch. MG's deterministic guarantee

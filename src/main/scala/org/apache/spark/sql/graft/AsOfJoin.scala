@@ -37,11 +37,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * null-padded right columns (left-outer semantics). Semantically identical
   * to the window formulation, which stays as the DuckDB oracle.
   *
-  * Null keys: the merge compares projected key bytes, so a null left key
-  * MATCHES a null right key (row-equality, like a window PARTITION BY
-  * grouping nulls together) — not SQL join semantics, where null never
-  * equals null. Filter or coalesce null keys first if join semantics are
-  * required.
+  * Null keys: by default (`matchNullKeys = true`) the merge compares
+  * projected key bytes, so a null left key MATCHES a null right key
+  * (row-equality, like a window PARTITION BY grouping nulls together).
+  * Pass `matchNullKeys = false` for SQL join semantics — a left row with
+  * any null key column emits null-padded right columns, exactly as an
+  * equi-join predicate `l.k = r.k` would never fire on null. Both modes
+  * share the same exchange+sort+merge plan; the flag only gates the final
+  * match test.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -49,7 +52,8 @@ case class AsOfJoinNode(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTimes: Seq[Expression],
-    rightTimes: Seq[Expression]) extends BinaryNode {
+    rightTimes: Seq[Expression],
+    matchNullKeys: Boolean = true) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -63,7 +67,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTimes: Seq[Expression],
-    rightTimes: Seq[Expression]) extends BinaryExecNode {
+    rightTimes: Seq[Expression],
+    matchNullKeys: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -109,7 +114,11 @@ case class AsOfJoinExec(
           carriedRow = r.copy()
         }
         val lKey = lKeyProj(l)
-        val matched = carriedKey != null && carriedKey == lKey
+        // SQL mode: a null in the left key tuple never matches (and byte
+        // equality then implies the carried key is null-free too)
+        val nullsOk = matchNullKeys ||
+          (0 until lKeyExprs.size).forall(i => !lKey.isNullAt(i))
+        val matched = nullsOk && carriedKey != null && carriedKey == lKey
         outProj(joined(l, if (matched) carriedRow else nullRight))
       }
     }
@@ -122,8 +131,8 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, mnk) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, mnk) :: Nil
     case _ => Nil
   }
 }
@@ -137,7 +146,8 @@ object AsOfStrategy extends SparkStrategy {
 object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
       leftOn: Seq[Column], rightOn: Seq[Column],
-      leftTime: Seq[Column], rightTime: Seq[Column]): DataFrame = {
+      leftTime: Seq[Column], rightTime: Seq[Column],
+      matchNullKeys: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     if (!spark.sessionState.experimentalMethods.extraStrategies.contains(AsOfStrategy)) {
       spark.sessionState.experimentalMethods.extraStrategies =
@@ -167,6 +177,6 @@ object AsOfJoin {
     val rRes = resolver(rPlan)
     ClassicDataset.ofRows(classic, AsOfJoinNode(lPlan, rPlan,
       leftOn.map(lRes), rightOn.map(rRes),
-      leftTime.map(lRes), rightTime.map(rRes)))
+      leftTime.map(lRes), rightTime.map(rRes), matchNullKeys))
   }
 }

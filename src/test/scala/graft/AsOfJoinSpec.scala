@@ -59,6 +59,29 @@ class AsOfJoinSpec extends SparkSpec {
       ("A", 30L, 120L, 120L), ("B", 15L, 500L, 500L)))
   }
 
+  test("null keys: window semantics match null↔null, SQL mode never does") {
+    // one null-key quote stream + null-key trades; a typed Option[String]
+    // key column gives real SQL NULLs on both sides
+    val nq = Seq((Option("A"), 10L, 100L), (Option.empty[String], 10L, 900L))
+      .toDF("q_key", "q_ts", "price")
+    val nt = Seq((Option("A"), 20L, 1L), (Option.empty[String], 20L, 2L),
+        (Option.empty[String], 5L, 3L))
+      .toDF("t_key", "t_ts", "trade_id")
+    def run(matchNullKeys: Boolean) = AsOfJoin(nt, nq,
+        Seq(col("t_key")), Seq(col("q_key")),
+        Seq(col("t_ts")), Seq(col("q_ts")), matchNullKeys)
+      .select(col("trade_id"), col("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // default: null groups with null (PARTITION BY semantics) — trade 2 at
+    // ts 20 sees the null-key quote at ts 10; trade 3 at ts 5 predates it
+    assert(run(matchNullKeys = true) === Map(
+      1L -> Some(100L), 2L -> Some(900L), 3L -> None))
+    // SQL join semantics: a null key never matches anything
+    assert(run(matchNullKeys = false) === Map(
+      1L -> Some(100L), 2L -> None, 3L -> None))
+  }
+
   test("plan is the sorted-merge operator: one exchange + sort per side, no window") {
     val df = AsOfJoin(trades, quotes,
       Seq(col("t_key")), Seq(col("q_key")),

@@ -9,6 +9,44 @@ import graft.sources.Sources
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kafka wire schema: model equals spark-sql-kafka's schema after the " +
+      "documented one-line swap's CAST projection (drift guard)") {
+    import org.apache.spark.sql.types._
+    // Literal copy of the spark-sql-kafka source output schema, from the
+    // public Structured Streaming + Kafka Integration Guide ("Each row in
+    // the source has the following schema"): key/value are BINARY, plus
+    // topic/partition/offset/timestamp/timestampType metadata. If an
+    // upstream Spark release ever changes it, this literal goes stale and
+    // the swap recipe in README.md must be revisited — that review is the
+    // point of the pin.
+    val sparkSqlKafka = StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    // The README swap projects CAST(key AS STRING), CAST(value AS STRING)
+    // (the reference consumed (String, String) pairs, Streamer.scala:120)
+    // and keeps every metadata column except timestampType.
+    val afterSwap = StructType(sparkSqlKafka.fields.toSeq.flatMap {
+      case StructField("key", BinaryType, n, m) =>
+        Some(StructField("key", StringType, n, m))
+      case StructField("value", BinaryType, n, m) =>
+        Some(StructField("value", StringType, n, m))
+      case StructField("timestampType", _, _, _) => None
+      case f => Some(f)
+    })
+    assert(Sources.kafkaWireSchema === afterSwap,
+      "model wire schema drifted from the documented kafka swap projection")
+    // and the modeled batch source actually produces it (names + types;
+    // nullability is projection-dependent — lit(topic) is non-null)
+    assert(Sources.kafkaShapedBatch(spark, sf001).schema.fields.toSeq
+      .map(f => (f.name, f.dataType))
+      === afterSwap.fields.toSeq.map(f => (f.name, f.dataType)))
+  }
+
   test("kafkaShapedBatch projects the Kafka wire schema") {
     val df = Sources.kafkaShapedBatch(spark, sf001, "page_visits")
     assert(df.columns.toSeq ===
