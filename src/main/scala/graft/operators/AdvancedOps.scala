@@ -532,7 +532,12 @@ object AdvancedOps extends QueryModule {
     */
   private def zorderKey(s: SparkSession, dir: String): DataFrame = {
     val xb = pmod(col("user_id"), lit(1024L))             // 10-bit dim 1
-    val yb = least(floor(col("value") / 0.2), lit(1023L)).cast("long") // 10-bit dim 2
+    // clamped at BOTH ends: a negative value would give a negative bucket,
+    // and shifting a negative is an ERROR in DuckDB but silent sign-extended
+    // wraparound in Spark — the worst kind of cross-engine divergence
+    // (hostile_events caught it)
+    val yb = greatest(least(floor(col("value") / 0.2), lit(1023L)), lit(0L))
+      .cast("long")                                       // 10-bit dim 2
     val z = (0 until 10).map { i =>
       (shiftleft(shiftright(col("xb"), i) % 2, 2 * i + 1) +
         shiftleft(shiftright(col("yb"), i) % 2, 2 * i)).cast("long")
@@ -551,7 +556,7 @@ object AdvancedOps extends QueryModule {
     s"""WITH b AS (
        |  SELECT event_id,
        |    user_id % 1024 AS xb,
-       |    CAST(LEAST(FLOOR(value / 0.2), 1023) AS BIGINT) AS yb
+       |    CAST(GREATEST(LEAST(FLOOR(value / 0.2), 1023), 0) AS BIGINT) AS yb
        |  FROM events WHERE event_id < 2000
        |)
        |SELECT event_id, xb, yb, CAST($terms AS BIGINT) AS zkey
@@ -602,7 +607,7 @@ object AdvancedOps extends QueryModule {
     s"""WITH b0 AS (
        |  SELECT event_id,
        |    user_id % 1024 AS xb,
-       |    CAST(LEAST(FLOOR(value / 0.2), 1023) AS BIGINT) AS yb
+       |    CAST(GREATEST(LEAST(FLOOR(value / 0.2), 1023), 0) AS BIGINT) AS yb
        |  FROM events WHERE event_id < 2000
        |), z AS (
        |  SELECT event_id, xb, yb, CAST($terms AS BIGINT) AS zkey FROM b0

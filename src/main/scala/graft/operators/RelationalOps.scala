@@ -1385,11 +1385,15 @@ object RelationalOps extends QueryModule {
   // ---- JSON extraction ----------------------------------------------------
 
   /** get_json_object over events.props (≈ the reference's opaque Kafka value
-    * given structure — SURVEY.md §1.3 north-star MapType/JSON note). */
+    * given structure — SURVEY.md §1.3 north-star MapType/JSON note).
+    * try_cast, not cast: $.k may be a non-scalar (nested object) or the
+    * props cell malformed JSON — under ANSI mode a plain cast ABORTS the
+    * query on one bad row (hostile_events caught this); both engines
+    * treat unparseable as NULL, which the aggregates then skip. */
   private def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
       .groupBy(col("event_type"))
       .agg(
         min(col("k")).as("min_k"),
@@ -2048,12 +2052,17 @@ object RelationalOps extends QueryModule {
         |) UNPIVOT (cents FOR measure IN (quantity, extendedprice, discount, tax))
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
     Q("json_props_stats", jsonPropsStats, Some(
-      """SELECT event_type,
-        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      """WITH j AS (
+        |  SELECT event_type, TRY_CAST(CASE WHEN json_valid(props)
+        |    THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  MIN(k) AS min_k,
+        |  MAX(k) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(k) AS BIGINT) AS n_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("q2_min_cost_supplier", q2MinCostSupplier, Some(
       """WITH euro AS (
         |  SELECT n_nationkey, n_name

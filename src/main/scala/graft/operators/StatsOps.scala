@@ -163,10 +163,15 @@ object StatsOps extends QueryModule {
     */
   private def corrManual(s: SparkSession, dir: String): DataFrame = {
     val x = round(col("value") * 100).cast("long")          // cents
-    val y = round(get_json_object(col("props"), "$.k").cast("double") * 100)
-      .cast("long")
+    // try_cast + drop incomplete pairs: $.k may be non-scalar or props
+    // malformed (ANSI cast would abort on one bad row); pairwise-complete
+    // observations is the standard corr convention (what Spark's own corr
+    // does) and keeps n consistent with every sum
+    val y = round(expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)")
+      * 100).cast("long")
     Tables.t(s, dir, "events")
       .select(col("event_type"), x.as("x"), y.as("y"))
+      .filter(col("y").isNotNull)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -178,13 +183,19 @@ object StatsOps extends QueryModule {
         sum(d38(col("y") * col("y"))).as("syy"))
       .select(
         col("event_type"), col("n"),
-        ((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
-          .cast("double") /
-          (sqrt((d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
-            .cast("double")) *
-            sqrt((d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy")))
-              .cast("double"))))
-          .as("corr_xy"))
+        {
+          // zero-variance arm (n = 1, or a constant series): corr is
+          // undefined → NULL, matching DuckDB's /0 → NULL; Spark ANSI
+          // would abort instead without the guard (hostile_events)
+          val ax = (d38(col("n")) * d38(col("sxx"))
+            - d38(col("sx")) * d38(col("sx"))).cast("double")
+          val ay = (d38(col("n")) * d38(col("syy"))
+            - d38(col("sy")) * d38(col("sy"))).cast("double")
+          when(ax > 0 && ay > 0,
+            (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+              .cast("double") / (sqrt(ax) * sqrt(ay)))
+            .as("corr_xy")
+        })
       .orderBy(col("event_type"))
   }
 
@@ -196,11 +207,13 @@ object StatsOps extends QueryModule {
     * k·groups driver state, nothing else.
     */
   private def olsByType(s: SparkSession, dir: String): DataFrame = {
-    val x = round(get_json_object(col("props"), "$.k").cast("double") * 100)
-      .cast("long")
+    // try_cast + drop incomplete pairs — same rationale as corrManual
+    val x = round(expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)")
+      * 100).cast("long")
     val y = round(col("value") * 100).cast("long")
     Tables.t(s, dir, "events")
       .select(col("event_type"), x.as("x"), y.as("y"))
+      .filter(col("x").isNotNull)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -209,31 +222,41 @@ object StatsOps extends QueryModule {
         sum(d38(col("x") * col("x"))).as("sxx"))
       .select(
         col("event_type"), col("n"),
-        ((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
-          .cast("double") /
-          (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
-            .cast("double"))
-          .as("slope"),
-        (((d38(col("sy")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sxy")))
-          .cast("double") /
-          (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
-            .cast("double")) / 100.0)
-          .as("intercept_units"))
+        {
+          // constant regressor (n = 1 or all-equal x): slope/intercept
+          // undefined → NULL (DuckDB /0 semantics); guard for Spark ANSI
+          val den = (d38(col("n")) * d38(col("sxx"))
+            - d38(col("sx")) * d38(col("sx"))).cast("double")
+          when(den > 0,
+            (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+              .cast("double") / den).as("slope")
+        },
+        {
+          val den = (d38(col("n")) * d38(col("sxx"))
+            - d38(col("sx")) * d38(col("sx"))).cast("double")
+          when(den > 0,
+            ((d38(col("sy")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sxy")))
+              .cast("double") / den) / 100.0).as("intercept_units")
+        })
       .orderBy(col("event_type"))
   }
 
   private def olsByTypeSql: String =
     s"""WITH q AS (
       |  SELECT event_type,
-      |    CAST(ROUND(CAST(json_extract_string(props, '$$.k') AS DOUBLE) * 100) AS BIGINT) AS x,
+      |    CAST(ROUND(TRY_CAST(CASE WHEN json_valid(props)
+      |      THEN json_extract_string(props, '$$.k') END AS DOUBLE) * 100)
+      |      AS BIGINT) AS x,
       |    CAST(ROUND(value * 100) AS BIGINT) AS y
       |  FROM events
+      |), qf AS (
+      |  SELECT * FROM q WHERE x IS NOT NULL
       |), m AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
       |    SUM(CAST(x AS HUGEINT) * x) AS sxx
-      |  FROM q GROUP BY event_type
+      |  FROM qf GROUP BY event_type
       |)
       |SELECT event_type, n,
       |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
@@ -262,12 +285,13 @@ object StatsOps extends QueryModule {
     // bounded-reducer class equidepth_histogram was flagged for. Each
     // PrefixOps pass buckets by its own monotone rank key, so the sort
     // parallelism is buckets × groups regardless of group cardinality.
-    // (yk is never null in this corpus — matching the oracle's default
-    // ordering — but the bucket key is coalesced so a null could only
-    // land where NULLS FIRST would put it anyway.)
+    // (null yk — non-scalar $.k, malformed props — ranks NULLS FIRST by
+    // the MinValue coalesce; the oracle says NULLS FIRST explicitly since
+    // DuckDB's ASC default is NULLS LAST. try_cast: ANSI cast would abort
+    // the query on one unparseable cell.)
     val ev = Tables.t(s, dir, "events")
       .select(col("event_type"), col("event_id"), col("value"),
-        get_json_object(col("props"), "$.k").cast("double").as("yk"))
+        expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)").as("yk"))
     val rx = PrefixOps.withGlobalPrefix(ev, col("value"),
         Seq(col("value"), col("event_id")), groupKeys = Seq("event_type"))
       .withColumnRenamed("g_rank", "rx").drop("g_n")
@@ -288,13 +312,18 @@ object StatsOps extends QueryModule {
         sum(d38(col("ry")) * col("ry")).as("syy"))
       .select(
         col("event_type"), col("n"),
-        ((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
-          .cast("double") /
-          (sqrt((d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
-            .cast("double")) *
-            sqrt((d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy")))
-              .cast("double"))))
-          .as("spearman_rho"))
+        {
+          // n = 1 group: rank variance is 0, rho undefined → NULL
+          // (DuckDB /0 → NULL; Spark ANSI would abort — hostile_events)
+          val ax = (d38(col("n")) * d38(col("sxx"))
+            - d38(col("sx")) * d38(col("sx"))).cast("double")
+          val ay = (d38(col("n")) * d38(col("syy"))
+            - d38(col("sy")) * d38(col("sy"))).cast("double")
+          when(ax > 0 && ay > 0,
+            (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+              .cast("double") / (sqrt(ax) * sqrt(ay)))
+            .as("spearman_rho")
+        })
       .orderBy(col("event_type"))
   }
 
@@ -304,7 +333,9 @@ object StatsOps extends QueryModule {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
       |         ORDER BY value, event_id) AS BIGINT) AS rx,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-      |         ORDER BY CAST(json_extract_string(props, '$$.k') AS DOUBLE), event_id)
+      |         ORDER BY TRY_CAST(CASE WHEN json_valid(props)
+      |           THEN json_extract_string(props, '$$.k') END AS DOUBLE)
+      |           NULLS FIRST, event_id)
       |         AS BIGINT) AS ry
       |  FROM events
       |), m AS (
@@ -1201,7 +1232,12 @@ object StatsOps extends QueryModule {
         explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
       .select(col("event_type"), col("b"), col("x"), w.as("w"))
       .groupBy(col("event_type"), col("b"))
-      .agg(expr("sum(w * x) div sum(w)").as("mean_b"))
+      // nullif: a replica can Poisson-weight a tiny group to zero total
+      // weight (its resample is empty — no defined mean); Spark ANSI
+      // aborts on div-by-zero where DuckDB NULLs, so both sides say
+      // NULLIF explicitly and drop the empty replicas below
+      .agg(expr("sum(w * x) div nullif(sum(w), 0)").as("mean_b"))
+      .filter(col("mean_b").isNotNull)
     val point = Tables.t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -1211,8 +1247,11 @@ object StatsOps extends QueryModule {
       .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
       .join(point, "event_type")
       .select(col("event_type"), col("n"), col("mean_micro"),
-        element_at(col("ms"), 2).as("boot_lo_micro"),
-        element_at(col("ms"), BOOT_B - 1).as("boot_hi_micro"))
+        // try_element_at: with empty replicas dropped the band array can
+        // hold fewer than BOOT_B means; ANSI element_at would abort where
+        // DuckDB's ms[i] out-of-range is NULL
+        expr("try_element_at(ms, 2)").as("boot_lo_micro"),
+        expr(s"try_element_at(ms, ${BOOT_B - 1})").as("boot_hi_micro"))
       .orderBy(col("event_type"))
   }
 
@@ -1233,11 +1272,12 @@ object StatsOps extends QueryModule {
        |    CROSS JOIN (SELECT unnest(generate_series(0, ${BOOT_B - 1})) AS b))
        |), means AS (
        |  SELECT event_type, b,
-       |    CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS mean_b
+       |    CAST(SUM(w * x) AS BIGINT)
+       |      // NULLIF(CAST(SUM(w) AS BIGINT), 0) AS mean_b
        |  FROM reps GROUP BY 1, 2
        |), bands AS (
        |  SELECT event_type, list(mean_b ORDER BY mean_b) AS ms
-       |  FROM means GROUP BY 1
+       |  FROM means WHERE mean_b IS NOT NULL GROUP BY 1
        |), point AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
@@ -2114,67 +2154,88 @@ object StatsOps extends QueryModule {
       |FROM f ORDER BY t""".stripMargin
 
   /** Higher distribution moments per event type: population variance,
-    * skewness, excess kurtosis — from exact power sums S1..S4 over
-    * µ-quantized longs (one map-side-partial aggregate, no window). The
-    * DECIMAL(38,0) carrier holds v⁴ ≈ 1e28-scale terms exactly to ~1e9
-    * rows/group; assembly happens in DOUBLE with the identical expression
-    * text in both engines (exact-integer inputs → correctly-rounded
-    * doubles → bit-identical results).
+    * skewness, excess kurtosis — from exact power sums over µ-quantized
+    * longs, SHIFTED per group before raising to powers. Skew/kurtosis are
+    * shift-invariant and variance only needs the shifted mean, so pass 1
+    * computes the truncated integer group mean m0 = S1 div n (one tiny
+    * aggregate, broadcast back) and pass 2 raises c = v − m0 to powers:
+    * the DECIMAL(38,0)/HUGEINT carrier then holds spread⁴·n instead of
+    * |v|⁴·n — a group whose values sit anywhere on the number line but
+    * spread ≤ ~1e8 µ ($100) stays exact to 1e6 rows/group, where the
+    * unshifted form overflowed 128 bits at |value| ≈ 80 regardless of n
+    * (hostile_events caught exactly that). Assembly happens in DOUBLE with
+    * identical expression text in both engines; degenerate groups
+    * (zero variance) yield NULL skew/kurtosis via the same guard-vs-/0→NULL
+    * convention as corr_manual.
     */
   private def momentsByType(s: SparkSession, dir: String): DataFrame = {
     val v = round(col("value") * 1e6).cast(DecimalType(38, 0))
-    val agg = Tables.t(s, dir, "events")
+    val base = Tables.t(s, dir, "events")
+      .select(col("event_type"), v.as("v"))
+    val m0 = base.groupBy(col("event_type"))
+      .agg(expr("CAST(sum(v) div count(1) AS DECIMAL(38,0))").as("m0"))
+    val c = col("v") - col("m0")
+    val agg = base.join(broadcast(m0), "event_type")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(v).as("s1"), sum(v * v).as("s2"),
-        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+      .agg(count(lit(1)).as("n"), max(col("m0")).as("m0"),
+        sum(c).as("s1"), sum(c * c).as("s2"),
+        sum(c * c * c).as("s3"), sum(c * c * c * c).as("s4"))
+    val varE = expr(
+      "CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)")
     agg.select(
       col("event_type"), col("n"),
-      ((col("s1").cast("double") / col("n")) / 1e6).as("mean"),
-      expr("""CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)""")
-        .divide(lit(1e12)).as("variance"),
-      expr(
+      expr("(CAST(m0 AS DOUBLE) + CAST(s1 AS DOUBLE)/n) / 1e6").as("mean"),
+      varE.divide(lit(1e12)).as("variance"),
+      when(varE > 0, expr(
         """(CAST(s3 AS DOUBLE)/n
           |  - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
           |  + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
           | / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
-          |""".stripMargin.replaceAll("\n", " ")).as("skewness"),
-      expr(
+          |""".stripMargin.replaceAll("\n", " "))).as("skewness"),
+      when(varE > 0, expr(
         """(CAST(s4 AS DOUBLE)/n
           |  - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
           |  + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
           |  - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
           | / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
           |    * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3
-          |""".stripMargin.replaceAll("\n", " ")).as("kurtosis"))
+          |""".stripMargin.replaceAll("\n", " "))).as("kurtosis"))
       .orderBy(col("event_type"))
   }
 
   private def momentsByTypeSql: String =
-    """WITH agg AS (
-      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |         SUM(v) AS s1, SUM(v*v) AS s2, SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4
-      |  FROM (SELECT event_type,
-      |               CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS HUGEINT) AS v
-      |        FROM events)
-      |  GROUP BY event_type
+    """WITH base AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS HUGEINT) AS v
+      |  FROM events
+      |), m0t AS (
+      |  SELECT event_type, SUM(v) // COUNT(*) AS m0 FROM base GROUP BY 1
+      |), agg AS (
+      |  SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(m.m0) AS m0,
+      |         SUM(b.v - m.m0) AS s1, SUM((b.v - m.m0)*(b.v - m.m0)) AS s2,
+      |         SUM((b.v - m.m0)*(b.v - m.m0)*(b.v - m.m0)) AS s3,
+      |         SUM((b.v - m.m0)*(b.v - m.m0)*(b.v - m.m0)*(b.v - m.m0)) AS s4
+      |  FROM base b JOIN m0t m USING (event_type)
+      |  GROUP BY b.event_type
       |)
       |SELECT event_type, n,
-      |  (CAST(s1 AS DOUBLE)/n) / 1e6 AS mean,
+      |  (CAST(m0 AS DOUBLE) + CAST(s1 AS DOUBLE)/n) / 1e6 AS mean,
       |  (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) / 1e12
       |    AS variance,
+      |  CASE WHEN CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) > 0 THEN
       |  (CAST(s3 AS DOUBLE)/n
       |    - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
       |    + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
       |   / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
-      |    AS skewness,
+      |  END AS skewness,
+      |  CASE WHEN CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) > 0 THEN
       |  (CAST(s4 AS DOUBLE)/n
       |    - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
       |    + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
       |    - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
       |   / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
       |      * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3
-      |    AS kurtosis
+      |  END AS kurtosis
       |FROM agg ORDER BY event_type""".stripMargin
 
   /** Benford first-significant-digit audit of l_extendedprice — the
@@ -2415,17 +2476,25 @@ object StatsOps extends QueryModule {
     val syD = col("s_y").cast("double")
     val qxD = col("q_x").cast("double")
     val qyD = col("q_y").cast("double")
-    val vx = (qxD - sxD * sxD / nxD) / (nxD - lit(1.0))
-    val vy = (qyD - syD * syD / nyD) / (nyD - lit(1.0))
-    val sse = vx / nxD + vy / nyD
-    val tStat = (sxD / nxD - syD / nyD) / sqrt(sse)
-    val dfW = sse * sse /
-      ((vx / nxD) * (vx / nxD) / (nxD - lit(1.0)) +
-        (vy / nyD) * (vy / nyD) / (nyD - lit(1.0)))
+    // degenerate arms (n ≤ 1: variance undefined; sse = 0: both arms
+    // zero-variance) yield NULL t/df. DuckDB's x/0 is NULL natively; Spark
+    // under ANSI mode ABORTS on division by zero — hostile_events caught a
+    // single-event type killing the whole query — so the guards are
+    // explicit `when`s here and the oracle leans on /0→NULL there.
+    val vx = when(col("n_x") > 1, (qxD - sxD * sxD / nxD) / (nxD - lit(1.0)))
+    val vy = when(col("n_y") > 1, (qyD - syD * syD / nyD) / (nyD - lit(1.0)))
+    val tStat = when(col("sse") > 0,
+      (sxD / nxD - syD / nyD) / sqrt(col("sse")))
+    val dfW = when(col("sse") > 0, col("sse") * col("sse") /
+      ((col("vx") / nxD) * (col("vx") / nxD) / (nxD - lit(1.0)) +
+        (col("vy") / nyD) * (col("vy") / nyD) / (nyD - lit(1.0))))
     per.crossJoin(broadcast(tot))
       .withColumn("n_y", col("n") - col("n_x"))
       .withColumn("s_y", col("s") - col("s_x"))
       .withColumn("q_y", col("q") - col("q_x"))
+      .withColumn("vx", vx)
+      .withColumn("vy", vy)
+      .withColumn("sse", col("vx") / nxD + col("vy") / nyD)
       .select(col("event_type"), col("n_x"), col("n_y"),
         round(tStat * 1e6).cast("long").as("t_micro"),
         round(dfW * 1e3).cast("long").as("df_milli"))
@@ -2749,15 +2818,19 @@ object StatsOps extends QueryModule {
       s"""WITH q AS (
         |  SELECT event_type,
         |    CAST(ROUND(value * 100) AS BIGINT) AS x,
-        |    CAST(ROUND(CAST(json_extract_string(props, '$$.k') AS DOUBLE) * 100) AS BIGINT) AS y
+        |    CAST(ROUND(TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$$.k') END AS DOUBLE) * 100)
+        |      AS BIGINT) AS y
         |  FROM events
+        |), qf AS (
+        |  SELECT * FROM q WHERE y IS NOT NULL
         |), m AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
         |    SUM(CAST(y AS HUGEINT) * y) AS syy
-        |  FROM q GROUP BY event_type
+        |  FROM qf GROUP BY event_type
         |)
         |SELECT event_type, n,
         |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)

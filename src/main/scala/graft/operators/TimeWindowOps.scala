@@ -922,11 +922,16 @@ object TimeWindowOps extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("residual_micro").cast(dec)).as("sr"),
         sum((col("residual_micro") * col("residual_micro")).cast(dec)).as("srr"))
+    // den2 > 0 guard: a zero-variance residual series (single-day type,
+    // constant residuals) has no defined z — Spark ANSI aborts on the /0
+    // where DuckDB yields NULL (hostile_events caught this); the CASE on
+    // both sides also keeps sqrt off any fp-negative den2 (DuckDB's sqrt
+    // ERRORS on negatives where Spark's returns NaN)
     resid.join(broadcast(stats), "event_type")
-      .withColumn("z", expr(
-        """(CAST(residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n)
-           / sqrt(CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))"""
-          .replaceAll("\n\\s*", " ")))
+      .withColumn("den2", expr(
+        "CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n)"))
+      .withColumn("z", when(col("den2") > 0, expr(
+        "(CAST(residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n) / sqrt(den2)")))
       .filter(abs(col("z")) > 2.0)
       .select(col("event_type"), col("day"), col("mean_micro"),
         col("seasonal_micro"), col("residual_micro"), col("z"))
@@ -942,13 +947,20 @@ object TimeWindowOps extends QueryModule {
        |         SUM(residual_micro * residual_micro) AS srr
        |  FROM resid GROUP BY event_type
        |)
-       |SELECT r.event_type, r.day, r.mean_micro, r.seasonal_micro,
-       |       r.residual_micro,
-       |       (CAST(r.residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n) / sqrt(CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))
-       |         AS z
-       |FROM resid r JOIN stats s ON r.event_type = s.event_type
-       |WHERE ABS((CAST(r.residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n) / sqrt(CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))) > 2
-       |ORDER BY r.event_type, r.day""".stripMargin
+       |, withz AS (
+       |  SELECT r.event_type, r.day, r.mean_micro, r.seasonal_micro,
+       |         r.residual_micro,
+       |         CASE WHEN CAST(srr AS DOUBLE)/n
+       |                   - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n) > 0
+       |           THEN (CAST(r.residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n)
+       |                / sqrt(CAST(srr AS DOUBLE)/n
+       |                       - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))
+       |         END AS z
+       |  FROM resid r JOIN stats s ON r.event_type = s.event_type
+       |)
+       |SELECT event_type, day, mean_micro, seasonal_micro, residual_micro, z
+       |FROM withz WHERE ABS(z) > 2
+       |ORDER BY event_type, day""".stripMargin
 
   private val seasonalDowSql: String =
     """WITH daily AS (

@@ -258,6 +258,29 @@ object StreamJobs {
       }
       .start()
 
+  /** Declarative event-time SESSION windows with a watermark — the
+    * built-in `session_window(col, gap)` streaming aggregation (the
+    * `sessionize` mapGroupsWithState pipeline below is its arbitrary-state
+    * complement; the batch catalog query `session_windows` is the exact
+    * same operator over static data and serves as per-session ground
+    * truth in StreamJobsSpec). Sessions merge while events keep arriving
+    * within `gap` of the open session; append mode emits each session
+    * exactly once, in the micro-batch where the watermark passes its end,
+    * and rows older than the watermark are dropped by the aggregation —
+    * they can never reopen or extend a closed session. State is one
+    * (start, end, n) per in-flight session, watermark-evicted.
+    */
+  def sessionWindowCounts(input: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    input
+      .withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"))
+
   /** Continuous per-key counts with event-time window + watermark — the
     * streaming form of CoreOps.countPerKey/batchCount, with late-data drop
     * the reference never had. Append mode requires the watermark.

@@ -1,0 +1,69 @@
+package graft
+
+/** Structural enforcement of the Q caching contract (Q.scala): operators
+  * may `.cache()` subtrees their RETURNED plan consumes more than once —
+  * those pins intentionally outlive the action and are reclaimed by the
+  * harness's per-query `clearCache()` — but nothing else may leak. This
+  * spec runs every catalog query to completion at sf0.001 and asserts the
+  * set of queries that leave pinned RDDs behind is EXACTLY the documented
+  * allowlist, so a new operator that caches without either (a) consuming
+  * the cache in its returned plan or (b) joining this list fails sbt test
+  * loudly instead of silently growing sweep memory.
+  */
+class CacheHygieneSpec extends SparkSpec {
+
+  // Queries whose returned plan references a cached subtree in 2+ branches
+  // (the Q-contract pattern). Each entry is load-bearing: remove it and the
+  // test proves the pin is gone; add one only with the same justification.
+  private val pinners: Set[String] = CacheHygieneSpec.pinners
+
+  test("only documented pinners leave persistent RDDs; clearCache reclaims all") {
+    val unexpected = scala.collection.mutable.ListBuffer.empty[String]
+    val stale = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, sf001).write.format("noop").mode("overwrite").save()
+      val pinned = spark.sparkContext.getPersistentRDDs.nonEmpty
+      if (pinned && !pinners.contains(name)) unexpected += name
+      if (!pinned && pinners.contains(name)) stale += name
+      spark.catalog.clearCache()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"clearCache left RDDs pinned after $name")
+    }
+    assert(unexpected.isEmpty,
+      s"undocumented cache pins: ${unexpected.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowlisted but no longer pinning (remove): ${stale.mkString(", ")}")
+  }
+}
+
+object CacheHygieneSpec {
+  /** Audited 2026-08 (round 6): every name below caches a subtree its
+    * RETURNED plan reads in ≥2 branches (pair generators reading the
+    * shingle/signature table on both join sides, graph queries re-reading
+    * the edge list per hop/iteration, sketch queries reading distinct
+    * hashes for both the count and the k-th order statistic, …) — the
+    * exact pattern the Q contract permits. None are construction-only
+    * caches (those would be bugs to unpersist; spot-checked kmv_distinct's
+    * dh, triangle_count's sig/e, dau_wau's userDays — all plan-referenced).
+    */
+  val pinners: Set[String] = Set(
+    "acf_daily", "assoc_rules", "bfs_hops", "bigram_collocations",
+    "bigram_lm_score", "bm25_score", "boilerplate_shingles", "ccf_daily",
+    "cluster_keep_best", "cluster_size_histogram", "cluster_topterms",
+    "clustering_agreement", "clustering_coefficient", "containment_pairs",
+    "corpus_topp_select", "cosine_near_dup", "curriculum_phases",
+    "customer_rfm", "dau_wau", "dedup_clusters", "dedup_impact_report",
+    "embedding_norm_outliers", "emd_pairwise", "equidepth_histogram",
+    "fellegi_sunter", "hits_scores", "incremental_dedup", "item_item_sim",
+    "jaccard_histogram", "jaccard_prefix_join", "key_skew_report",
+    "kmv_distinct", "ks_test", "label_propagation", "lift_by_decile",
+    "mad_outliers", "mann_whitney", "minhash_calibration",
+    "minhash_lsh_pairs", "mutual_information", "mutual_knn",
+    "ngram_jaccard_pairs", "pagerank", "payload_frame_dup", "psi_drift",
+    "q15_top_supplier", "quantile_normalize", "recsys_ndcg_eval",
+    "recsys_precision_eval", "rrf_fusion", "segmented_trend",
+    "semantic_dedup", "session_overlap_pairs", "shingle_novelty",
+    "simhash_pairs", "sorted_neighborhood", "source_dedup_matrix",
+    "spearman_corr", "supplier_pareto", "triangle_count", "vocab_growth",
+    "weighted_median")
+}

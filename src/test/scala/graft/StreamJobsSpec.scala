@@ -297,6 +297,45 @@ class StreamJobsSpec extends SparkSpec {
     assert(rows.contains(("u1", 150L, 180L, 1L)), rows.toString)
   }
 
+  test("sessionWindowCounts: closed sessions equal the batch session_window " +
+      "on the same rows; a late row cannot reopen a closed session") {
+    val in = MemoryStream[KafkaShaped]
+    val q = StreamJobs.sessionWindowCounts(in.toDF(), "30 seconds", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("swc").start()
+    // u1: burst of 3 (one session), then a 40s gap (second session);
+    // u2: single event — all before the watermark moves
+    val live = Seq(rec("u1", "a", 100, 0), rec("u1", "b", 110, 1),
+      rec("u1", "c", 120, 2), rec("u1", "d", 160, 3), rec("u2", "e", 105, 4))
+    in.addData(live: _*)
+    q.processAllAvailable()
+    // watermark push: closes everything before 400 - 60 = 340
+    in.addData(rec("u3", "w", 400, 5))
+    q.processAllAvailable()
+    val closed = spark.sql("select * from swc")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+    // ground truth: the SAME rows through the batch session_window operator
+    // (the session_windows catalog query's exact shape)
+    val batch = spark.createDataset(live).toDF()
+      .groupBy(session_window($"timestamp", "30 seconds"), $"key")
+      .agg(count(lit(1)).as("n"))
+      .select($"key", $"session_window.start", $"session_window.end", $"n")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+    assert(closed === batch, s"closed=$closed batch=$batch")
+    // a LATE row inside u1's first (closed) session span: watermark is at
+    // 340, the row is at 115 → dropped by the aggregation; no new emission
+    // and no reopened/extended session
+    in.addData(rec("u1", "late", 115, 6))
+    q.processAllAvailable()
+    in.addData(rec("u3", "w2", 500, 7)) // push watermark again to flush
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.sql("select * from swc")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+    assert(after.filter(_._1 == "u1") === closed.filter(_._1 == "u1"),
+      "late row must not create, reopen or extend a u1 session")
+  }
+
   test("stream-stream interval join matches keys within the window only") {
     val clicks = MemoryStream[KafkaShaped]
     val buys = MemoryStream[KafkaShaped]

