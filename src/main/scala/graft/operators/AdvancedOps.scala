@@ -117,6 +117,32 @@ object AdvancedOps extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the same custom operator: for every event, the
+    * timestamp of the NEXT error event of the same user at-or-after it —
+    * the "time to next failure" / "next maintenance window" lookup, the
+    * mirror of [[asofJoinExec]]. One hash exchange per side + the same
+    * O(n+m) merge; forward mode peeks the sorted right head instead of
+    * carrying, so nothing is buffered at all. Oracle: the FIRST_VALUE
+    * IGNORE NULLS window over the following frame.
+    */
+  private def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+    val errors = events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"),
+        col("ts").cast("timestamp_ntz").as("error_ts"),
+        col("event_id").as("e_id"))
+    org.apache.spark.sql.graft.AsOfJoin(ev, errors,
+        Seq(col("user_id")), Seq(col("e_user")),
+        Seq(col("ts"), col("event_id")), Seq(col("error_ts"), col("e_id")),
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("error_ts").as("next_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Last-touch attribution: every purchase credited to the user's latest
     * preceding click/view — the marketing-analytics shape behind every
     * "which channel drove this revenue" report, and the second consumer of
@@ -829,6 +855,13 @@ object AdvancedOps extends QueryModule {
         |  LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS asof_error_ts
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("asof_join_forward", asofJoinForward, Some(
+      """SELECT event_id, user_id, ts, event_type,
+        |  FIRST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_error_ts
         |FROM events ORDER BY event_id""".stripMargin)),
     Q("attribution_last_touch", attributionLastTouch,
       Some(attributionLastTouchSql)),

@@ -47,9 +47,16 @@ object SimilarityOps extends QueryModule {
        |    i -> CAST(ROUND(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e16)
        |              AS BIGINT))) AS BIGINT)""".stripMargin
 
-  /** cosine from quantized dots: the 1e16 scales cancel. */
+  /** cosine from quantized dots: the 1e16 scales cancel. Zero-norm guard:
+    * a vector whose QUANTIZED norm is 0 (all-zero, or all components under
+    * the 1e-8 quantization floor) has no defined angle — NULL, matching
+    * the oracle's /0 → NULL; unguarded, Spark ANSI aborts the whole query
+    * on one such row (hostile_embeddings caught this across the family).
+    * Downstream `cosine >= t` filters drop NULL in both engines, and DESC
+    * rankings put NULL last in both. */
   private def cosineQ(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    when(na > 0 && nb > 0,
+      dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
 
   /** Brute-force cosine top-10 neighbors for query vectors vec_id < 20. */
   private def cosineTopk(s: SparkSession, dir: String): DataFrame = {

@@ -1423,6 +1423,86 @@ object StatsOps extends QueryModule {
       |              (acc, x) -> (acc + x) // 2) AS ema_micro
       |FROM unrolled ORDER BY event_type, day""".stripMargin
 
+  /** AR(1) autoregression of the per-type daily mean series: fit
+    * x_d = c + φ·x_{d−1} by OLS over the lag-1 pairs — the persistence
+    * readout (φ → 1: strong day-over-day memory; φ → 0: white noise)
+    * behind every "is this metric mean-reverting" question, and the
+    * model-fit complement of [[holtLinear]]'s smoother. Two-level shape:
+    * the heavy pass is one hash-aggregate to the (type, day, mean) table;
+    * the lag window runs over that CALENDAR-BOUNDED aggregate (365
+    * rows/type/year at any corpus size), and φ/c assemble from exact d38
+    * moments exactly like [[olsByType]] — zero-variance series → NULL via
+    * the same guard-vs-/0→NULL convention.
+    */
+  private def ar1Daily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 1e6).cast("long"))
+        .cast("long")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("sum_micro div cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = daily
+      .withColumn("x", lag(col("mean_micro"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("event_type"), col("x"), col("mean_micro").as("y"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * col("x")).as("sxx"))
+      .select(
+        col("event_type"), col("n_pairs"),
+        {
+          val den = (d38(col("n_pairs")) * d38(col("sxx"))
+            - d38(col("sx")) * d38(col("sx"))).cast("double")
+          when(den > 0,
+            (d38(col("n_pairs")) * d38(col("sxy"))
+              - d38(col("sx")) * d38(col("sy"))).cast("double") / den)
+            .as("phi")
+        },
+        {
+          val den = (d38(col("n_pairs")) * d38(col("sxx"))
+            - d38(col("sx")) * d38(col("sx"))).cast("double")
+          when(den > 0,
+            ((d38(col("sy")) * d38(col("sxx"))
+              - d38(col("sx")) * d38(col("sxy"))).cast("double") / den) / 1e6)
+            .as("intercept_units")
+        })
+      .orderBy(col("event_type"))
+  }
+
+  private val ar1DailySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+       |      // CAST(COUNT(*) AS BIGINT) AS mean_micro
+       |  FROM events GROUP BY 1, 2
+       |), p AS (
+       |  SELECT event_type,
+       |    LAG(mean_micro) OVER (PARTITION BY event_type ORDER BY day) AS x,
+       |    mean_micro AS y
+       |  FROM daily
+       |), pf AS (
+       |  SELECT * FROM p WHERE x IS NOT NULL
+       |), m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM pf GROUP BY 1
+       |)
+       |SELECT event_type, n_pairs,
+       |  CASE WHEN CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE) > 0 THEN
+       |    CAST(${dmul("n_pairs", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
+       |      / CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE)
+       |  END AS phi,
+       |  CASE WHEN CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE) > 0 THEN
+       |    (CAST(${dmul("sy", "sxx")} - ${dmul("sx", "sxy")} AS DOUBLE)
+       |      / CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE)) / 1e6
+       |  END AS intercept_units
+       |FROM m ORDER BY event_type""".stripMargin
+
   /** One-sided CUSUM change detection on the per-type daily mean series —
     * the classic sequential test for "did this metric's level shift up".
     * S_d = max(0, S_{d-1} + (x_d − μ − κ)) with μ the per-type mean of the
@@ -2699,6 +2779,7 @@ object StatsOps extends QueryModule {
     Q("psi_drift", psiDrift, Some(psiDriftSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("ema_daily", emaDaily, Some(emaDailySql)),
+    Q("ar1_daily", ar1Daily, Some(ar1DailySql)),
     Q("holt_linear", holtLinear, Some(holtLinearSql)),
     Q("column_profile", columnProfile, Some(columnProfileSql)),
     Q("log_histogram_quantiles", logHistogramQuantiles, Some(logHistogramQuantilesSql)),

@@ -61,6 +61,116 @@ object TimeWindowOps extends QueryModule {
         col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Daily p50/p90/p99 bands per event type — the ops-dashboard latency/
+    * value-band query. Same compressed-domain formulation as
+    * exact_percentiles (aggregate to (type, day, value, cnt) FIRST, then
+    * cumulate over the compressed domain): the windows partition by
+    * (type, day) — parallelism grows with the calendar — and the cumsum
+    * runs over distinct values, not raw rows. p_q = the smallest value
+    * whose cumulative count reaches ⌈n·q⌉ (lower exact percentile, both
+    * engines in lockstep: integer counts, IEEE ceil).
+    */
+  private def dailyPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"), col("day"))
+    events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("value"))).as("p50"),
+        min(when(col("cum") >= ceil(col("n") * 0.9), col("value"))).as("p90"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), col("value"))).as("p99"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val dailyPercentilesSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2, 3
+      |), c AS (
+      |  SELECT event_type, day, value, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY value
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+      |  FROM g
+      |)
+      |SELECT event_type, day, MAX(n) AS n,
+      |  MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN value END) AS p50,
+      |  MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN value END) AS p90,
+      |  MIN(CASE WHEN cum >= CEIL(n * 0.99) THEN value END) AS p99
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val SESSION_GAP_US = 1800L * 1000000L  // 30 min
+  private val SESSION_CAP_US = 7200L * 1000000L  // 2 h hard cap
+
+  /** Gap-sessionization WITH a hard duration cap — the event-level window
+    * formulation (vs the session_window operator): is_new = gap > 30 min
+    * over (user, ts, event_id), session_id = running sum of is_new, then
+    * each session splits ARITHMETICALLY into 2-hour chunks by
+    * (ts − session_start) div cap. No fold, no iteration: two window
+    * passes partitioned by user (and by (user, session) for the start),
+    * both linear per partition; the cap split is a pure per-row
+    * projection. The "bound runaway sessions" variant every analytics
+    * pipeline eventually needs — a gap-only session tracking a bot can
+    * span days; the cap makes downstream per-session state O(cap).
+    */
+  private def sessionCapSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull ||
+          col("us") - col("prev_us") > SESSION_GAP_US).cast("long"))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .withColumn("session_start", min(col("us")).over(bySession))
+      .withColumn("chunk_idx",
+        expr(s"(us - session_start) div $SESSION_CAP_US"))
+      .groupBy(col("user_id"), col("session_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .orderBy(col("user_id"), col("session_id"), col("chunk_idx"))
+  }
+
+  private val sessionCapSplitSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |), marked AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL
+       |           OR us - LAG(us) OVER w > ${1800L * 1000000L} THEN 1
+       |         ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), sess AS (
+       |  SELECT user_id, event_id, us,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM marked
+       |), st AS (
+       |  SELECT user_id, event_id, us, session_id,
+       |    MIN(us) OVER (PARTITION BY user_id, session_id) AS session_start
+       |  FROM sess
+       |)
+       |SELECT user_id, session_id,
+       |  (us - session_start) // ${7200L * 1000000L} AS chunk_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(MIN(us) AS BIGINT) AS first_us, CAST(MAX(us) AS BIGINT) AS last_us
+       |FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** RANGE interval frame: per user, trailing-1-hour event count and cents
     * sum at every event — the value-based frame family (ROWS frames are
     * covered by window_running_supplier). Ordered by epoch seconds so the
@@ -1416,6 +1526,8 @@ object TimeWindowOps extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin))
+        |ORDER BY user_id, session_start""".stripMargin)),
+    Q("daily_percentiles", dailyPercentiles, Some(dailyPercentilesSql)),
+    Q("session_cap_split", sessionCapSplit, Some(sessionCapSplitSql))
   )
 }

@@ -45,6 +45,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * equi-join predicate `l.k = r.k` would never fire on null. Both modes
   * share the same exchange+sort+merge plan; the flag only gates the final
   * match test.
+  *
+  * Direction: `forward = false` (default) is the backward join above.
+  * `forward = true` attaches the EARLIEST right row at-or-after the left's
+  * time tuple (the "next quote / next maintenance window" lookup). Same
+  * exchange+sort plan, still one pass: rights strictly before the current
+  * left are discarded permanently (later lefts are even later, so a
+  * discarded right can never match again) and the buffered head — the
+  * first right at-or-after — is the unique candidate; nothing is copied.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -53,7 +61,8 @@ case class AsOfJoinNode(
     rightKeys: Seq[Expression],
     leftTimes: Seq[Expression],
     rightTimes: Seq[Expression],
-    matchNullKeys: Boolean = true) extends BinaryNode {
+    matchNullKeys: Boolean = true,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -68,7 +77,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTimes: Seq[Expression],
     rightTimes: Seq[Expression],
-    matchNullKeys: Boolean = true) extends BinaryExecNode {
+    matchNullKeys: Boolean = true,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -107,19 +117,30 @@ case class AsOfJoinExec(
       var carriedRow: InternalRow = null
       lIt.map { l =>
         val lMerge = lMergeProj(l)
-        // consume every right row at-or-before the left's (key, time...)
-        while (rBuf.hasNext && mergeOrd.compare(rMergeProj(rBuf.head), lMerge) <= 0) {
-          val r = rBuf.next()
-          carriedKey = rKeyProj(r).copy()
-          carriedRow = r.copy()
-        }
         val lKey = lKeyProj(l)
         // SQL mode: a null in the left key tuple never matches (and byte
-        // equality then implies the carried key is null-free too)
+        // equality then implies the matched key is null-free too)
         val nullsOk = matchNullKeys ||
           (0 until lKeyExprs.size).forall(i => !lKey.isNullAt(i))
-        val matched = nullsOk && carriedKey != null && carriedKey == lKey
-        outProj(joined(l, if (matched) carriedRow else nullRight))
+        val row: InternalRow = if (forward) {
+          // discard rights strictly before l; the head (first at-or-after)
+          // is the unique forward candidate — peeked, NOT consumed: later
+          // lefts at the same time tuple may match it too
+          while (rBuf.hasNext && mergeOrd.compare(rMergeProj(rBuf.head), lMerge) < 0)
+            rBuf.next()
+          if (nullsOk && rBuf.hasNext && rKeyProj(rBuf.head) == lKey) rBuf.head
+          else nullRight
+        } else {
+          // consume every right row at-or-before the left's (key, time...)
+          while (rBuf.hasNext && mergeOrd.compare(rMergeProj(rBuf.head), lMerge) <= 0) {
+            val r = rBuf.next()
+            carriedKey = rKeyProj(r).copy()
+            carriedRow = r.copy()
+          }
+          if (nullsOk && carriedKey != null && carriedKey == lKey) carriedRow
+          else nullRight
+        }
+        outProj(joined(l, row))
       }
     }
   }
@@ -131,8 +152,8 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, mnk) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, mnk) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, mnk, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, mnk, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -147,7 +168,8 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
       leftOn: Seq[Column], rightOn: Seq[Column],
       leftTime: Seq[Column], rightTime: Seq[Column],
-      matchNullKeys: Boolean = true): DataFrame = {
+      matchNullKeys: Boolean = true,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.sessionState.experimentalMethods.extraStrategies.contains(AsOfStrategy)) {
       spark.sessionState.experimentalMethods.extraStrategies =
@@ -177,6 +199,6 @@ object AsOfJoin {
     val rRes = resolver(rPlan)
     ClassicDataset.ofRows(classic, AsOfJoinNode(lPlan, rPlan,
       leftOn.map(lRes), rightOn.map(rRes),
-      leftTime.map(lRes), rightTime.map(rRes), matchNullKeys))
+      leftTime.map(lRes), rightTime.map(rRes), matchNullKeys, forward))
   }
 }

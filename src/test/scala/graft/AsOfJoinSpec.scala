@@ -59,6 +59,22 @@ class AsOfJoinSpec extends SparkSpec {
       ("A", 30L, 120L, 120L), ("B", 15L, 500L, 500L)))
   }
 
+  test("forward as-of: earliest at-or-after, ties match, exhausted side nulls") {
+    val got = AsOfJoin(trades, quotes,
+        Seq(col("t_key")), Seq(col("q_key")),
+        Seq(col("t_ts")), Seq(col("q_ts")), forward = true)
+      .select(col("trade_id"), col("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(
+      1L -> Some(100L), // A@5  → next quote A@10
+      2L -> Some(100L), // A@10 → tie at exactly 10 matches (>=)
+      3L -> Some(120L), // A@25 → next quote A@30
+      4L -> None,       // A@99 → no quote after
+      5L -> Some(500L), // B@14 → B@15
+      6L -> None))      // C has no quotes at all
+  }
+
   test("null keys: window semantics match null↔null, SQL mode never does") {
     // one null-key quote stream + null-key trades; a typed Option[String]
     // key column gives real SQL NULLs on both sides

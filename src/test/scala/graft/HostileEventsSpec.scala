@@ -29,12 +29,14 @@ class HostileEventsSpec extends SparkSpec {
   // dir deliberately holds nothing else, so an out-of-date entry here fails
   // loudly with file-not-found instead of silently skipping
   private val eventQueries = Seq(
-    "ab_test_zscore", "acf_daily", "asof_join", "asof_join_exec",
+    "ab_test_zscore", "acf_daily", "ar1_daily",
+    "asof_join", "asof_join_exec", "asof_join_forward",
     "attribution_last_touch", "attribution_position", "batch_count",
     "batch_summary", "bootstrap_ci", "ccf_daily", "changepoint_daily",
     "cohort_ltv", "collect_sorted", "column_profile", "corr_manual",
     "count_per_key", "cuped_lift", "cusum_shift", "daily_gapfill",
-    "daily_interp", "dau_wau", "debounce_events", "dedup_distinct",
+    "daily_interp", "daily_percentiles", "dau_wau", "debounce_events",
+    "dedup_distinct",
     "distinct_message_count", "ema_daily", "emd_pairwise",
     "equidepth_histogram", "event_transitions", "event_type_islands",
     "exact_percentiles", "funnel_conversion", "funnel_windowed",
@@ -46,7 +48,8 @@ class HostileEventsSpec extends SparkSpec {
     "nearest_touch", "null_key_fallback", "ols_by_type", "pivot_user_events",
     "psi_drift", "quantile_normalize", "retention_cohorts", "salted_agg",
     "scd2_history", "seasonal_dow", "seasonal_outliers", "segmented_trend",
-    "session_concurrency", "session_overlap_pairs", "session_windows",
+    "session_cap_split", "session_concurrency", "session_overlap_pairs",
+    "session_windows",
     "set_except_users", "set_intersect_users", "set_union_all_bands",
     "shapley_attribution", "skew_join_salted", "sliding_hour",
     "snapshot_diff", "spearman_corr", "theilsen_trend", "time_to_conversion",
