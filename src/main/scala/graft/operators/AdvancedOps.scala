@@ -285,7 +285,7 @@ object AdvancedOps extends QueryModule {
       |), grid AS (
       |  SELECT g.mask, COALESCE(o.nu, 0) AS nu, COALESCE(o.nc, 0) AS nc,
       |    CASE WHEN COALESCE(o.nu, 0) > 0
-      |         THEN CAST(o.nc AS DOUBLE) / CAST(o.nu AS DOUBLE)
+      |         THEN CAST(CAST(o.nc AS STRING) AS DOUBLE) / CAST(o.nu AS DOUBLE)
       |         ELSE 0.0 END AS v
       |  FROM (SELECT unnest(generate_series(0, 15)) AS mask) g
       |  LEFT JOIN obs o ON o.mask = g.mask

@@ -1275,7 +1275,7 @@ object DedupOps extends QueryModule {
     val u = nRow.crossJoin(broadcast(s2)).crossJoin(broadcast(l2))
       .crossJoin(broadcast(len2))
       .select(
-        expr("(CAST(s2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn)").as("u_src"),
+        expr("(CAST(CAST(s2 AS STRING) AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn)").as("u_src"),
         expr("(CAST(l2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn)").as("u_lang"),
         expr("(CAST(len2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn)").as("u_len"),
         lit(0.05).cast("double").as("u_sim"))
@@ -1340,7 +1340,7 @@ object DedupOps extends QueryModule {
        |  FROM hist h1 JOIN hist h2 ON ABS(h1.nc - h2.nc) <= 10
        |), u AS (
        |  SELECT
-       |    (CAST(s2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn) AS u_src,
+       |    (CAST(CAST(s2 AS STRING) AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn) AS u_src,
        |    (CAST(l2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn) AS u_lang,
        |    (CAST(len2 AS DOUBLE) - nn) / (CAST(nn AS DOUBLE) * nn - nn) AS u_len,
        |    CAST(0.05 AS DOUBLE) AS u_sim

@@ -871,7 +871,7 @@ object RelationalOps extends QueryModule {
       |), ma AS (SELECT MAX(a2) AS ma FROM auth2)
       |SELECT p AS part, n_buyers,
       |  CAST((a2 * 1000000) // ma AS BIGINT) AS auth_ppm,
-      |  CAST(a2 AS DOUBLE) AS auth_score
+      |  CAST(CAST(a2 AS STRING) AS DOUBLE) AS auth_score
       |FROM auth2 CROSS JOIN ma
       |ORDER BY auth_ppm DESC, part LIMIT 20""".stripMargin
 

@@ -949,8 +949,8 @@ object SimilarityOps extends QueryModule {
        |  FROM embeddings
        |), cov AS (
        |  SELECT i, j,
-       |         CAST(P AS DOUBLE)/n/1e12
-       |           - (CAST(Si AS DOUBLE)/n/1e6)*(CAST(Sj AS DOUBLE)/n/1e6) AS c
+       |         CAST(CAST(P AS STRING) AS DOUBLE)/n/1e12
+       |           - (CAST(CAST(Si AS STRING) AS DOUBLE)/n/1e6)*(CAST(CAST(Sj AS STRING) AS DOUBLE)/n/1e6) AS c
        |  FROM (
        |    SELECT gi.i AS i, gj.j AS j, SUM(xq[gi.i]*xq[gj.j]) AS P,
        |           SUM(xq[gi.i]) AS Si, SUM(xq[gj.j]) AS Sj, COUNT(*) AS n

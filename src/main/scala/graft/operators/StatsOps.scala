@@ -259,10 +259,10 @@ object StatsOps extends QueryModule {
       |  FROM qf GROUP BY event_type
       |)
       |SELECT event_type, n,
-      |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
-      |    / CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE) AS slope,
-      |  (CAST(${dmul("sy", "sxx")} - ${dmul("sx", "sxy")} AS DOUBLE)
-      |    / CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE)) / 100.0
+      |  CAST(CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS STRING) AS DOUBLE)
+      |    / CAST(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE) AS slope,
+      |  (CAST(CAST(${dmul("sy", "sxx")} - ${dmul("sx", "sxy")} AS STRING) AS DOUBLE)
+      |    / CAST(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE)) / 100.0
       |    AS intercept_units
       |FROM m ORDER BY event_type""".stripMargin
 
@@ -347,9 +347,9 @@ object StatsOps extends QueryModule {
       |  FROM r GROUP BY event_type
       |)
       |SELECT event_type, n,
-      |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
-      |    / (sqrt(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE))
-      |       * sqrt(CAST(${dmul("n", "syy")} - ${dmul("sy", "sy")} AS DOUBLE)))
+      |  CAST(CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS STRING) AS DOUBLE)
+      |    / (sqrt(CAST(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE))
+      |       * sqrt(CAST(CAST(${dmul("n", "syy")} - ${dmul("sy", "sy")} AS STRING) AS DOUBLE)))
       |    AS spearman_rho
       |FROM m ORDER BY event_type""".stripMargin
 
@@ -1493,13 +1493,13 @@ object StatsOps extends QueryModule {
        |  FROM pf GROUP BY 1
        |)
        |SELECT event_type, n_pairs,
-       |  CASE WHEN CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE) > 0 THEN
-       |    CAST(${dmul("n_pairs", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
-       |      / CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE)
+       |  CASE WHEN CAST(CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE) > 0 THEN
+       |    CAST(CAST(${dmul("n_pairs", "sxy")} - ${dmul("sx", "sy")} AS STRING) AS DOUBLE)
+       |      / CAST(CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE)
        |  END AS phi,
-       |  CASE WHEN CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE) > 0 THEN
-       |    (CAST(${dmul("sy", "sxx")} - ${dmul("sx", "sxy")} AS DOUBLE)
-       |      / CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE)) / 1e6
+       |  CASE WHEN CAST(CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE) > 0 THEN
+       |    (CAST(CAST(${dmul("sy", "sxx")} - ${dmul("sx", "sxy")} AS STRING) AS DOUBLE)
+       |      / CAST(CAST(${dmul("n_pairs", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE)) / 1e6
        |  END AS intercept_units
        |FROM m ORDER BY event_type""".stripMargin
 
@@ -2261,24 +2261,24 @@ object StatsOps extends QueryModule {
         sum(c).as("s1"), sum(c * c).as("s2"),
         sum(c * c * c).as("s3"), sum(c * c * c * c).as("s4"))
     val varE = expr(
-      "CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)")
+      "CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)")
     agg.select(
       col("event_type"), col("n"),
-      expr("(CAST(m0 AS DOUBLE) + CAST(s1 AS DOUBLE)/n) / 1e6").as("mean"),
+      expr("(CAST(CAST(m0 AS STRING) AS DOUBLE) + CAST(CAST(s1 AS STRING) AS DOUBLE)/n) / 1e6").as("mean"),
       varE.divide(lit(1e12)).as("variance"),
       when(varE > 0, expr(
-        """(CAST(s3 AS DOUBLE)/n
-          |  - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
-          |  + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-          | / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
+        """(CAST(CAST(s3 AS STRING) AS DOUBLE)/n
+          |  - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
+          |  + 2*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
+          | / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)) * sqrt(CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)))
           |""".stripMargin.replaceAll("\n", " "))).as("skewness"),
       when(varE > 0, expr(
-        """(CAST(s4 AS DOUBLE)/n
-          |  - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
-          |  + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
-          |  - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-          | / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-          |    * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3
+        """(CAST(CAST(s4 AS STRING) AS DOUBLE)/n
+          |  - 4*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s3 AS STRING) AS DOUBLE)/n)
+          |  + 6*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
+          |  - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
+          | / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
+          |    * (CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))) - 3
           |""".stripMargin.replaceAll("\n", " "))).as("kurtosis"))
       .orderBy(col("event_type"))
   }
@@ -2299,22 +2299,22 @@ object StatsOps extends QueryModule {
       |  GROUP BY b.event_type
       |)
       |SELECT event_type, n,
-      |  (CAST(m0 AS DOUBLE) + CAST(s1 AS DOUBLE)/n) / 1e6 AS mean,
-      |  (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) / 1e12
+      |  (CAST(CAST(m0 AS STRING) AS DOUBLE) + CAST(CAST(s1 AS STRING) AS DOUBLE)/n) / 1e6 AS mean,
+      |  (CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)) / 1e12
       |    AS variance,
-      |  CASE WHEN CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) > 0 THEN
-      |  (CAST(s3 AS DOUBLE)/n
-      |    - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
-      |    + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-      |   / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
+      |  CASE WHEN CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n) > 0 THEN
+      |  (CAST(CAST(s3 AS STRING) AS DOUBLE)/n
+      |    - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
+      |    + 2*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
+      |   / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)) * sqrt(CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)))
       |  END AS skewness,
-      |  CASE WHEN CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) > 0 THEN
-      |  (CAST(s4 AS DOUBLE)/n
-      |    - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
-      |    + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
-      |    - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-      |   / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-      |      * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3
+      |  CASE WHEN CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n) > 0 THEN
+      |  (CAST(CAST(s4 AS STRING) AS DOUBLE)/n
+      |    - 4*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s3 AS STRING) AS DOUBLE)/n)
+      |    + 6*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
+      |    - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
+      |   / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
+      |      * (CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))) - 3
       |  END AS kurtosis
       |FROM agg ORDER BY event_type""".stripMargin
 
@@ -2399,9 +2399,9 @@ object StatsOps extends QueryModule {
     val adj = perUser.crossJoin(broadcast(theta))
       .withColumn("adjq", round(expr(
         """CAST(post AS DOUBLE)
-           - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
-             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
-             * (CAST(pre AS DOUBLE) - CAST(sx AS DOUBLE)/n)"""
+           - (CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sy AS STRING) AS DOUBLE)/n)
+             / (CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sx AS STRING) AS DOUBLE)/n)
+             * (CAST(pre AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)/n)"""
           .replaceAll("\n\\s*", " "))).cast("long"))
     adj.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_arm"),
@@ -2410,13 +2410,13 @@ object StatsOps extends QueryModule {
         sum(col("adjq").cast(dec)).as("aj"),
         sum((col("adjq").cast(dec) * col("adjq").cast(dec))).as("ajj"))
       .select(col("arm"), col("n_arm"),
-        expr("CAST(ay AS DOUBLE)/n_arm/1e6").as("mean_post"),
-        expr("CAST(aj AS DOUBLE)/n_arm/1e6").as("mean_adj"),
-        expr("""(CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm)) / 1e12""")
+        expr("CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm/1e6").as("mean_post"),
+        expr("CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm/1e6").as("mean_adj"),
+        expr("""(CAST(CAST(ayy AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm)) / 1e12""")
           .as("var_post"),
-        expr("""(CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / 1e12""")
+        expr("""(CAST(CAST(ajj AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)) / 1e12""")
           .as("var_adj"),
-        expr("""1 - (CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / (CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm))""")
+        expr("""1 - (CAST(CAST(ajj AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)) / (CAST(CAST(ayy AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm))""")
           .as("var_reduction"))
       .orderBy(col("arm"))
   }
@@ -2439,7 +2439,7 @@ object StatsOps extends QueryModule {
       |  FROM per_user
       |), adj AS (
       |  SELECT arm, post,
-      |    CAST(ROUND(CAST(post AS DOUBLE) - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) * (CAST(pre AS DOUBLE) - CAST(sx AS DOUBLE)/n)) AS BIGINT) AS adjq
+      |    CAST(ROUND(CAST(post AS DOUBLE) - (CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sy AS STRING) AS DOUBLE)/n) / (CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sx AS STRING) AS DOUBLE)/n) * (CAST(pre AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)/n)) AS BIGINT) AS adjq
       |  FROM per_user CROSS JOIN theta
       |), arms AS (
       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
@@ -2450,11 +2450,11 @@ object StatsOps extends QueryModule {
       |  FROM adj GROUP BY arm
       |)
       |SELECT arm, n_arm,
-      |  CAST(ay AS DOUBLE)/n_arm/1e6 AS mean_post,
-      |  CAST(aj AS DOUBLE)/n_arm/1e6 AS mean_adj,
-      |  (CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm)) / 1e12 AS var_post,
-      |  (CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / 1e12 AS var_adj,
-      |  1 - (CAST(ajj AS DOUBLE)/n_arm - (CAST(aj AS DOUBLE)/n_arm)*(CAST(aj AS DOUBLE)/n_arm)) / (CAST(ayy AS DOUBLE)/n_arm - (CAST(ay AS DOUBLE)/n_arm)*(CAST(ay AS DOUBLE)/n_arm)) AS var_reduction
+      |  CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm/1e6 AS mean_post,
+      |  CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm/1e6 AS mean_adj,
+      |  (CAST(CAST(ayy AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm)) / 1e12 AS var_post,
+      |  (CAST(CAST(ajj AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)) / 1e12 AS var_adj,
+      |  1 - (CAST(CAST(ajj AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(aj AS STRING) AS DOUBLE)/n_arm)) / (CAST(CAST(ayy AS STRING) AS DOUBLE)/n_arm - (CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm)*(CAST(CAST(ay AS STRING) AS DOUBLE)/n_arm)) AS var_reduction
       |FROM arms ORDER BY arm""".stripMargin
 
   /** Two-sample Kolmogorov-Smirnov test: click vs view `value`
@@ -2599,14 +2599,14 @@ object StatsOps extends QueryModule {
       |  FROM per CROSS JOIN tot
       |), assembled AS (
       |  SELECT event_type, n_x, n_y,
-      |    (CAST(q_x AS DOUBLE) -
-      |      CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) / CAST(n_x AS DOUBLE))
+      |    (CAST(CAST(q_x AS STRING) AS DOUBLE) -
+      |      CAST(CAST(s_x AS STRING) AS DOUBLE) * CAST(CAST(s_x AS STRING) AS DOUBLE) / CAST(n_x AS DOUBLE))
       |      / (CAST(n_x AS DOUBLE) - 1.0) AS vx,
-      |    (CAST(q_y AS DOUBLE) -
-      |      CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) / CAST(n_y AS DOUBLE))
+      |    (CAST(CAST(q_y AS STRING) AS DOUBLE) -
+      |      CAST(CAST(s_y AS STRING) AS DOUBLE) * CAST(CAST(s_y AS STRING) AS DOUBLE) / CAST(n_y AS DOUBLE))
       |      / (CAST(n_y AS DOUBLE) - 1.0) AS vy,
-      |    CAST(s_x AS DOUBLE) / CAST(n_x AS DOUBLE) AS mx,
-      |    CAST(s_y AS DOUBLE) / CAST(n_y AS DOUBLE) AS my
+      |    CAST(CAST(s_x AS STRING) AS DOUBLE) / CAST(n_x AS DOUBLE) AS mx,
+      |    CAST(CAST(s_y AS STRING) AS DOUBLE) / CAST(n_y AS DOUBLE) AS my
       |  FROM arms
       |)
       |SELECT event_type, n_x, n_y,
@@ -2914,9 +2914,9 @@ object StatsOps extends QueryModule {
         |  FROM qf GROUP BY event_type
         |)
         |SELECT event_type, n,
-        |  CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS DOUBLE)
-        |    / (sqrt(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS DOUBLE))
-        |       * sqrt(CAST(${dmul("n", "syy")} - ${dmul("sy", "sy")} AS DOUBLE)))
+        |  CAST(CAST(${dmul("n", "sxy")} - ${dmul("sx", "sy")} AS STRING) AS DOUBLE)
+        |    / (sqrt(CAST(CAST(${dmul("n", "sxx")} - ${dmul("sx", "sx")} AS STRING) AS DOUBLE))
+        |       * sqrt(CAST(CAST(${dmul("n", "syy")} - ${dmul("sy", "sy")} AS STRING) AS DOUBLE)))
         |    AS corr_xy
         |FROM m ORDER BY event_type""".stripMargin)),
     Q("levenshtein_pairs", levenshteinPairs, Some(

@@ -31,6 +31,120 @@ object TextOps extends QueryModule {
   private def stopwordSqlValues: String =
     stopwords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
+  /** RAKE-style corpus keyword extraction (Rose et al.'s Rapid Automatic
+    * Keyword Extraction, stopword-delimited): candidate phrases are maximal
+    * runs of non-stopword tokens (length ≤ 4), word score =
+    * degree/frequency where degree sums the lengths of every run the word
+    * appears in, phrase score = Σ member-word scores. All scoring is exact
+    * integer ppm (per-word truncated `deg·1e6 div freq`, summed), so both
+    * engines rank identically — no float ever enters the order. Top 25
+    * corpus keywords.
+    *
+    * Scale posture: the run segmentation is the sessionization idiom
+    * (boundary flag → running sum) windowed PER DOCUMENT — parallelism is
+    * the corpus; word stats and phrase stats are two hash aggregates; the
+    * phrase-word scoring join explodes phrases back to ≤ 4 rows each. The
+    * stopword table is a broadcast literal. Nothing is quadratic, nothing
+    * is driver-side.
+    */
+  private def rakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = s.createDataFrame(stopwords).toDF("sw_lang", "sw_word")
+    val toks = docs(s, dir)
+      .filter(col("lang").isin("en", "es", "de", "fr"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val marked = toks.join(broadcast(sw),
+        col("lang") === col("sw_lang") && col("term") === col("sw_word"),
+        "left")
+      .withColumn("is_stop",
+        (col("sw_word").isNotNull || col("term") === "").cast("long"))
+      .select(col("doc_id"), col("pos"), col("term"), col("is_stop"))
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = marked
+      .withColumn("run_id", sum(col("is_stop")).over(wCum))
+      .filter(col("is_stop") === 0)
+      .select(col("doc_id"), col("run_id"), col("pos"), col("term"))
+    val withLen = runs.withColumn("run_len",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("run_id")))
+        .cast("long"))
+    val wordScore = withLen.filter(col("run_len") <= 4)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"), sum(col("run_len")).cast("long").as("deg"))
+      .select(col("term"), expr("(deg * 1000000) div freq").as("wscore_ppm"))
+    val phrases = runs
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("term")))).as("xs"))
+      .select(
+        expr("array_join(transform(xs, x -> x.term), ' ')").as("phrase"),
+        size(col("xs")).cast("long").as("n_words"))
+      .filter(col("n_words") <= 4)
+      .groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    phrases
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("term"))
+      .join(wordScore, "term")
+      .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
+      .agg(sum(col("wscore_ppm")).cast("long").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(25)
+  }
+
+  private def rakeKeywordsSql: String =
+    s"""WITH sw(sw_lang, sw_word) AS (VALUES $stopwordSqlValues),
+       |d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |  FROM documents WHERE lang IN ('en', 'es', 'de', 'fr')
+       |), p0 AS (
+       |  SELECT doc_id, lang, toks,
+       |         unnest(generate_series(1, len(toks))) AS pos
+       |  FROM d
+       |), tok AS (
+       |  SELECT doc_id, lang, pos, toks[pos] AS term FROM p0
+       |), marked AS (
+       |  SELECT k.doc_id, k.pos, k.term,
+       |    CASE WHEN sw.sw_word IS NOT NULL OR k.term = '' THEN 1 ELSE 0 END
+       |      AS is_stop
+       |  FROM tok k LEFT JOIN sw
+       |    ON k.lang = sw.sw_lang AND k.term = sw.sw_word
+       |), seg AS (
+       |  SELECT doc_id, pos, term, is_stop,
+       |    CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+       |  FROM marked
+       |), runs AS (
+       |  SELECT doc_id, run_id, pos, term FROM seg WHERE is_stop = 0
+       |), wl AS (
+       |  SELECT doc_id, run_id, pos, term,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id, run_id) AS BIGINT)
+       |      AS run_len
+       |  FROM runs
+       |), wscore AS (
+       |  SELECT term,
+       |    (CAST(SUM(run_len) AS BIGINT) * 1000000)
+       |      // CAST(COUNT(*) AS BIGINT) AS wscore_ppm
+       |  FROM wl WHERE run_len <= 4 GROUP BY 1
+       |), phr AS (
+       |  SELECT doc_id, run_id,
+       |         string_agg(term, ' ' ORDER BY pos) AS phrase,
+       |         CAST(COUNT(*) AS BIGINT) AS n_words
+       |  FROM runs GROUP BY 1, 2
+       |), pa AS (
+       |  SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |  FROM phr WHERE n_words <= 4 GROUP BY 1, 2
+       |), pw AS (
+       |  SELECT pa.phrase, pa.n_words, pa.n_occurrences,
+       |         unnest(string_split(pa.phrase, ' ')) AS term
+       |  FROM pa
+       |)
+       |SELECT phrase, n_words, n_occurrences,
+       |  CAST(SUM(wscore_ppm) AS BIGINT) AS score_ppm
+       |FROM pw JOIN wscore USING (term)
+       |GROUP BY 1, 2, 3
+       |ORDER BY score_ppm DESC, phrase LIMIT 25""".stripMargin
+
   /** Token statistics per document: whitespace tokens, distinct tokens,
     * alphabetic tokens (regex), a BPE-ish size estimate (chars/4 is the
     * classic approximation), and mean token length — all integer/rational
@@ -258,13 +372,13 @@ object TextOps extends QueryModule {
         sum((col("x") * col("y")).cast(dec)).as("sxy"),
         sum((col("x") * col("x")).cast(dec)).as("sxx"))
       .select(col("source"), col("n_terms"),
-        expr("""(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms)
-                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms)"""
+        expr("""(CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sy AS STRING) AS DOUBLE)/n_terms)
+                / (CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sx AS STRING) AS DOUBLE)/n_terms)"""
           .replaceAll("\n\\s*", " ")).as("zipf_slope"),
-        expr("""(CAST(sy AS DOUBLE)/n_terms
-                - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms)
-                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms)
-                  * (CAST(sx AS DOUBLE)/n_terms)) / 1e6"""
+        expr("""(CAST(CAST(sy AS STRING) AS DOUBLE)/n_terms
+                - (CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sy AS STRING) AS DOUBLE)/n_terms)
+                  / (CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sx AS STRING) AS DOUBLE)/n_terms)
+                  * (CAST(CAST(sx AS STRING) AS DOUBLE)/n_terms)) / 1e6"""
           .replaceAll("\n\\s*", " ")).as("ln_intercept"))
       .orderBy(col("source"))
   }
@@ -287,9 +401,9 @@ object TextOps extends QueryModule {
       |  FROM ranked GROUP BY source
       |)
       |SELECT source, n_terms,
-      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms)
+      |  (CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sy AS STRING) AS DOUBLE)/n_terms) / (CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sx AS STRING) AS DOUBLE)/n_terms)
       |    AS zipf_slope,
-      |  (CAST(sy AS DOUBLE)/n_terms - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n_terms) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n_terms) * (CAST(sx AS DOUBLE)/n_terms)) / 1e6
+      |  (CAST(CAST(sy AS STRING) AS DOUBLE)/n_terms - (CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sy AS STRING) AS DOUBLE)/n_terms) / (CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE)*CAST(CAST(sx AS STRING) AS DOUBLE)/n_terms) * (CAST(CAST(sx AS STRING) AS DOUBLE)/n_terms)) / 1e6
       |    AS ln_intercept
       |FROM sums ORDER BY source""".stripMargin
 
@@ -1283,6 +1397,7 @@ object TextOps extends QueryModule {
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY freq DESC, term LIMIT 50""".stripMargin)),
+    Q("rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
     Q("tf_idf", tfIdf, Some(
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -1039,9 +1039,9 @@ object TimeWindowOps extends QueryModule {
     // ERRORS on negatives where Spark's returns NaN)
     resid.join(broadcast(stats), "event_type")
       .withColumn("den2", expr(
-        "CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n)"))
+        "CAST(CAST(srr AS STRING) AS DOUBLE)/n - (CAST(CAST(sr AS STRING) AS DOUBLE)/n)*(CAST(CAST(sr AS STRING) AS DOUBLE)/n)"))
       .withColumn("z", when(col("den2") > 0, expr(
-        "(CAST(residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n) / sqrt(den2)")))
+        "(CAST(residual_micro AS DOUBLE) - CAST(CAST(sr AS STRING) AS DOUBLE)/n) / sqrt(den2)")))
       .filter(abs(col("z")) > 2.0)
       .select(col("event_type"), col("day"), col("mean_micro"),
         col("seasonal_micro"), col("residual_micro"), col("z"))
@@ -1060,11 +1060,11 @@ object TimeWindowOps extends QueryModule {
        |, withz AS (
        |  SELECT r.event_type, r.day, r.mean_micro, r.seasonal_micro,
        |         r.residual_micro,
-       |         CASE WHEN CAST(srr AS DOUBLE)/n
-       |                   - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n) > 0
-       |           THEN (CAST(r.residual_micro AS DOUBLE) - CAST(sr AS DOUBLE)/n)
-       |                / sqrt(CAST(srr AS DOUBLE)/n
-       |                       - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n))
+       |         CASE WHEN CAST(CAST(srr AS STRING) AS DOUBLE)/n
+       |                   - (CAST(CAST(sr AS STRING) AS DOUBLE)/n)*(CAST(CAST(sr AS STRING) AS DOUBLE)/n) > 0
+       |           THEN (CAST(r.residual_micro AS DOUBLE) - CAST(CAST(sr AS STRING) AS DOUBLE)/n)
+       |                / sqrt(CAST(CAST(srr AS STRING) AS DOUBLE)/n
+       |                       - (CAST(CAST(sr AS STRING) AS DOUBLE)/n)*(CAST(CAST(sr AS STRING) AS DOUBLE)/n))
        |         END AS z
        |  FROM resid r JOIN stats s ON r.event_type = s.event_type
        |)
@@ -1287,7 +1287,7 @@ object TimeWindowOps extends QueryModule {
         |  FROM lhs JOIN (SELECT day AS tday, c AS cb FROM cd) b USING (tday)
         |  GROUP BY k
         |)
-        |SELECT k, n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+        |SELECT k, n_pairs, CAST(CAST(num AS STRING) AS DOUBLE) / CAST(CAST(den AS STRING) AS DOUBLE) AS acf
         |FROM agged, den ORDER BY k""".stripMargin)),
     Q("daily_interp", dailyInterp, Some(
       """WITH per_day AS (

@@ -29,6 +29,7 @@ class HostileTextSpec extends SparkSpec {
     "contamination_check", "exact_dedup", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "cluster_keep_best", "incremental_dedup",
+    "rake_keywords",
     "jaccard_prefix_join", "minhash_calibration", "clustering_agreement",
     "levenshtein_pairs", "bm25_score", "weighted_sample",
     "bpe_pair_counts", "token_entropy", "temperature_mixture",
