@@ -1196,6 +1196,158 @@ object StatsOps extends QueryModule {
       |FROM ev JOIN cuts USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Trimmed mean per event_type: drop the lowest and highest 5% of ROWS
+    * by rank, exact mean of the middle 90% — the robust-location
+    * complement of [[winsorizeClip]] (winsorizing clips outliers to the
+    * cut, trimming discards them). Computed entirely on the COMPRESSED
+    * (type, cents, cnt) domain: a value-run occupying ranks
+    * [r−cnt+1, r] contributes its overlap with the kept band
+    * [lo+1, n−lo] (lo = n div 20) — pure integer interval arithmetic, no
+    * per-row explode, windows over distinct values only.
+    */
+  private def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("lo", expr("n div 20"))
+      .withColumn("k", greatest(lit(0L),
+        least(col("r"), col("n") - col("lo"))
+          - greatest(col("r") - col("cnt") + 1, col("lo") + 1) + 1))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("k")).cast("long").as("n_kept"),
+        sum(col("vc") * col("k")).cast("long").as("kept_cents"))
+      .select(col("event_type"), col("n"), col("n_kept"),
+        expr("(kept_cents * 10000L) div n_kept").as("trim_mean_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val trimmedMeanSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, vc, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM g
+      |), k AS (
+      |  SELECT event_type, vc, cnt, r, n, n // 20 AS lo,
+      |    GREATEST(0, LEAST(r, n - n // 20)
+      |      - GREATEST(r - cnt + 1, n // 20 + 1) + 1) AS k
+      |  FROM c
+      |)
+      |SELECT event_type, MAX(n) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS n_kept,
+      |  CAST(CAST(SUM(vc * k) AS BIGINT) * 10000 AS BIGINT)
+      |    // CAST(SUM(k) AS BIGINT) AS trim_mean_micro
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gini coefficient of the per-type value distribution — the inequality
+    * readout behind "is this source's signal concentrated in a few huge
+    * rows" curation decisions. Exact closed form over sorted NON-NEGATIVE
+    * cents (negative rows excluded — Gini's domain):
+    * G = (2·W − (n+1)·S) / (n·S) with W = Σ rank·x. On the compressed
+    * domain a run of `cnt` equal values x ending at rank r contributes
+    * x·(cnt·r − cnt·(cnt−1)/2) to W — integer interval arithmetic again,
+    * no explode. Output in exact ppm (floor), plus the double via the
+    * string-routed conversion.
+    */
+  private def giniByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+      .filter(col("vc") >= 0)
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(d38(col("vc")) * col("cnt")).as("s"),
+        // cnt·(cnt−1) is always even — integer div is exact; plain `/`
+        // would grow a decimal scale (Spark) / go float (DuckDB)
+        sum(expr("""CAST(vc AS DECIMAL(38,0)) *
+          (CAST(cnt AS DECIMAL(38,0)) * r -
+           (CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) div 2)"""
+          .replaceAll("\n\\s*", " "))).as("w"))
+      .select(col("event_type"), col("n"),
+        expr("CAST((2 * w - (n + 1) * s) * 1000000 div (n * s) AS BIGINT)")
+          .as("gini_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val giniByTypeSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |  WHERE CAST(ROUND(value * 100) AS BIGINT) >= 0
+      |), g AS (
+      |  SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, vc, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM g
+      |), m AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |    SUM(CAST(vc AS HUGEINT) * cnt) AS s,
+      |    SUM(CAST(vc AS HUGEINT) *
+      |        (CAST(cnt AS HUGEINT) * r
+      |          - (CAST(cnt AS HUGEINT) * (cnt - 1)) // 2)) AS w
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  CAST((2 * w - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_ppm
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** Herfindahl–Hirschman concentration of per-type activity across users
+    * — "is this event type driven by a handful of users" (the per-source
+    * analog guides training-mix curation: a source dominated by one
+    * crawler is weaker evidence than the same token count spread wide).
+    * HHI = Σ share² = Σcnt²/(Σcnt)² in exact ppm; one hash-aggregate to
+    * (type, user, cnt), one to the type, both map-side-partial.
+    */
+  private def sourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    perUser.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("cnt")).cast("long").as("total"),
+        sum(d38(col("cnt")) * col("cnt")).as("sq"))
+      .select(col("event_type"), col("n_users"),
+        expr("CAST((sq * 1000000) div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sourceConcentrationSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST((SUM(CAST(cnt AS HUGEINT) * cnt) * 1000000)
+      |    // (CAST(SUM(cnt) AS HUGEINT) * CAST(SUM(cnt) AS BIGINT)) AS BIGINT)
+      |    AS hhi_ppm
+      |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Poisson(1) CDF thresholds scaled to 2¹⁶, precomputed as literals both
     * engines share: w = #{t ≤ u} for u uniform on [0, 2¹⁶) is a
     * deterministic Poisson(1) draw (16-bit CDF resolution shifts each
@@ -2788,6 +2940,9 @@ object StatsOps extends QueryModule {
     Q("chi2_independence", chi2Independence, Some(chi2IndependenceSql)),
     Q("cusum_shift", cusumShift, Some(cusumShiftSql)),
     Q("winsorize_clip", winsorizeClip, Some(winsorizeClipSql)),
+    Q("trimmed_mean", trimmedMean, Some(trimmedMeanSql)),
+    Q("gini_by_type", giniByType, Some(giniByTypeSql)),
+    Q("source_concentration", sourceConcentration, Some(sourceConcentrationSql)),
     Q("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     Q("mutual_information", mutualInformation, Some(mutualInformationSql)),

@@ -47,6 +47,7 @@ class HostileEventsSpec extends SparkSpec {
     "mann_whitney", "max_drawdown", "moments_by_type", "mutual_information",
     "nearest_touch", "null_key_fallback", "ols_by_type", "pivot_user_events",
     "psi_drift", "quantile_normalize", "retention_cohorts", "salted_agg",
+    "gini_by_type", "source_concentration", "trimmed_mean",
     "scd2_history", "seasonal_dow", "seasonal_outliers", "segmented_trend",
     "session_cap_split", "session_concurrency", "session_overlap_pairs",
     "session_windows",
