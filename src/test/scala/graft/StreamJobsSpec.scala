@@ -426,6 +426,39 @@ class StreamJobsSpec extends SparkSpec {
     assert(kv.filter($"qualifier" === "messages").count() === 2)
   }
 
+  test("sessionWindowCounts survives a checkpoint restart: open session " +
+      "state carries over, closed sessions emit exactly once") {
+    val in = MemoryStream[KafkaShaped]
+    val ckpt = tmp() + "/ckpt"
+    // memory sink cannot recover from a checkpoint; collect closed
+    // sessions through foreachBatch (which can) instead
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Timestamp, Timestamp, Long)]()
+    def start() = StreamJobs.sessionWindowCounts(in.toDF(), "30 seconds", "1 minute")
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.as[(String, Timestamp, Timestamp, Long)].collect().foreach(out.add)
+        ()
+      }.start()
+    // open a session, then kill the query BEFORE the watermark closes it
+    val q1 = start()
+    in.addData(rec("u1", "a", 100, 0), rec("u1", "b", 110, 1))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint: the open-session state must be
+    // restored; extend the session, then close it with a watermark push
+    val q2 = start()
+    in.addData(rec("u1", "c", 120, 2))   // merges into the restored session
+    q2.processAllAvailable()
+    in.addData(rec("u2", "w", 400, 3))   // watermark to 340 → closes u1
+    q2.processAllAvailable(); q2.stop()
+    val rows = out.toArray(Array.empty[(String, Timestamp, Timestamp, Long)]).toList
+    // ONE u1 session [100, 150) with all 3 events — not two fragments,
+    // not a duplicate emission
+    val u1 = rows.filter(_._1 == "u1")
+    assert(u1 === List(("u1", new Timestamp(100000L),
+      new Timestamp(150000L), 3L)), rows.toString)
+  }
+
   test("streamingDecontaminate flags exactly the docs a batch recompute " +
       "flags, across multiple micro-batches") {
     import StreamJobs.StreamDoc
