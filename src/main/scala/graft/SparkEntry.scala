@@ -21,7 +21,8 @@ object SparkEntry {
     operators.MultimodalOps,
     operators.AdvancedOps,
     operators.StatsOps,
-    operators.FilterOps
+    operators.FilterOps,
+    streaming.ReplayOps
   )
 
   private lazy val all: Seq[Q] = {
