@@ -23,8 +23,23 @@ object RelationalOps extends QueryModule {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
-  /** SUM(expr) computed exactly: per-row double, decimal-summed, double out. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+  /** SUM(expr) computed exactly: per-row double, µ-quantized by explicit
+    * ROUND (half-away-from-zero in BOTH engines, even exactly ON a
+    * boundary — pinned by the hostile fixtures), summed in DECIMAL(38,0),
+    * string-routed back to double (HUGEINT→DOUBLE is not correctly rounded
+    * in DuckDB), /1e6.
+    *
+    * Round 7: this replaced `sum(c.cast(DECIMAL(38,6)))` — the implicit
+    * double→decimal cast rounds HALF_UP on the double's SHORTEST DECIMAL
+    * rendering in Spark but on the binary value in DuckDB, so a per-row
+    * product landing within one double ULP of a 1e-7 half boundary (q1
+    * sum_charge on hostile_relational: 500.125·0.93·1.01) summed one µ
+    * apart across engines. ROUND's boundary behavior is engine-identical,
+    * so the quantized carrier cannot diverge.
+    */
+  private def dsum(c: Column): Column =
+    (sum(round(c * 1e6).cast(DecimalType(38, 0)))
+      .cast("string").cast("double") / 1e6)
 
   // ---- TPC-H Q1 analog: scan + filter + wide aggregate --------------------
 
@@ -575,8 +590,12 @@ object RelationalOps extends QueryModule {
       transform(slice(col("ps"), i + lit(2),
           greatest(size(col("ps")) - i - lit(1), lit(0))),
         y => struct(x.as("part_a"), y.as("part_b")))))
-    // cached: pair fan-out + margins + the order count (Q contract)
+    // cached: pair fan-out + margins + the order count (Q contract).
+    // NULL orderkey is not an order: groupBy would count it as a basket
+    // where the oracle's COUNT(DISTINCT) skips NULL -- n_orders (and so
+    // every lift) diverged by one on hostile_relational
     val orderSets = t(s, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .cache()
@@ -618,6 +637,7 @@ object RelationalOps extends QueryModule {
   private val assocRulesSql: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
       |), n AS (
       |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
       |), pair_cnt AS (
@@ -889,6 +909,10 @@ object RelationalOps extends QueryModule {
       conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(5L))
     val baskets = t(s, dir, "lineitem")
+      // explicit: a NULL orderkey has no md5 bucket. Spark would drop it
+      // anyway (NULL is_test fails both filters) but DuckDB's concat
+      // treats NULL as '' and aborts casting '0x' -- hostile_relational
+      .filter(col("l_orderkey").isNotNull)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .withColumn("is_test", bucket === 0L)
       .cache()
@@ -922,7 +946,7 @@ object RelationalOps extends QueryModule {
       |  SELECT DISTINCT l_orderkey, l_partkey,
       |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
       |         AS BIGINT) % 5 = 0 AS is_test
-      |  FROM lineitem
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL
       |), train AS (
       |  SELECT l_orderkey, l_partkey FROM baskets WHERE NOT is_test
       |), pairs AS (
@@ -971,6 +995,10 @@ object RelationalOps extends QueryModule {
       conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(5L))
     val baskets = t(s, dir, "lineitem")
+      // explicit: a NULL orderkey has no md5 bucket. Spark would drop it
+      // anyway (NULL is_test fails both filters) but DuckDB's concat
+      // treats NULL as '' and aborts casting '0x' -- hostile_relational
+      .filter(col("l_orderkey").isNotNull)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .withColumn("is_test", bucket === 0L)
       .cache()
@@ -1020,7 +1048,7 @@ object RelationalOps extends QueryModule {
       |  SELECT DISTINCT l_orderkey, l_partkey,
       |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
       |         AS BIGINT) % 5 = 0 AS is_test
-      |  FROM lineitem
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL
       |), train AS (
       |  SELECT l_orderkey, l_partkey FROM baskets WHERE NOT is_test
       |), pairs AS (
@@ -1304,7 +1332,13 @@ object RelationalOps extends QueryModule {
     * equivalence to the quadratic NOT EXISTS dominance definition.
     */
   private def skylineParts(s: SparkSession, dir: String): DataFrame = {
-    val perPrice = t(s, dir, "part")
+    // explicit: a part with NULL price/size has no dominance position.
+    // Spark drops it anyway (NULL join key / NULL max-filter) but DuckDB's
+    // NOT EXISTS is vacuously TRUE for it (every comparison in the subquery
+    // is NULL) and admits it to the skyline -- hostile_relational
+    val attributed = t(s, dir, "part")
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+    val perPrice = attributed
       .select(round(col("p_retailprice") * 100).cast("long").as("cents"),
         col("p_size"))
       .groupBy(col("cents")).agg(max(col("p_size")).as("smax"))
@@ -1314,7 +1348,7 @@ object RelationalOps extends QueryModule {
       .withColumn("prevmax", max(col("smax")).over(strictlyCheaper))
       .filter(col("prevmax").isNull || col("prevmax") < col("smax"))
       .select(col("cents"), col("smax"))
-    t(s, dir, "part")
+    attributed
       .select(col("p_partkey"),
         round(col("p_retailprice") * 100).cast("long").as("cents"),
         col("p_size"))
@@ -1599,8 +1633,12 @@ object RelationalOps extends QueryModule {
       .select(col("p_partkey"))
     val wps = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(round(col("l_extendedprice") / col("l_quantity") * 100)
-        .cast("long")).as("cost_c"))
+      // zero-quantity guard: DuckDB's double division yields NULL on /0
+      // where ANSI Spark aborts the whole query (hostile_relational);
+      // NULL unit costs then fall out of MIN in both engines identically
+      .agg(min(when(col("l_quantity") =!= 0.0,
+        round(col("l_extendedprice") / col("l_quantity") * 100)
+          .cast("long"))).as("cost_c"))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
@@ -1692,13 +1730,13 @@ object RelationalOps extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  CAST(CAST(SUM(CAST(ROUND((l_quantity) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_qty,
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_charge,
+        |  CAST(CAST(SUM(CAST(ROUND((l_quantity) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 / COUNT(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 / COUNT(*) AS avg_price,
+        |  CAST(CAST(SUM(CAST(ROUND((l_discount) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 / COUNT(*) AS avg_disc,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -1706,7 +1744,7 @@ object RelationalOps extends QueryModule {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     Q("q3_shipping_priority", q3Shipping, Some(
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS revenue,
         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -1718,7 +1756,7 @@ object RelationalOps extends QueryModule {
         |LIMIT 10""".stripMargin)),
     Q("q5_local_supplier", q5LocalSupplier, Some(
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS revenue
         |FROM lineitem, orders, customer, supplier, nation, region
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1764,7 +1802,7 @@ object RelationalOps extends QueryModule {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(ROUND((l_quantity) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
@@ -1772,7 +1810,7 @@ object RelationalOps extends QueryModule {
       """SELECT c_mktsegment, o_orderpriority,
         |  CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(ROUND((o_totalprice) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
@@ -1805,7 +1843,7 @@ object RelationalOps extends QueryModule {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     Q("q6_forecast_revenue", q6Forecast, Some(
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * l_discount) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1814,20 +1852,20 @@ object RelationalOps extends QueryModule {
         |  AND l_quantity < 24""".stripMargin)),
     Q("q14_promo_effect", q14Promo, Some(
       """SELECT 100.0 *
-        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |  (CAST(CAST(SUM(CAST(ROUND((CASE WHEN p_type = 'PROMO'
         |       THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
-        |       AS DECIMAL(38,6))) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |       AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue_pct
+        |      ) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6)
+        |  / (CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
+        |      ) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6) AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin)),
     Q("q18_large_orders", q18LargeOrders, Some(
       """WITH big AS (
         |  SELECT l_orderkey,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |         CAST(CAST(SUM(CAST(ROUND((l_quantity) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_qty
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 300.0
+        |  HAVING CAST(CAST(SUM(CAST(ROUND((l_quantity) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 > 300.0
         |)
         |SELECT c_custkey, c_name, o_orderkey,
         |       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
@@ -1838,7 +1876,7 @@ object RelationalOps extends QueryModule {
     Q("q7_volume_shipping", q7VolumeShipping, Some(
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1851,11 +1889,11 @@ object RelationalOps extends QueryModule {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
     Q("q8_market_share", q8MarketShare, Some(
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_1'
+        |  (CAST(CAST(SUM(CAST(ROUND((CASE WHEN n1.n_name = 'NATION_1'
         |       THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
-        |       AS DECIMAL(38,6))) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |       AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+        |      ) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6)
+        |  / (CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
+        |      ) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6) AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1870,7 +1908,7 @@ object RelationalOps extends QueryModule {
         |GROUP BY 1 ORDER BY o_year""".stripMargin)),
     Q("q19_discount_revenue", q19Discount, Some(
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
@@ -1881,7 +1919,7 @@ object RelationalOps extends QueryModule {
         |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin)),
     Q("q10_returned_items", q10ReturnedItems, Some(
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1980,9 +2018,11 @@ object RelationalOps extends QueryModule {
         |       CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS cents,
         |       p.p_size
         |FROM part p
-        |WHERE NOT EXISTS (
+        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        |  AND NOT EXISTS (
         |  SELECT 1 FROM part q
-        |  WHERE ROUND(q.p_retailprice * 100) <= ROUND(p.p_retailprice * 100)
+        |  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+        |    AND ROUND(q.p_retailprice * 100) <= ROUND(p.p_retailprice * 100)
         |    AND q.p_size >= p.p_size
         |    AND (ROUND(q.p_retailprice * 100) < ROUND(p.p_retailprice * 100)
         |         OR q.p_size > p.p_size)
@@ -2014,7 +2054,7 @@ object RelationalOps extends QueryModule {
     Q("monthly_revenue_mom", monthlyRevenueMom, Some(
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |    CAST(CAST(SUM(CAST(ROUND((o_totalprice) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS revenue
         |  FROM orders GROUP BY 1
         |)
         |SELECT month, revenue,
@@ -2151,9 +2191,9 @@ object RelationalOps extends QueryModule {
     Q("q9_product_profit", q9ProductProfit, Some(
       """SELECT n_name AS nation,
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |       - 0.5 * p_retailprice * l_quantity AS DECIMAL(38,6)))
-        |       AS DOUBLE) AS sum_profit
+        |  CAST(CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
+        |       - 0.5 * p_retailprice * l_quantity) * 1e6) AS HUGEINT))
+        |       AS STRING) AS DOUBLE) / 1e6 AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2228,7 +2268,7 @@ object RelationalOps extends QueryModule {
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
     Q("q22_idle_customers", q22IdleCustomers, Some(
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        |  CAST(CAST(SUM(CAST(ROUND((c_acctbal) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (
         |    SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)

@@ -2277,7 +2277,10 @@ object StatsOps extends QueryModule {
     // sum keeps every stage parallel.
     val comp = Tables.t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum(col("l_quantity").cast("long")).as("w"))
+      // explicit ROUND: Spark's double->long cast TRUNCATES where DuckDB's
+      // rounds half-away (hostile 23.5 qty summed one apart) -- ROUND is
+      // half-away in both engines, the catalog's safe quantizer
+      .agg(sum(round(col("l_quantity")).cast("long")).as("w"))
     PrefixOps.withGlobalPrefix(comp,
       bucketBy = col("l_extendedprice"),
       order = Seq(col("l_extendedprice")),
@@ -2297,7 +2300,7 @@ object StatsOps extends QueryModule {
   private def weightedMedianSql: String =
     """WITH comp AS (
       |  SELECT l_returnflag, l_extendedprice,
-      |         SUM(CAST(l_quantity AS BIGINT)) AS w
+      |         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
       |  FROM lineitem GROUP BY l_returnflag, l_extendedprice
       |), cums AS (
       |  SELECT l_returnflag, l_extendedprice, w,
@@ -2392,45 +2395,61 @@ object StatsOps extends QueryModule {
     * computes the truncated integer group mean m0 = S1 div n (one tiny
     * aggregate, broadcast back) and pass 2 raises c = v − m0 to powers:
     * the DECIMAL(38,0)/HUGEINT carrier then holds spread⁴·n instead of
-    * |v|⁴·n — a group whose values sit anywhere on the number line but
-    * spread ≤ ~1e8 µ ($100) stays exact to 1e6 rows/group, where the
-    * unshifted form overflowed 128 bits at |value| ≈ 80 regardless of n
-    * (hostile_events caught exactly that). Assembly happens in DOUBLE with
-    * identical expression text in both engines; degenerate groups
-    * (zero variance) yield NULL skew/kurtosis via the same guard-vs-/0→NULL
-    * convention as corr_manual.
+    * |v|⁴·n — where the unshifted form overflowed 128 bits at
+    * |value| ≈ 80 regardless of n (hostile_events caught exactly that).
+    *
+    * Carrier split (the sf10 scale envelope fix, COVERAGE.md): mean and
+    * variance aggregate the µ-quantized (1e6) carrier — their s2 bound
+    * spread²·n has ~1e20 headroom — but the CUBIC/QUARTIC sums run on a
+    * CENTS-quantized (1e2) carrier, whose shifted 4th powers are 1e16×
+    * smaller: spread⁴·n ≤ 1.7e38 now holds to ~1e18 rows/group at $500
+    * spread instead of going marginal at sf10. Skew/kurtosis are
+    * standardized (scale cancels), so the only semantic change is that
+    * they are now moments of the cents-rounded distribution — lossless on
+    * the driver tables (every `value` has exactly 2 decimals, probed) and
+    * in lockstep in both engines on any data. Assembly happens in DOUBLE
+    * with identical expression text in both engines; degenerate groups
+    * (zero variance IN THE CENTS CARRIER — the guard must match the
+    * carrier it divides) yield NULL skew/kurtosis via the same
+    * guard-vs-/0→NULL convention as corr_manual.
     */
   private def momentsByType(s: SparkSession, dir: String): DataFrame = {
     val v = round(col("value") * 1e6).cast(DecimalType(38, 0))
+    val v2 = round(col("value") * 1e2).cast(DecimalType(38, 0))
     val base = Tables.t(s, dir, "events")
-      .select(col("event_type"), v.as("v"))
+      .select(col("event_type"), v.as("v"), v2.as("w"))
     val m0 = base.groupBy(col("event_type"))
-      .agg(expr("CAST(sum(v) div count(1) AS DECIMAL(38,0))").as("m0"))
+      .agg(expr("CAST(sum(v) div count(1) AS DECIMAL(38,0))").as("m0"),
+        expr("CAST(sum(w) div count(1) AS DECIMAL(38,0))").as("w0"))
     val c = col("v") - col("m0")
+    val cw = col("w") - col("w0")
     val agg = base.join(broadcast(m0), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("m0")).as("m0"),
         sum(c).as("s1"), sum(c * c).as("s2"),
-        sum(c * c * c).as("s3"), sum(c * c * c * c).as("s4"))
+        sum(cw).as("t1"), sum(cw * cw).as("t2"),
+        sum(cw * cw * cw).as("t3"), sum(cw * cw * cw * cw).as("t4"))
     val varE = expr(
       "CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)")
+    val tVarE = expr(
+      "CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)")
     agg.select(
       col("event_type"), col("n"),
       expr("(CAST(CAST(m0 AS STRING) AS DOUBLE) + CAST(CAST(s1 AS STRING) AS DOUBLE)/n) / 1e6").as("mean"),
       varE.divide(lit(1e12)).as("variance"),
-      when(varE > 0, expr(
-        """(CAST(CAST(s3 AS STRING) AS DOUBLE)/n
-          |  - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
-          |  + 2*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
-          | / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)) * sqrt(CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)))
+      when(tVarE > 0, expr(
+        """(CAST(CAST(t3 AS STRING) AS DOUBLE)/n
+          |  - 3*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t2 AS STRING) AS DOUBLE)/n)
+          |  + 2*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))
+          | / ((CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)) * sqrt(CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)))
           |""".stripMargin.replaceAll("\n", " "))).as("skewness"),
-      when(varE > 0, expr(
-        """(CAST(CAST(s4 AS STRING) AS DOUBLE)/n
-          |  - 4*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s3 AS STRING) AS DOUBLE)/n)
-          |  + 6*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
-          |  - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
-          | / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
-          |    * (CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))) - 3
+      when(tVarE > 0, expr(
+        """(CAST(CAST(t4 AS STRING) AS DOUBLE)/n
+          |  - 4*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t3 AS STRING) AS DOUBLE)/n)
+          |  + 6*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t2 AS STRING) AS DOUBLE)/n)
+          |  - 3*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))
+          | / ((CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))
+          |    * (CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))) - 3
           |""".stripMargin.replaceAll("\n", " "))).as("kurtosis"))
       .orderBy(col("event_type"))
   }
@@ -2438,15 +2457,18 @@ object StatsOps extends QueryModule {
   private def momentsByTypeSql: String =
     """WITH base AS (
       |  SELECT event_type,
-      |         CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS HUGEINT) AS v
+      |         CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS HUGEINT) AS v,
+      |         CAST(CAST(ROUND(value * 1e2) AS BIGINT) AS HUGEINT) AS w
       |  FROM events
       |), m0t AS (
-      |  SELECT event_type, SUM(v) // COUNT(*) AS m0 FROM base GROUP BY 1
+      |  SELECT event_type, SUM(v) // COUNT(*) AS m0, SUM(w) // COUNT(*) AS w0
+      |  FROM base GROUP BY 1
       |), agg AS (
       |  SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(m.m0) AS m0,
       |         SUM(b.v - m.m0) AS s1, SUM((b.v - m.m0)*(b.v - m.m0)) AS s2,
-      |         SUM((b.v - m.m0)*(b.v - m.m0)*(b.v - m.m0)) AS s3,
-      |         SUM((b.v - m.m0)*(b.v - m.m0)*(b.v - m.m0)*(b.v - m.m0)) AS s4
+      |         SUM(b.w - m.w0) AS t1, SUM((b.w - m.w0)*(b.w - m.w0)) AS t2,
+      |         SUM((b.w - m.w0)*(b.w - m.w0)*(b.w - m.w0)) AS t3,
+      |         SUM((b.w - m.w0)*(b.w - m.w0)*(b.w - m.w0)*(b.w - m.w0)) AS t4
       |  FROM base b JOIN m0t m USING (event_type)
       |  GROUP BY b.event_type
       |)
@@ -2454,19 +2476,19 @@ object StatsOps extends QueryModule {
       |  (CAST(CAST(m0 AS STRING) AS DOUBLE) + CAST(CAST(s1 AS STRING) AS DOUBLE)/n) / 1e6 AS mean,
       |  (CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)) / 1e12
       |    AS variance,
-      |  CASE WHEN CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n) > 0 THEN
-      |  (CAST(CAST(s3 AS STRING) AS DOUBLE)/n
-      |    - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
-      |    + 2*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
-      |   / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)) * sqrt(CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)))
+      |  CASE WHEN CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n) > 0 THEN
+      |  (CAST(CAST(t3 AS STRING) AS DOUBLE)/n
+      |    - 3*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t2 AS STRING) AS DOUBLE)/n)
+      |    + 2*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))
+      |   / ((CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)) * sqrt(CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)))
       |  END AS skewness,
-      |  CASE WHEN CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n) > 0 THEN
-      |  (CAST(CAST(s4 AS STRING) AS DOUBLE)/n
-      |    - 4*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s3 AS STRING) AS DOUBLE)/n)
-      |    + 6*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s2 AS STRING) AS DOUBLE)/n)
-      |    - 3*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
-      |   / ((CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))
-      |      * (CAST(CAST(s2 AS STRING) AS DOUBLE)/n - (CAST(CAST(s1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(s1 AS STRING) AS DOUBLE)/n))) - 3
+      |  CASE WHEN CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n) > 0 THEN
+      |  (CAST(CAST(t4 AS STRING) AS DOUBLE)/n
+      |    - 4*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t3 AS STRING) AS DOUBLE)/n)
+      |    + 6*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t2 AS STRING) AS DOUBLE)/n)
+      |    - 3*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))
+      |   / ((CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))
+      |      * (CAST(CAST(t2 AS STRING) AS DOUBLE)/n - (CAST(CAST(t1 AS STRING) AS DOUBLE)/n)*(CAST(CAST(t1 AS STRING) AS DOUBLE)/n))) - 3
       |  END AS kurtosis
       |FROM agg ORDER BY event_type""".stripMargin
 
@@ -2481,9 +2503,16 @@ object StatsOps extends QueryModule {
   private def benfordDigits(s: SparkSession, dir: String): DataFrame = {
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Benford's law is defined on nonzero MAGNITUDES: abs() so a negative
+    // price contributes its leading significant digit instead of the
+    // literal '-' (which ANSI-aborted the digit->double cast), and cents=0
+    // rows are excluded (digit '0' has no Benford expectation — its
+    // log10(1 + 1/0) divides by zero). hostile_relational caught both.
+    val cents = abs(round(col("l_extendedprice") * 100).cast("long"))
     Tables.t(s, dir, "lineitem")
-      .select(substring(round(col("l_extendedprice") * 100).cast("long")
-        .cast("string"), 1, 1).as("digit"))
+      .select(cents.as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
       .withColumn("obs_frac",
@@ -2499,9 +2528,10 @@ object StatsOps extends QueryModule {
 
   private def benfordDigitsSql: String =
     """WITH d AS (
-      |  SELECT substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      |  SELECT substr(CAST(ABS(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS VARCHAR), 1, 1)
       |           AS digit
       |  FROM lineitem
+      |  WHERE ABS(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) > 0
       |), g AS (
       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
       |)

@@ -29,7 +29,8 @@ object TimeWindowOps extends QueryModule {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
+        (sum(round(col("value") * 1e6).cast(DecimalType(38, 0)))
+          .cast("string").cast("double") / 1e6).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
   /** Sliding 1-hour window, 15-minute slide: each event lands in exactly 4
@@ -53,7 +54,8 @@ object TimeWindowOps extends QueryModule {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
+        (sum(round(col("value") * 1e6).cast(DecimalType(38, 0)))
+          .cast("string").cast("double") / 1e6).as("sum_value"))
       .select(
         col("user_id"),
         col("session_window").getField("start").cast("timestamp_ntz").as("session_start"),
@@ -1497,7 +1499,7 @@ object TimeWindowOps extends QueryModule {
     Q("tumbling_daily", tumblingDaily, Some(
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(ROUND((value) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("sliding_hour", slidingHour, Some(
       """SELECT CAST(FLOOR(epoch(ts) / 900) * 900 - g.i * 900 AS BIGINT) AS window_start_sec,
@@ -1524,7 +1526,7 @@ object TimeWindowOps extends QueryModule {
         |  MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(ROUND((value) * 1e6) AS HUGEINT)) AS STRING) AS DOUBLE) / 1e6 AS sum_value
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin)),
     Q("daily_percentiles", dailyPercentiles, Some(dailyPercentilesSql)),
