@@ -1123,9 +1123,15 @@ object SimilarityOps extends QueryModule {
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** Hot-path top-k via the custom codegen Expression
-    * (graft.functions.CosineSimilarity) — same result ordering as cosine_topk
-    * up to float-fold rounding; benchmarked, not oracle-compared (plain
-    * double folds aren't bit-identical across engines).
+    * (graft.functions.CosineSimilarity). Oracle-checked (round 7): the
+    * RANKING comes from the codegen float fold, and the emitted score is
+    * quantized to ppm — the float fold agrees with the exact quantized-dot
+    * arithmetic to ~1e-15 relative, 9 orders tighter than the half-ppm
+    * rounding boundary, so both the rank column and the ppm score
+    * hash-match the exact-arithmetic DuckDB formulation. A divergence in
+    * either (a near-tie the float fold orders differently, a ppm boundary
+    * straddle) now surfaces as a red driver cell naming this query instead
+    * of hiding behind a rows-only check.
     */
   private def cosineTopkFast(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -1139,9 +1145,31 @@ object SimilarityOps extends QueryModule {
       .withColumn("cosine", expr("cosine_sim(q_emb, c_emb)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("c_id"), col("cosine"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("c_id"),
+        round(col("cosine") * 1e6).cast("long").as("cosine_ppm"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  private def cosineTopkFastSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |           / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20
+       |), ranked AS (
+       |  SELECT q_id, c_id, cosine,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, c_id) AS BIGINT) AS rk
+       |  FROM pairs
+       |)
+       |SELECT q_id, rk, c_id,
+       |  CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_ppm
+       |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
   /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 lexical
     * ranking (TextOps.bm25Scored — fixed term query) with the
@@ -1643,7 +1671,7 @@ object SimilarityOps extends QueryModule {
     Q("knn_classify", knnClassify, Some(knnClassifySql)),
     Q("rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     Q("cosine_topk", cosineTopk, Some(cosineTopkSql)),
-    Q("cosine_topk_fast", cosineTopkFast, None),
+    Q("cosine_topk_fast", cosineTopkFast, Some(cosineTopkFastSql)),
     Q("cosine_near_dup", cosineNearDup, Some(cosineNearDupSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSql)),
