@@ -41,10 +41,44 @@ import graft.{Q, QOps, QueryModule, Tables}
 object ReplayOps extends QueryModule {
 
   /** One replayed event: the (key, timestamp[, value]) shape every
-    * StreamJobs aggregation consumes. */
-  private case class Ev(key: Long, value: String, timestamp: Timestamp)
+    * StreamJobs aggregation consumes. The extra fields ride along for the
+    * state-store replays (ids for as-of payloads, µs for debounce windows,
+    * the metric value) — every pipeline selects its columns by name, so
+    * they are invisible to the aggregation replays.
+    *
+    * Public (not `private`): the Dataset encoder's GENERATED deserializer
+    * class lives outside this object and cannot touch a private member —
+    * Janino rejects it and every fixture collect silently falls back to
+    * interpreted projection. */
+  case class Ev(key: Long, value: String, timestamp: Timestamp,
+      eid: Long = 0L, dval: Double = 0.0, us: Long = 0L)
 
   private def ts(ms: Long) = new Timestamp(ms)
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to a small
+    * value, restoring the session setting after. Streaming queries capture
+    * the shuffle-partition count at START as their STATE partitioning:
+    * every micro-batch then commits one state store per partition per
+    * stateful operator — at the sweep default of 32 that is pure fixed
+    * overhead for a bounded replay fixture (the stream-stream join replay
+    * spent 17 s on it at sf0.01), and at production scale the production
+    * session's own setting applies. Correctness is unaffected: state is
+    * hash-partitioned by key at any width. */
+  private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = pinPartitions(spark)
+    try body finally restorePartitions(spark, prev)
+  }
+
+  /** Imperative form of [[withReplayPartitions]] for the replay fns that
+    * interleave stream setup and drive: pin before `.start()`, restore in
+    * the `finally` next to `q.stop()`. */
+  private def pinPartitions(spark: SparkSession): String = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    prev
+  }
+  private def restorePartitions(spark: SparkSession, prev: String): Unit =
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
 
   /** Feed `batches` through `pipeline`, flush with two sentinel batches,
     * return the memory-sink table. `mk` builds the pipeline from the
@@ -56,26 +90,28 @@ object ReplayOps extends QueryModule {
       sentinels: Boolean = true)(mk: DataFrame => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val in = MemoryStream[Ev]
-    val out = mk(in.toDF())
-    // re-runs in one session (test + Verify + Bench share sweeps) replace
-    // the previous replay's sink table
-    spark.catalog.dropTempView(sinkName)
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_replay_$sinkName")
-    val q = out.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(sinkName).start()
-    try {
-      batches.foreach { b => in.addData(b); q.processAllAvailable() }
-      if (sentinels) {
-        val maxMs = batches.flatten.map(_.timestamp.getTime).max
-        // far past any real session (30 min gap) or window (1 h) end
-        in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000)))
-        q.processAllAvailable()
-        in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val in = MemoryStream[Ev]
+      val out = mk(in.toDF())
+      // re-runs in one session (test + Verify + Bench share sweeps) replace
+      // the previous replay's sink table
+      spark.catalog.dropTempView(sinkName)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_replay_$sinkName")
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName(sinkName).start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        if (sentinels) {
+          val maxMs = batches.flatten.map(_.timestamp.getTime).max
+          // far past any real session (30 min gap) or window (1 h) end
+          in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000)))
+          q.processAllAvailable()
+          in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(sinkName)
   }
 
@@ -86,7 +122,8 @@ object ReplayOps extends QueryModule {
     Tables.t(spark, dir, "events")
       .orderBy("ts", "event_id")
       .select(col("user_id").as("key"), col("event_type").as("value"),
-        col("ts").as("timestamp"))
+        col("ts").as("timestamp"), col("event_id").as("eid"),
+        col("value").as("dval"), unix_micros(col("ts")).as("us"))
       .as[Ev].collect()
   }
 
@@ -167,6 +204,7 @@ object ReplayOps extends QueryModule {
     val sink = new TopicTableSink(
       java.nio.file.Files.createTempDirectory("graft_replay_topk").toString + "/t")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_topk_ck")
+    val prevParts = pinPartitions(spark)
     val q = StreamJobs.windowedTopK(in.toDF(), "1 hour", "0 seconds", 3, sink,
       checkpoint = Some(ckpt.toString))
     try {
@@ -174,12 +212,271 @@ object ReplayOps extends QueryModule {
       val maxMs = evs.map(_.timestamp.getTime).max
       in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000))); q.processAllAvailable()
       in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000))); q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       sink.read(spark).filter(col("key") >= 0)
         .select(col("window_start").cast("timestamp_ntz").as("window_start"),
           col("key").as("user_id"), col("n"), col("rk")),
       col("window_start"), col("rk"))
+  }
+
+  /** Stream-stream INTERVAL join (StreamJobs.streamStreamJoin): views
+    * joined to same-user purchases within [view_ts, view_ts + 1 h]. Inner
+    * matches emit as soon as both sides are buffered, so a single batch per
+    * side replays to exactly the batch interval-join result. */
+  private def joinReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val out = StreamJobs.streamStreamJoin(lIn.toDF(), rIn.toDF(),
+      "1 hour", "0 seconds")
+    spark.catalog.dropTempView("replay_join")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_join")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_join").start()
+    try {
+      lIn.addData(evs.filter(_.value == "view").toSeq)
+      rIn.addData(evs.filter(_.value == "purchase").toSeq)
+      q.processAllAvailable()
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_join").select(
+        col("l_key").as("user_id"),
+        col("l_ts").cast("timestamp_ntz").as("view_ts"),
+        col("r_ts").cast("timestamp_ntz").as("purchase_ts")),
+      col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join
+    * (StreamJobs.streamStreamLeftOuterJoin): like [[joinReplay]] but views
+    * with no in-window purchase emit null-padded once the watermark proves
+    * no match can arrive. Sentinels go to BOTH streams — the global
+    * watermark is the min across inputs — and two are needed: eviction
+    * happens in the batch AFTER the watermark advances. */
+  private def leftJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val out = StreamJobs.streamStreamLeftOuterJoin(lIn.toDF(), rIn.toDF(),
+      "1 hour", "0 seconds")
+    spark.catalog.dropTempView("replay_left_join")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_ljoin")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_left_join").start()
+    try {
+      lIn.addData(evs.filter(_.value == "view").toSeq)
+      rIn.addData(evs.filter(_.value == "purchase").toSeq)
+      q.processAllAvailable()
+      val maxMs = evs.map(_.timestamp.getTime).max
+      Seq(3L, 6L).foreach { h =>
+        lIn.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
+        rIn.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_left_join").filter(col("l_key") >= 0).select(
+        col("l_key").as("user_id"),
+        col("l_ts").cast("timestamp_ntz").as("view_ts"),
+        col("r_ts").cast("timestamp_ntz").as("purchase_ts")),
+      col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
+  /** Stream-static broadcast enrichment (StreamJobs.streamStaticEnrich):
+    * the event stream left-joined to a bounded dim (user → tier, with a
+    * deliberate coverage gap so the 'unknown' fallback path is exercised).
+    * Stateless, so one batch replays to the batch left join exactly. */
+  private def enrichReplay(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.t(spark, dir, "events")
+      .select(col("user_id").as("key")).distinct()
+      .filter(col("key") % 4 =!= 3)
+      .withColumn("tier",
+        when(col("key") % 3 === 0, "gold")
+          .when(col("key") % 3 === 1, "silver").otherwise("bronze"))
+    val evs = fixture(spark, dir)
+    val out = replay(spark, Seq(evs.toSeq), "replay_enrich",
+      sentinels = false) { df => StreamJobs.streamStaticEnrich(df, dim) }
+    QOps.ordered1(
+      out.select(col("key").as("user_id"), col("value").as("event_type"),
+        col("timestamp").cast("timestamp_ntz").as("ts"), col("tier")),
+      col("user_id"), col("ts"), col("event_type"))
+  }
+
+  private def toKafkaShaped(e: Ev): KafkaShaped =
+    KafkaShaped(e.key.toString, e.value, "events", 0, e.eid, e.timestamp)
+
+  /** Cross-batch running counts (StreamJobs.runningCountsPerKey — the
+    * mapGroupsWithState generalization of the reference's driver counter,
+    * A4) fed in TWO batches; update mode emits a row per key per batch, so
+    * the FINAL count is the max (counts are monotone). Equals batch
+    * count-per-key iff batch-2 state really resumed from batch 1. */
+  private def runningCountsReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[KafkaShaped]
+    val out = StreamJobs.runningCountsPerKey(in.toDS())
+      .toDF("user_key", "n")
+    spark.catalog.dropTempView("replay_running_counts")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_rc")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_running_counts").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.map(toKafkaShaped).toSeq); q.processAllAvailable()
+      }
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_running_counts")
+        .groupBy(col("user_key")).agg(max(col("n")).as("n")),
+      col("user_key"))
+  }
+
+  /** Streaming heavy hitters (StreamJobs.streamingHeavyHitters,
+    * flatMapGroupsWithState Misra-Gries) replayed in the EXACT regime:
+    * capacity 64 ≥ the 5 distinct event types, so every slot holds a true
+    * count and the final update per (user, type) equals the batch count.
+    * Two batches exercise cross-batch summary state. */
+  private def heavyHittersReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[KafkaShaped]
+    val out = StreamJobs.streamingHeavyHitters(in.toDS(), capacity = 64)
+      .toDF("user_key", "event_type", "cnt", "n_user")
+    spark.catalog.dropTempView("replay_heavy_hitters")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_hh")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_heavy_hitters").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.map(toKafkaShaped).toSeq); q.processAllAvailable()
+      }
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_heavy_hitters")
+        .groupBy(col("user_key"), col("event_type"))
+        .agg(max(col("cnt")).as("cnt"), max(col("n_user")).as("n_user")),
+      col("user_key"), col("event_type"))
+  }
+
+  /** Streaming temporal (backward as-of) enrichment
+    * (StreamJobs.temporalEnrich): each view picks up the user's latest
+    * purchase id at-or-before its event time from the state-store version
+    * history. One batch per side: rows fold in (ms, updates-first, value)
+    * order, so the result is the ms-granularity as-of join the oracle
+    * computes (state timestamps are Timestamp.getTime milliseconds). */
+  private def temporalEnrichReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val uIn = MemoryStream[Ev]
+    val eIn = MemoryStream[Ev]
+    def shape(df: DataFrame) = df.select(
+      col("key").cast("string").as("key"),
+      col("eid").cast("string").as("value"), col("timestamp"))
+    val out = StreamJobs.temporalEnrich(shape(uIn.toDF()), shape(eIn.toDF()))
+    spark.catalog.dropTempView("replay_temporal_enrich")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_te")
+    val prevParts = pinPartitions(spark)
+    val q = out.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_temporal_enrich").start()
+    try {
+      uIn.addData(evs.filter(_.value == "purchase").toSeq)
+      eIn.addData(evs.filter(_.value == "view").toSeq)
+      q.processAllAvailable()
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_temporal_enrich").select(
+        col("key").as("user_key"), col("value").as("view_id"),
+        col("dim_value").as("purchase_id"), col("tsMs").as("ts_ms")),
+      col("user_key"), col("ts_ms"), col("view_id"))
+  }
+
+  /** Custom-state sessionization (StreamJobs.sessionize,
+    * flatMapGroupsWithState + ProcessingTimeTimeout): all rows land in one
+    * batch, so each user accumulates exactly one open session; a real
+    * wall-clock quiet period then a nudge batch fires every timeout and
+    * CLOSES the sessions. The per-user summary equals the batch per-user
+    * rollup (timestamps compared at the state store's ms granularity). */
+  private def sessionizeReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val in = MemoryStream[KafkaShaped]
+    val out = StreamJobs.sessionize(in.toDS(), gapMs = 1000L).toDF()
+    spark.catalog.dropTempView("replay_sessionize")
+    // NO processAllAvailable and NO sentinel: with ProcessingTimeTimeout
+    // the engine keeps planning no-data batches to fire due timeouts, so
+    // processAllAvailable never quiesces (it wedged a 12-minute Verify run
+    // before this was written) — the StreamJobsSpec pattern instead: feed
+    // one batch, let the timeout-driven batches close every session, and
+    // POLL the sink against the known closed-session count with a deadline.
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("replay_sessionize").start()
+    try {
+      val expected = evs.map(_.key).distinct.length.toLong
+      in.addData(evs.map(toKafkaShaped).toSeq)
+      val deadline = System.currentTimeMillis + 120000
+      while (spark.table("replay_sessionize").count() < expected &&
+          System.currentTimeMillis < deadline)
+        Thread.sleep(250)
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_sessionize")
+        .select(col("key").as("user_key"), col("n_events"),
+          unix_millis(col("first_ts")).as("first_ms"),
+          unix_millis(col("last_ts")).as("last_ms")),
+      col("user_key"))
+  }
+
+  /** CHAINED debounce (StreamJobs.debounce, flatMapGroupsWithState): per
+    * (user, type), keep an event only if it is > 5 min after the previously
+    * KEPT one — each kept event opens a fresh window, the form lag() cannot
+    * express. Two time-split batches pin the cross-batch quiet window; the
+    * oracle walks the same chain with a recursive CTE. Exact µs longs. */
+  private def debounceChainedReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamJobs.MetricPoint]
+    val out = StreamJobs.debounce(in.toDS(), quietMs = 300000000L).toDF()
+    spark.catalog.dropTempView("replay_debounce")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_db")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_debounce").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.map(e =>
+          StreamJobs.MetricPoint(s"${e.key}|${e.value}", e.us, e.dval)).toSeq)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_debounce").select(
+        split(col("key"), "\\|").getItem(0).cast("long").as("user_id"),
+        split(col("key"), "\\|").getItem(1).as("event_type"),
+        col("tsMs").as("us")),
+      col("user_id"), col("event_type"), col("us"))
   }
 
   /** Session-window SQL shared with the batch `session_windows` oracle
@@ -231,6 +528,84 @@ object ReplayOps extends QueryModule {
         |  FROM c
         |)
         |SELECT window_start, user_id, n, rk FROM r WHERE rk <= 3
-        |ORDER BY window_start, rk""".stripMargin))
+        |ORDER BY window_start, rk""".stripMargin)),
+    Q("streaming_join_replay", joinReplay, Some(
+      """SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin)),
+    Q("streaming_left_join_replay", leftJoinReplay, Some(
+      """SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin)),
+    Q("streaming_enrich_replay", enrichReplay, Some(
+      """SELECT user_id, event_type, ts,
+        |  CASE WHEN user_id % 4 <> 3 THEN
+        |    (CASE WHEN user_id % 3 = 0 THEN 'gold'
+        |          WHEN user_id % 3 = 1 THEN 'silver' ELSE 'bronze' END)
+        |  ELSE 'unknown' END AS tier
+        |FROM events ORDER BY user_id, ts, event_type""".stripMargin)),
+    Q("streaming_running_counts_replay", runningCountsReplay, Some(
+      """SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("streaming_heavy_hitters_replay", heavyHittersReplay, Some(
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |    CAST(COUNT(*) AS BIGINT) AS n_user
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT c.user_key, c.event_type, c.cnt, t.n_user
+        |FROM c JOIN t USING (user_key)
+        |ORDER BY 1, 2""".stripMargin)),
+    Q("streaming_temporal_enrich_replay", temporalEnrichReplay, Some(
+      """WITH v AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |    CAST(event_id AS VARCHAR) AS view_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |    CAST(event_id AS VARCHAR) AS pid, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT v.user_key, v.view_id, v.ms, p.pid,
+        |    ROW_NUMBER() OVER (PARTITION BY v.user_key, v.view_id, v.ms
+        |                       ORDER BY p.ms DESC, p.pid DESC) AS rn
+        |  FROM v LEFT JOIN p
+        |    ON p.user_key = v.user_key AND p.ms <= v.ms
+        |)
+        |SELECT user_key, view_id, pid AS purchase_id, ms AS ts_ms
+        |FROM j WHERE rn = 1 ORDER BY user_key, ts_ms, view_id""".stripMargin)),
+    Q("streaming_sessionize_replay", sessionizeReplay, Some(
+      """SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("streaming_debounce_replay", debounceChainedReplay, Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), kept AS (
+        |  SELECT user_id, event_type, MIN(us) AS us FROM e GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.us
+        |  FROM e JOIN kept
+        |    ON e.user_id = kept.user_id AND e.event_type = kept.event_type
+        |   AND e.us > kept.us + 300000000
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e e2
+        |    WHERE e2.user_id = e.user_id AND e2.event_type = e.event_type
+        |      AND e2.us > kept.us + 300000000 AND e2.us < e.us)
+        |)
+        |SELECT DISTINCT user_id, event_type, us FROM kept
+        |ORDER BY 1, 2, 3""".stripMargin))
   )
 }

@@ -47,6 +47,65 @@ class ReplaySpec extends SparkSpec {
     assert(rows(run("streaming_dedup_ww_replay")) === rows(batch))
   }
 
+  test("stream-stream interval joins equal the batch interval joins") {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("view_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"))
+    val cond = col("p_user") === col("user_id") &&
+      col("purchase_ts") >= col("view_ts") &&
+      col("purchase_ts") <= col("view_ts") + expr("interval 1 hour")
+    val inner = v.join(p, cond).select(col("user_id"), col("view_ts"), col("purchase_ts"))
+    assert(rows(run("streaming_join_replay")) === rows(inner))
+    val outer = v.join(p, cond, "left_outer")
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"))
+    assert(rows(run("streaming_left_join_replay")) === rows(outer))
+  }
+
+  test("state-store counts (running, heavy hitters) equal batch counts") {
+    val perUser = events.groupBy(col("user_id").cast("string").as("user_key"))
+      .agg(count(lit(1)).as("n"))
+    assert(rows(run("streaming_running_counts_replay")) === rows(perUser))
+    val perType = events
+      .groupBy(col("user_id").cast("string").as("user_key"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(perUser.withColumnRenamed("n", "n_user"), "user_key")
+      .select(col("user_key"), col("event_type"), col("cnt"), col("n_user"))
+    assert(rows(run("streaming_heavy_hitters_replay")) === rows(perType))
+  }
+
+  test("sessionize (processing-time timeout) emits one batch rollup per user") {
+    val batch = events.groupBy(col("user_id").cast("string").as("user_key"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("first_ms"),
+        max(unix_millis(col("ts"))).as("last_ms"))
+    assert(rows(run("streaming_sessionize_replay")) === rows(batch))
+  }
+
+  test("chained debounce equals a per-group reference chain walk") {
+    // reference semantics computed directly: per (user, type), walk the
+    // sorted µs list keeping an event iff > 5 min after the last KEPT
+    val quiet = 300000000L
+    val ref = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .toSeq.flatMap { case ((u, t), rs) =>
+        val kept = Seq.newBuilder[(Long, String, Long)]
+        var last = Long.MinValue
+        rs.map(_.getLong(2)).sorted.foreach { us =>
+          if (last == Long.MinValue || us > last + quiet) {
+            kept += ((u, t, us)); last = us
+          }
+        }
+        kept.result()
+      }
+    val got = run("streaming_debounce_replay").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.sorted === ref.sorted)
+  }
+
   test("streaming_topk_replay equals batch per-window rank, final ranks only") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("window_start"))
