@@ -56,7 +56,17 @@ class HostileEventsSpec extends SparkSpec {
     "snapshot_diff", "spearman_corr", "theilsen_trend", "time_to_conversion",
     "top_paths_3", "tumbling_daily", "welch_ttest", "wilson_ci",
     "window_lead_lag", "window_moving_avg", "window_range_1h",
-    "winsorize_clip", "zorder_key", "zorder_pruning_eval")
+    "winsorize_clip", "zorder_key", "zorder_pruning_eval",
+    // the streaming REPLAY queries (ReplayOps) read only events too: the
+    // same-instant tie collisions and boundary values flow through the
+    // real watermark/state-store pipelines here
+    "streaming_session_replay", "streaming_window_counts_replay",
+    "streaming_dedup_replay", "streaming_dedup_ww_replay",
+    "streaming_topk_replay", "streaming_join_replay",
+    "streaming_left_join_replay", "streaming_enrich_replay",
+    "streaming_running_counts_replay", "streaming_heavy_hitters_replay",
+    "streaming_temporal_enrich_replay", "streaming_sessionize_replay",
+    "streaming_debounce_replay")
 
   test("every events-backed query survives the hostile fixture, twice") {
     eventQueries.foreach { name =>
