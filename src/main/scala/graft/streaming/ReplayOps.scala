@@ -479,6 +479,72 @@ object ReplayOps extends QueryModule {
       col("user_id"), col("event_type"), col("us"))
   }
 
+  /** Exact-integer streaming anomaly detection
+    * (StreamJobs.anomalyDetectExact): per user, a cents-quantized sample
+    * flags when (n·x − S1)² > k²·(n·S2 − S1²) against the PRIOR BigInt
+    * state — bit-reproducible, so the oracle is the same integer
+    * inequality over a HUGEINT prefix window. Quantization happens in the
+    * streaming plan with Spark's `round` (engine-identical half-away); two
+    * time-split batches exercise cross-batch state. */
+  private def anomalyExactReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[Ev]
+    val shaped = in.toDF().select(
+      col("key").cast("string").as("key"), col("us").as("tsUs"),
+      round(col("dval") * 100).cast("long").as("centi"))
+      .as[StreamJobs.ExactMetricPoint]
+    val out = StreamJobs.anomalyDetectExact(shaped).toDF()
+    spark.catalog.dropTempView("replay_anomaly")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_an")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_anomaly").start()
+    try {
+      Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_anomaly").select(
+        col("key").cast("long").as("user_id"), col("tsUs").as("us"),
+        col("centi"), col("n_prior")),
+      col("user_id"), col("us"), col("centi"))
+  }
+
+  /** Streaming MinHash-LSH near-dup (StreamJobs.streamingNearDup): every
+    * document's 4 md5-derived band keys probe the stateful bucket index;
+    * non-owners of an occupied bucket emit a hit. All docs share one
+    * synthetic timestamp in one batch, so ownership is min doc_id and the
+    * oracle recomputes the identical signature family in SQL (md5 is
+    * available in both engines). */
+  private def nearDupReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+      .orderBy("doc_id").select(col("doc_id"), col("text")).collect()
+      .map(r => StreamJobs.StreamDoc(r.getLong(0), r.getString(1),
+        ts(1704067200000L)))
+    val in = MemoryStream[StreamJobs.StreamDoc]
+    val out = StreamJobs.streamingNearDup(in.toDS(),
+      watermark = "0 seconds", ttlMs = 365L * 24 * 3600 * 1000).toDF()
+    spark.catalog.dropTempView("replay_neardup")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_nd")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_neardup").start()
+    try {
+      in.addData(docs.toSeq); q.processAllAvailable()
+    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_neardup").select(
+        col("docId").as("doc_id"), col("dupOf").as("dup_of"),
+        col("band"), col("key")),
+      col("doc_id"), col("band"))
+  }
+
   /** Session-window SQL shared with the batch `session_windows` oracle
     * (TimeWindowOps), reduced to the replayed columns. */
   private val sessionSql =
@@ -606,6 +672,56 @@ object ReplayOps extends QueryModule {
         |      AND e2.us > kept.us + 300000000 AND e2.us < e.us)
         |)
         |SELECT DISTINCT user_id, event_type, us FROM kept
-        |ORDER BY 1, 2, 3""".stripMargin))
+        |ORDER BY 1, 2, 3""".stripMargin)),
+    Q("streaming_anomaly_exact_replay", anomalyExactReplay, Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS x
+        |  FROM events
+        |), sums AS (
+        |  SELECT user_id, us, x,
+        |    CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+        |    COALESCE(SUM(x) OVER wp, 0) AS s1,
+        |    COALESCE(SUM(x * x) OVER wp, 0) AS s2
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, x
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, us, CAST(x AS BIGINT) AS centi, n AS n_prior
+        |FROM sums
+        |WHERE n >= 5 AND (n*x - s1)*(n*x - s1) > 9 * (n*s2 - s1*s1)
+        |ORDER BY 1, 2, 3""".stripMargin)),
+    Q("streaming_neardup_replay", nearDupReplay, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents
+        |), shl AS (
+        |  SELECT doc_id,
+        |    -- COALESCE: array_to_string([]) is NULL in DuckDB where the
+        |    -- streaming side's mkString on zero tokens is '' (hostile docs)
+        |    CASE WHEN len(tk) < 3 THEN [COALESCE(array_to_string(tk, ' '), '')]
+        |         ELSE list_transform(generate_series(1, len(tk) - 2),
+        |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shs
+        |  FROM toks
+        |), shx AS (
+        |  SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl
+        |), hashes AS (
+        |  SELECT doc_id, g.i,
+        |    MIN(CAST(concat('0x',
+        |        substr(md5('mh:' || g.i || ':' || sh), 1, 15)) AS BIGINT)) AS mh
+        |  FROM shx, (SELECT unnest(generate_series(0, 15)) AS i) g
+        |  GROUP BY doc_id, g.i
+        |), bands AS (
+        |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i) AS key
+        |  FROM hashes GROUP BY doc_id, i // 4
+        |), own AS (
+        |  SELECT band, key, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2
+        |)
+        |SELECT b.doc_id, o.owner AS dup_of, b.band, b.key
+        |FROM bands b JOIN own o USING (band, key)
+        |WHERE b.doc_id <> o.owner
+        |ORDER BY b.doc_id, b.band""".stripMargin))
   )
 }

@@ -686,6 +686,59 @@ object StreamJobs {
       }
   }
 
+  /** A pre-quantized metric sample: `centi` is ROUND(value·100) computed by
+    * the CALLER with Spark's `round` expression, so both engines quantize
+    * the raw double identically (half-away, even exactly ON a boundary). */
+  case class ExactMetricPoint(key: String, tsUs: Long, centi: Long)
+  /** An exact-arithmetic anomaly flag: the sample plus the prior count. */
+  case class ExactAnomaly(key: String, tsUs: Long, centi: Long, n_prior: Long)
+
+  /** Streaming per-key anomaly detection in EXACT integer arithmetic — the
+    * reproducible complement of [[anomalyDetect]]: |x − μ| > k·σ against
+    * the prior state is evaluated as (n·x − S1)² > k²·(n·S2 − S1²), with
+    * (n, S1 = Σx, S2 = Σx²) kept in BigInt so the comparison is exact at
+    * ANY n (S2 ~ n·x² overflows a long at n ≈ 1e9 cents-scale rows; BigInt
+    * state is a few dozen bytes per key, still O(keys)). Every flag
+    * decision is therefore bit-reproducible across partitionings, reruns,
+    * AND engines — an oracle-checkable property Welford doubles cannot
+    * give, and the one a production alerting pipeline needs to replay an
+    * incident. Zero-variance priors flag ANY deviation (strict >, so a
+    * repeat of the constant never flags). Rows fold in (tsUs, centi) order
+    * per micro-batch; same-instant same-value rows are interchangeable, so
+    * the emitted multiset is deterministic.
+    */
+  def anomalyDetectExact(input: org.apache.spark.sql.Dataset[ExactMetricPoint],
+      k: Long = 3L, minPrior: Long = 5L)
+      : org.apache.spark.sql.Dataset[ExactAnomaly] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val stateEnc: Encoder[(Long, BigInt, BigInt)] =
+      Encoders.kryo[(Long, BigInt, BigInt)]
+    implicit val outEnc: Encoder[ExactAnomaly] = Encoders.product[ExactAnomaly]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, BigInt, BigInt), ExactAnomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[(Long, BigInt, BigInt)]) =>
+          var (n, s1, s2) = state.getOption
+            .getOrElse((0L, BigInt(0), BigInt(0)))
+          val k2 = BigInt(k * k)
+          val out = Seq.newBuilder[ExactAnomaly]
+          rows.toSeq.sortBy(r => (r.tsUs, r.centi)).foreach { r =>
+            val x = BigInt(r.centi)
+            if (n >= minPrior) {
+              val lhs = BigInt(n) * x - s1
+              if (lhs * lhs > k2 * (BigInt(n) * s2 - s1 * s1))
+                out += ExactAnomaly(key, r.tsUs, r.centi, n)
+            }
+            n += 1; s1 += x; s2 += x * x
+          }
+          state.update((n, s1, s2))
+          out.result().iterator
+      }
+  }
+
   case class DebouncedEvent(key: String, tsMs: Long, value: Double)
 
   /** Streaming debounce via flatMapGroupsWithState: per key, emit an event

@@ -106,6 +106,45 @@ class ReplaySpec extends SparkSpec {
     assert(got.sorted === ref.sorted)
   }
 
+  test("exact anomaly flags equal the integer inequality over a batch prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("x"))
+    val batch = e
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", coalesce(sum(col("x")).over(w), lit(0)))
+      .withColumn("s2", coalesce(sum(col("x") * col("x")).over(w), lit(0)))
+      .filter(col("n") >= 5 &&
+        (col("n") * col("x") - col("s1")) * (col("n") * col("x") - col("s1")) >
+          (col("n") * col("s2") - col("s1") * col("s1")) * 9)
+      .select(col("user_id"), col("us"), col("x").cast("long").as("centi"),
+        col("n").as("n_prior"))
+    assert(rows(run("streaming_anomaly_exact_replay")) === rows(batch))
+  }
+
+  test("streaming near-dup hits equal batch band-key ownership") {
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bands = docs.flatMap { case (id, text) =>
+      graft.streaming.StreamJobs.minhashBandKeys(text)
+        .map { case (b, k) => (b, k, id) }
+    }
+    val expected = bands.groupBy(r => (r._1, r._2)).toSeq.flatMap {
+      case ((b, k), rs) =>
+        val owner = rs.map(_._3).min
+        rs.map(_._3).distinct.filter(_ != owner).map(d => (d, owner, b, k))
+    }.sorted
+    val got = run("streaming_neardup_replay").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSeq.sorted
+    assert(got === expected)
+  }
+
   test("streaming_topk_replay equals batch per-window rank, final ranks only") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("window_start"))
