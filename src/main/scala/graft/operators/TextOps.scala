@@ -531,6 +531,94 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): documents are scored
+    * by how much more likely their hashed-bigram features are under a
+    * TARGET corpus (here lang = 'en', the high-quality-target stand-in)
+    * than under the RAW corpus — the standard recipe for selecting
+    * pretraining data that "looks like" a trusted set. Bigrams hash into
+    * 256 buckets (md5-derived, the engine-shared '0x'-cast family); each
+    * bucket's add-1-smoothed log-probability under target and raw is
+    * quantized to millis (round(ln, 3) — the cross-engine-safe ln
+    * pattern), and a document's weight is the exact integer sum of its
+    * occurrences' log-ratios. Two hash-agg passes over the bigram explode
+    * plus one broadcast join of the 256-row ratio table: no shuffle is
+    * data-proportional beyond the explode itself, so the shape holds at
+    * corpus scale (DSIR's own use case is 100B+ tokens).
+    */
+  private def dsirImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .repartition(col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+      .withColumn("b",
+        pmod(conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 15), 16, 10)
+          .cast("long"), lit(256L)))
+      // cached: feeds the raw counts, the target counts, the totals AND the
+      // final scoring join — four passes over one explode otherwise
+      .cache()
+    val tgt = bg.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = bg.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val lr = raw.join(tgt, Seq("b"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr_milli",
+        (round(round(log((col("ct") + 1.0) / (col("nt") + 256.0)), 3) * 1000) -
+          round(round(log((col("cr") + 1.0) / (col("nr") + 256.0)), 3) * 1000))
+          .cast("long"))
+      .select(col("b"), col("lr_milli"))
+    bg.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_milli")).as("sum_lr_milli"))
+      .withColumn("avg_logw",
+        col("sum_lr_milli").cast("double") / col("n_grams") / 1000.0)
+      .select(col("doc_id"), col("n_grams"), col("sum_lr_milli"), col("avg_logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirImportanceWeightsSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 2
+      |), bb AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5('dsir:' || bg), 1, 15)) AS BIGINT)
+      |      % 256 AS b
+      |  FROM bg
+      |), raw AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bb GROUP BY 1
+      |), tgt AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+      |  FROM bb WHERE lang = 'en' GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |         CAST(COUNT(*) AS BIGINT) AS nr
+      |  FROM bb
+      |), lr AS (
+      |  SELECT r.b,
+      |    CAST(ROUND(ROUND(ln((COALESCE(t.ct, 0) + 1.0) / (nt + 256.0)), 3) * 1000) AS BIGINT)
+      |    - CAST(ROUND(ROUND(ln((r.cr + 1.0) / (nr + 256.0)), 3) * 1000) AS BIGINT) AS lr_milli
+      |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(lr_milli) AS BIGINT) AS sum_lr_milli,
+      |  CAST(SUM(lr_milli) AS DOUBLE) / COUNT(*) / 1000.0 AS avg_logw
+      |FROM bb JOIN lr USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Bigram language-model scoring (perplexity proxy): corpus-level bigram
     * counts with add-1 smoothing over the bigram-context vocabulary, then
     * per-document mean log-probability. log-probs are quantized to millis
@@ -1360,6 +1448,8 @@ object TextOps extends QueryModule {
          |WHERE s.doc_id >= 10
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
     Q("bigram_collocations", bigramCollocations, Some(bigramCollocationsSql)),
+    Q("dsir_importance_weights", dsirImportanceWeights,
+      Some(dsirImportanceWeightsSql)),
     Q("bigram_lm_score", bigramLmScore, Some(
       """WITH bg AS (
         |  SELECT doc_id,

@@ -55,6 +55,7 @@ object CacheHygieneSpec {
     "clustering_agreement", "clustering_coefficient", "containment_pairs",
     "corpus_topp_select", "cosine_near_dup", "curriculum_phases",
     "customer_rfm", "dau_wau", "dedup_clusters", "dedup_impact_report",
+    "dsir_importance_weights", // bigram explode read by raw/target/total aggs + scoring join
     "embedding_norm_outliers", "emd_pairwise", "equidepth_histogram",
     "fellegi_sunter", "hits_scores", "incremental_dedup", "item_item_sim",
     "jaccard_histogram", "jaccard_prefix_join", "key_skew_report",

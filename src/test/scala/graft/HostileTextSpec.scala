@@ -40,7 +40,7 @@ class HostileTextSpec extends SparkSpec {
     "jaccard_histogram", "cdc_chunking", "containment_pairs",
     "bloom_decontaminate", "lang_confusion", "zipf_slope",
     "curriculum_phases", "epoch_plan", "fellegi_sunter", "oov_rate",
-    "bpe_learned_merges", "bpe_compression",
+    "bpe_learned_merges", "bpe_compression", "dsir_importance_weights",
     // streaming near-dup replay (ReplayOps) reads only documents: empty /
     // whitespace-only docs flow through the md5 band-key state pipeline
     "streaming_neardup_replay")

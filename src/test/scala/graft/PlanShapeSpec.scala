@@ -144,7 +144,8 @@ class PlanShapeSpec extends SparkSpec {
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
       "bpe_learned_merges", "bpe_compression", // 1-row argmax-pair broadcast per merge round
       "pq_quantization", // 4-row per-subspace codebook broadcasts
-      "pq_ann_eval") // codebook/LUT/probe-id broadcasts (≤ 20×4×4 rows)
+      "pq_ann_eval", // codebook/LUT/probe-id broadcasts (≤ 20×4×4 rows)
+      "dsir_importance_weights") // 1-row corpus-total broadcast into the 256-bucket ratio table
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
