@@ -1399,7 +1399,191 @@ object DedupOps extends QueryModule {
       |           AS BIGINT) >= 600000
       |ORDER BY jw_micro DESC, name_a, name_b""".stripMargin
 
+  // ---- cross-document duplicate spans (suffix-array-style) ---------------
+
+  /** Maximal cross-document duplicated token spans — the exact-substring
+    * dedup semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499), re-expressed relationally:
+    * instead of a corpus suffix array, match 8-token grams across documents
+    * and merge runs of consecutive matches. Two positions (pa, pb) in docs
+    * (a, b) lie on the same DIAGONAL when pa − pb is constant; a shared
+    * substring of L ≥ 8 tokens appears as exactly L−7 consecutive matching
+    * grams on one diagonal, so a gaps-and-islands pass over (a, b, diag)
+    * ordered by pa recovers every maximal span with no per-character work.
+    * Spans shorter than 15 tokens (runs shorter than 8 grams) are dropped —
+    * the operator reports substantive duplication, not chance overlap.
+    *
+    * Scale posture (100 TB): the only pair generator is an equi-join on the
+    * gram hash, and grams seen in more than 16 distinct documents are
+    * dropped FIRST (df-cap — true boilerplate belongs to
+    * boilerplate_shingles, and a viral gram in a million docs would
+    * otherwise fan out quadratically). Everything downstream is
+    * key-partitioned: the island window partitions by (a, b, diag) — span
+    * fragments of one doc pair, never the corpus. Gram hashes are 60-bit
+    * md5 prefixes, identical in both engines.
+    */
+  private val SPAN_GRAM = 8
+  private val SPAN_MIN_TOKENS = 15
+  private val SPAN_DF_CAP = 16
+
+  private def dupSpansDf(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val grams = docs(s, dir)
+      .repartition(col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= SPAN_GRAM)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - (SPAN_GRAM - 1)),
+          i => struct(i.as("pos"),
+            conv(substring(md5(concat(lit("sp:"),
+              array_join(slice(col("toks"), i, lit(SPAN_GRAM)), " "))),
+              1, 15), 16, 10).cast("long").as("h")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").cast("long").as("pos"), col("pg.h"))
+      .cache() // read by the df-cap agg AND both sides of the pair join
+    val rare = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= SPAN_DF_CAP)
+      .select(col("h"))
+    val g = grams.join(rare, "h").cache() // both sides of the pair join
+    val pairs = g.select(col("doc_id").as("a_id"), col("pos").as("pa"), col("h"))
+      .join(g.select(col("doc_id").as("b_id"), col("pos").as("pb"), col("h")), "h")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val byDiag = W.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (SPAN_GRAM - 1)).as("span_len"))
+      .filter(col("span_len") >= SPAN_MIN_TOKENS)
+      .select(col("a_id"), col("b_id"), col("start_a"), col("start_b"),
+        col("span_len"))
+  }
+
+  private def crossdocDupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansDf(s, dir)
+      .orderBy(col("a_id"), col("b_id"), col("start_a"), col("start_b"))
+
+  private val dupSpansSqlBody: String =
+    s"""grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(concat('0x', substr(md5('sp:' ||
+       |      array_to_string(toks[i:i+${SPAN_GRAM - 1}], ' ')), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       unnest(generate_series(1, len(toks) - ${SPAN_GRAM - 1})) AS t(i)
+       |  WHERE len(toks) >= $SPAN_GRAM
+       |), rare AS (
+       |  SELECT h FROM grams GROUP BY h
+       |  HAVING COUNT(DISTINCT doc_id) <= $SPAN_DF_CAP
+       |), g AS (
+       |  SELECT grams.* FROM grams JOIN rare USING (h)
+       |), pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa, b.pos AS pb,
+       |         a.pos - b.pos AS diag
+       |  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT *, pa - ROW_NUMBER()
+       |    OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
+       |  FROM pairs
+       |), spans AS (
+       |  SELECT a_id, b_id, MIN(pa) AS start_a, MIN(pb) AS start_b,
+       |         CAST(COUNT(*) + ${SPAN_GRAM - 1} AS BIGINT) AS span_len
+       |  FROM runs GROUP BY a_id, b_id, diag, grp
+       |  HAVING COUNT(*) + ${SPAN_GRAM - 1} >= $SPAN_MIN_TOKENS
+       |)""".stripMargin
+
+  private val crossdocDupSpansSql: String =
+    s"""WITH $dupSpansSqlBody
+       |SELECT a_id, b_id, start_a, start_b, span_len
+       |FROM spans ORDER BY a_id, b_id, start_a, start_b""".stripMargin
+
+  /** Per-document duplicated-token coverage: what fraction of each
+    * document's tokens sit inside SOME cross-document duplicate span from
+    * [[crossdocDupSpans]] (both orientations)? Overlapping spans are merged
+    * first by the classic interval-islands pass — a new island starts where
+    * an interval's lo exceeds the running max hi of all earlier intervals —
+    * so a token covered by five spans counts once. The Lee et al. "fraction
+    * of corpus that is duplicated text" metric, per document, as an exact
+    * ppm integer. Windows partition by doc_id; intervals per doc are
+    * bounded by span count, not corpus size.
+    */
+  private def dupSpanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val spans = dupSpansDf(s, dir)
+    // DISTINCT is load-bearing, not cosmetic: the same (lo, hi) interval
+    // recurs when one span is shared with several partner docs, and a ROWS
+    // window frame over TIED (lo, hi) sort keys is order-nondeterministic
+    // (observed in DuckDB: both tied rows can see an empty preceding frame,
+    // splitting one island in two). Dedup makes (lo, hi) a total order per
+    // doc; union coverage is unchanged.
+    val ivals = spans
+      .select(col("a_id").as("doc_id"), col("start_a").as("lo"),
+        (col("start_a") + col("span_len") - 1).as("hi"))
+      .unionAll(spans.select(col("b_id").as("doc_id"), col("start_b").as("lo"),
+        (col("start_b") + col("span_len") - 1).as("hi")))
+      .distinct()
+    val byLo = W.partitionBy(col("doc_id")).orderBy(col("lo"), col("hi"))
+    val merged = ivals
+      .withColumn("prev_max_hi",
+        max(col("hi")).over(byLo.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_max_hi").isNull || col("lo") > col("prev_max_hi"), 1L)
+          .otherwise(0L)).over(byLo.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("hi")) - min(col("lo")) + 1).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).cast("long").as("covered"))
+    docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(merged, Seq("doc_id"))
+      .withColumn("covered_ppm", expr("covered * 1000000 div n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupSpanCoverageSql: String =
+    s"""WITH $dupSpansSqlBody,
+       |ivals AS (
+       |  -- UNION (not ALL): tied (lo, hi) sort keys under a ROWS frame are
+       |  -- order-nondeterministic; distinct intervals are a total order
+       |  SELECT a_id AS doc_id, start_a AS lo,
+       |         start_a + span_len - 1 AS hi FROM spans
+       |  UNION
+       |  SELECT b_id, start_b, start_b + span_len - 1 FROM spans
+       |), marked AS (
+       |  SELECT doc_id, lo, hi,
+       |    MAX(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_max_hi
+       |  FROM ivals
+       |), islands AS (
+       |  SELECT doc_id, lo, hi,
+       |    SUM(CASE WHEN prev_max_hi IS NULL OR lo > prev_max_hi
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY lo, hi
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM marked
+       |), per_island AS (
+       |  SELECT doc_id, island, MAX(hi) - MIN(lo) + 1 AS covered
+       |  FROM islands GROUP BY 1, 2
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS covered
+       |  FROM per_island GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+       |  p.covered,
+       |  p.covered * 1000000 // CAST(len(string_split(d.text, ' ')) AS BIGINT)
+       |    AS covered_ppm
+       |FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("crossdoc_dup_spans", crossdocDupSpans, Some(crossdocDupSpansSql)),
+    Q("dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageSql)),
     Q("jaro_winkler_pairs", jaroWinklerPairs, Some(jaroWinklerPairsSql)),
     Q("fellegi_sunter", fellegiSunter, Some(fellegiSunterSql)),
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),

@@ -406,6 +406,68 @@ object FilterOps extends QueryModule {
     * One hash aggregate over the QI tuple + a bounded rollup; the
     * equivalence-class table is ≤ |QI-domain| however large the input.
     */
+  /** Differentially-private noisy counts (ε = 1, Laplace mechanism) over
+    * per-type event counts — the release primitive behind every DP
+    * analytics surface, next to [[kAnonymityReport]]/[[lDiversityReport]]
+    * in the privacy family. The Laplace draw is SEEDED, not sampled:
+    * u ∈ (0,1) comes from an md5-derived micro-uniform per key, and the
+    * inverse CDF −b·sign(u−½)·ln(1−2|u−½|) is evaluated with the argument
+    * kept as an EXACT integer numerator (num = 1e6 − |2·u_micro + 1 − 1e6|,
+    * an odd positive integer, so ln never sees 0) and the ln milli-
+    * quantized — both engines produce bit-identical noise, which is what
+    * makes a DP release auditable across engines. Determinism is a feature
+    * here: same release twice = no extra privacy budget spent.
+    *
+    * Scale posture: one partial-aggregated count per type; noise is O(1)
+    * arithmetic on the aggregate row.
+    */
+  private def dpNoisyCounts(s: SparkSession, dir: String): DataFrame = {
+    // NULL type dropped in BOTH engines: DuckDB's concat() skips NULLs, so
+    // '0x' || md5(NULL) ABORTS the cast while Spark's concat yields NULL —
+    // the q21-class divergence; a NULL release key is meaningless anyway
+    val counts = Tables.t(s, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    counts
+      .withColumn("u_micro",
+        pmod(conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 15),
+          16, 10).cast("long"), lit(1000000L)))
+      .withColumn("num",
+        lit(1000000L) - abs(lit(2L) * col("u_micro") + 1L - 1000000L))
+      .withColumn("sgn",
+        when(lit(2L) * col("u_micro") + 1L > 1000000L, 1L).otherwise(-1L))
+      .withColumn("ln_milli",
+        round(round(log(col("num") / lit(1000000.0)), 3) * 1000).cast("long"))
+      .withColumn("noise_milli", col("sgn") * -col("ln_milli"))
+      .withColumn("noisy_milli", col("n") * 1000L + col("noise_milli"))
+      .select(col("event_type"), col("n"), col("noise_milli"),
+        col("noisy_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dpNoisyCountsSql: String =
+    """WITH counts AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+      |), seeded AS (
+      |  SELECT event_type, n,
+      |    CAST(concat('0x', substr(md5('dp:' || event_type), 1, 15))
+      |         AS BIGINT) % 1000000 AS u_micro
+      |  FROM counts
+      |), noise AS (
+      |  SELECT event_type, n,
+      |    1000000 - abs(2 * u_micro + 1 - 1000000) AS num,
+      |    CASE WHEN 2 * u_micro + 1 > 1000000 THEN 1 ELSE -1 END AS sgn
+      |  FROM seeded
+      |)
+      |SELECT event_type, n,
+      |  CAST(sgn * -CAST(ROUND(ROUND(ln(num / 1000000.0), 3) * 1000)
+      |              AS BIGINT) AS BIGINT) AS noise_milli,
+      |  CAST(n * 1000 + sgn * -CAST(ROUND(ROUND(ln(num / 1000000.0), 3)
+      |              * 1000) AS BIGINT) AS BIGINT) AS noisy_milli
+      |FROM noise ORDER BY event_type""".stripMargin
+
   private def kAnonymityReport(s: SparkSession, dir: String): DataFrame = {
     val classes = Tables.t(s, dir, "customer")
       .groupBy(col("c_mktsegment").as("qi_segment"),
@@ -564,6 +626,98 @@ object FilterOps extends QueryModule {
        |FROM per_source CROSS JOIN ns
        |ORDER BY source""".stripMargin
 
+  /** Water-filling token-budget allocator — the fair-share complement of
+    * [[epochPlan]]: given a total token budget (a third of the corpus
+    * here), every source receives min(available, L) where the water level
+    * L is the largest value whose total allocation fits the budget. Small
+    * sources are fully funded; large ones are capped at a COMMON level, so
+    * no source starves and no source dominates — the allocation rule
+    * behind balanced data recipes. Pure integer arithmetic on the
+    * ≤|sources|-row aggregate: ascending prefix sums locate the binding
+    * segment (the largest K whose K smallest sources fit fully when
+    * everyone else sits at source K's size), then one integer division
+    * sets the level. The windows run over the per-source aggregate — never
+    * the corpus — and the binding (K, prefix) pair broadcasts back as one
+    * row.
+    */
+  private def tokenBudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val perSource = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+    val totals = perSource.agg(sum(col("avail")).as("total"))
+    val ranked = perSource.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("total div 3"))
+      .withColumn("rn", row_number().over(
+        W.orderBy(col("avail"), col("source"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(W.partitionBy()).cast("long"))
+      .withColumn("prefix_incl",
+        sum(col("avail")).over(W.orderBy(col("avail"), col("source"))
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("feasible",
+        // all smaller sources fully funded + everyone from here up at THIS
+        // source's size still fits => this source is fully funded too
+        col("prefix_incl") - col("avail")
+          + (col("m") - col("rn") + 1) * col("avail") <= col("budget"))
+      .cache()
+    val binding = ranked.agg(
+      max(when(col("feasible"), col("rn"))).as("k"),
+      max(when(col("feasible"), col("prefix_incl"))).as("prefix_k"),
+      max(col("budget")).as("b"), max(col("m")).as("mm"))
+      .select(col("k"), col("prefix_k"),
+        when(col("k").isNull, lit(0L)).otherwise(col("k")).as("k0"),
+        when(col("prefix_k").isNull, lit(0L)).otherwise(col("prefix_k")).as("p0"),
+        col("b"), col("mm"))
+      .withColumn("level",
+        when(col("k0") === col("mm"), Long.MaxValue)
+          .otherwise(expr("(b - p0) div (mm - k0)")))
+      .select(col("k0"), col("level"))
+    ranked.crossJoin(broadcast(binding))
+      .select(col("source"), col("avail").as("available"),
+        when(col("rn") <= col("k0"), col("avail"))
+          .otherwise(least(col("avail"), col("level"))).as("allocated"),
+        (col("rn") <= col("k0")).as("fully_funded"))
+      .orderBy(col("source"))
+  }
+
+  private def tokenBudgetWaterfillSql: String =
+    """WITH per_source AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(avail) AS BIGINT) AS total,
+      |         CAST(SUM(avail) AS BIGINT) // 3 AS budget,
+      |         CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM per_source
+      |), ranked AS (
+      |  SELECT source, avail, budget, m,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY avail, source) AS BIGINT) AS rn,
+      |    SUM(avail) OVER (ORDER BY avail, source
+      |                     ROWS UNBOUNDED PRECEDING) AS prefix_incl
+      |  FROM per_source CROSS JOIN tot
+      |), flags AS (
+      |  SELECT *,
+      |    prefix_incl - avail + (m - rn + 1) * avail <= budget AS feasible
+      |  FROM ranked
+      |), bind AS (
+      |  SELECT COALESCE(MAX(CASE WHEN feasible THEN rn END), 0) AS k0,
+      |    COALESCE(MAX(CASE WHEN feasible THEN prefix_incl END), 0) AS p0,
+      |    MAX(budget) AS b, MAX(m) AS mm
+      |  FROM flags
+      |), lvl AS (
+      |  SELECT k0,
+      |    CASE WHEN k0 = mm THEN 9223372036854775807
+      |         ELSE (b - p0) // (mm - k0) END AS level
+      |  FROM bind
+      |)
+      |SELECT source, avail AS available,
+      |  CASE WHEN rn <= k0 THEN avail
+      |       ELSE LEAST(avail, level) END AS allocated,
+      |  rn <= k0 AS fully_funded
+      |FROM flags CROSS JOIN lvl
+      |ORDER BY source""".stripMargin
+
   // ---- bloom-prefiltered benchmark decontamination ------------------------
 
   /** Clean-corpus selection by two-phase bloom decontamination: keep only
@@ -620,7 +774,10 @@ object FilterOps extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("curriculum_phases", curriculumPhases, Some(curriculumPhasesSql)),
     Q("epoch_plan", epochPlan, Some(epochPlanSql)),
+    Q("token_budget_waterfill", tokenBudgetWaterfill,
+      Some(tokenBudgetWaterfillSql)),
     Q("bloom_decontaminate", bloomDecontaminate, Some(bloomDecontaminateSql)),
+    Q("dp_noisy_counts", dpNoisyCounts, Some(dpNoisyCountsSql)),
     Q("k_anonymity_report", kAnonymityReport, Some(kAnonymityReportSql)),
     Q("l_diversity_report", lDiversityReport, Some(lDiversityReportSql)),
     Q("corpus_topp_select", corpusToppSelect, Some(corpusToppSelectSql)),

@@ -796,6 +796,164 @@ object RelationalOps extends QueryModule {
        |SELECT node, deg, pr AS pr_scaled FROM pr WHERE it = $PR_ITERS
        |ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin
 
+  /** Bounded k-core peel of the SUPPORT-THRESHOLDED co-purchase graph:
+    * keep only edges backed by ≥ 2 distinct orders (the raw graph's min
+    * degree is 42 at sf0.01 — nothing would ever peel), then repeatedly
+    * delete nodes whose degree within the surviving subgraph falls below
+    * K = 3, for EXACTLY [[KCORE_ROUNDS]] rounds in both engines — a
+    * bounded-round contract, not peel-to-fixpoint, so the oracle (an
+    * unrolled CTE chain, one per round) computes the identical set without
+    * needing a deletion fixpoint that recursive CTEs cannot express.
+    * At sf0.01 the peel reaches its fixpoint at round 11 (935 survivors),
+    * so the bounded result IS the true 3-core there. Output: each
+    * surviving node with its within-core degree.
+    *
+    * Scale posture: each round is ONE semi-join of the (cached) edge list
+    * against the current survivor set (dst side only) plus one
+    * partial-aggregated count. Filtering only dst is not an approximation:
+    * survivor sets are monotone decreasing, so a node peeled at round j
+    * has < K surviving neighbors at every later round and can never
+    * re-qualify — the src-side membership test is redundant (induction:
+    * Sᵢ = {x : deg_{Sᵢ₋₁}(x) ≥ K} equals the textbook induced-subgraph
+    * peel). The single reference per round matters structurally: with two
+    * survivor references the logical plan DOUBLES per round (2¹² copies of
+    * the edge subplan — a 2 GB plan string, observed), with one it grows
+    * linearly like pagerank's. Each round is materialized (cache + count)
+    * and its predecessor unpersisted so execution lineage stays flat.
+    * Rounds are a fixed constant: 12 shuffle stages, independent of data
+    * volume.
+    */
+  private val KCORE_K = 3
+  private val KCORE_ROUNDS = 12
+
+  /** Co-purchase edges kept only when ≥ 2 distinct orders back the pair. */
+  private def supportEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y =!= x),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("src"), col("dst"))
+
+  private def kcorePeel(s: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(s, dir).cache()
+    var surv = edges.select(col("src").as("node")).distinct().cache()
+    surv.count()
+    for (_ <- 1 to KCORE_ROUNDS) {
+      // rebase: without it each round's logical plan nests its
+      // predecessor's and per-round Catalyst re-analysis dominates
+      // (QOps.rebase scaladoc has the numbers)
+      val next = graft.QOps.rebase(edges
+        .join(surv.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCORE_K)
+        .select(col("src").as("node")))
+        .cache()
+      next.count() // materialize this round before dropping the last
+      surv.unpersist()
+      surv = next
+    }
+    edges
+      .join(surv.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(surv.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).cast("long").as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  private def kcorePeelSql: String = {
+    // dst-only membership per round mirrors the Spark loop exactly; see
+    // the monotonicity argument in the operator scaladoc
+    val rounds = (1 to KCORE_ROUNDS).map { i =>
+      s"""s$i AS (
+         |  SELECT src AS node FROM e
+         |  WHERE dst IN (SELECT node FROM s${i - 1})
+         |  GROUP BY src HAVING COUNT(*) >= $KCORE_K
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT src, dst FROM pairs WHERE w >= 2
+       |), s0 AS (
+       |  SELECT DISTINCT src AS node FROM e
+       |), $rounds
+       |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM e
+       |WHERE src IN (SELECT node FROM s$KCORE_ROUNDS)
+       |  AND dst IN (SELECT node FROM s$KCORE_ROUNDS)
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Harmonic centrality truncated at radius 2 over the support-≥2
+    * co-purchase graph ([[supportEdges]]): h(x) = Σ_{y≠x} 1/d(x,y) with
+    * the sum cut at distance 2 — the standard centrality for
+    * disconnected graphs (Boldi & Vigna 2014, "Axioms for centrality"),
+    * radius-bounded so the frontier is two equi-joins rather than an
+    * all-pairs BFS. Exact integers throughout: h_milli = 1000·|N₁| +
+    * 500·|N₂| where N₂ is the distance-EXACTLY-2 set (2-step reachable,
+    * minus direct neighbors via anti-join, minus self).
+    *
+    * Scale posture: the 2-step expansion is the triangle-count class —
+    * its row count is bounded by Σ deg², kept in check here by the
+    * support threshold (hubs in the raw co-purchase graph have degree
+    * 100+; support-≥2 median degree is 3). The distinct collapses
+    * per-path multiplicity before the anti-join; every join is
+    * key-partitioned.
+    */
+  private def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(s, dir).cache()
+    val n1 = e.groupBy(col("src")).agg(count(lit(1)).as("n1"))
+    val two = e.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst").as("d2")), Seq("mid"))
+      .select(col("src"), col("d2")).distinct()
+      .filter(col("src") =!= col("d2"))
+      .join(e.withColumnRenamed("dst", "d2"), Seq("src", "d2"), "left_anti")
+    val n2 = two.groupBy(col("src")).agg(count(lit(1)).as("n2"))
+    n1.join(n2, Seq("src"), "left_outer")
+      .select(col("src").as("node"), col("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("h_milli", (col("n1") * 1000 + col("n2") * 500).cast("long"))
+      .orderBy(col("node"))
+  }
+
+  private def harmonicCentralitySql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2
+      |), e AS (
+      |  SELECT src, dst FROM pairs WHERE w >= 2
+      |), n1t AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n1 FROM e GROUP BY 1
+      |), reach2 AS (
+      |  SELECT DISTINCT a.src, b.dst AS d2
+      |  FROM e a JOIN e b ON a.dst = b.src
+      |  WHERE a.src <> b.dst
+      |), two AS (
+      |  SELECT r.src, r.d2 FROM reach2 r
+      |  WHERE NOT EXISTS (SELECT 1 FROM e
+      |                    WHERE e.src = r.src AND e.dst = r.d2)
+      |), n2t AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n2 FROM two GROUP BY 1
+      |)
+      |SELECT n1t.src AS node, n1, COALESCE(n2, 0) AS n2,
+      |  CAST(n1 * 1000 + COALESCE(n2, 0) * 500 AS BIGINT) AS h_milli
+      |FROM n1t LEFT JOIN n2t ON n1t.src = n2t.src
+      |ORDER BY node""".stripMargin
+
   /** Degree distribution of the co-purchase part graph — the first plot of
     * any graph workload (is this power-law? where does the hub tail
     * start?), and the pre-flight check before degree-sensitive algorithms
@@ -2047,6 +2205,8 @@ object RelationalOps extends QueryModule {
     Q("recsys_precision_eval", recsysPrecisionEval, Some(recsysPrecisionEvalSql)),
     Q("recsys_ndcg_eval", recsysNdcgEval, Some(recsysNdcgEvalSql)),
     Q("degree_distribution", degreeDistribution, Some(degreeDistributionSql)),
+    Q("kcore_peel", kcorePeel, Some(kcorePeelSql)),
+    Q("harmonic_centrality", harmonicCentrality, Some(harmonicCentralitySql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),

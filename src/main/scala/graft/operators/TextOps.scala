@@ -531,6 +531,81 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * algorithm): from every window of w = 4 consecutive 4-token-gram
+    * hashes, select the RIGHTMOST MINIMUM; the selected (pos, hash) set is
+    * the document's fingerprint, guaranteeing any shared run of ≥ w+k−1
+    * tokens between two documents shares a fingerprint. Implemented
+    * without materializing windows: position p is selected iff its
+    * consecutive left-run of hashes ≥ h\[p\] (length a) and right-run of
+    * hashes > h\[p\] (length b, strict — ties break rightward) can cover
+    * some in-bounds window, i.e. max(w−1−b, p−(G−w+1), 0) ≤
+    * min(a, p−1, w−1) for G grams — three lags + three leads per row, O(1)
+    * per position, one per-doc window pass in BOTH engines (the brute
+    * per-window form is w× the rows and a self-join). Grams hash through
+    * the md5 '0x' family, so the fingerprints themselves are
+    * engine-identical.
+    */
+  private def winnowingFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val grams = docs(s, dir)
+      .repartition(col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 7) // G = n_toks - 3 >= w = 4
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 3),
+          i => struct(i.as("pos"), concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))
+            .as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        conv(substring(md5(concat(lit("wn:"), col("pg.g"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def runLen(cmp: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column) =
+      when(cmp(col("h"), 1).isNull || !cmp(col("h"), 1), 0)
+        .when(cmp(col("h"), 2).isNull || !cmp(col("h"), 2), 1)
+        .when(cmp(col("h"), 3).isNull || !cmp(col("h"), 3), 2)
+        .otherwise(3)
+    grams
+      .withColumn("g_n", count(lit(1)).over(W.partitionBy(col("doc_id"))))
+      .withColumn("a", runLen((h, j) => lag(col("h"), j).over(byDoc) >= h))
+      .withColumn("b", runLen((h, j) => lead(col("h"), j).over(byDoc) > h))
+      .filter(
+        greatest(lit(3) - col("b"), col("pos") - (col("g_n") - lit(3)), lit(0))
+          <= least(col("a"), col("pos") - 1, lit(3)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  private val winnowingFingerprintsSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    CAST(concat('0x', substr(md5('wn:' || toks[i] || ' ' || toks[i+1]
+      |      || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |       unnest(generate_series(1, len(toks) - 3)) AS t(i)
+      |  WHERE len(toks) >= 7
+      |), runs AS (
+      |  SELECT doc_id, pos, h,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS g_n,
+      |    CASE WHEN lag(h, 1) OVER wd IS NULL OR lag(h, 1) OVER wd < h THEN 0
+      |         WHEN lag(h, 2) OVER wd IS NULL OR lag(h, 2) OVER wd < h THEN 1
+      |         WHEN lag(h, 3) OVER wd IS NULL OR lag(h, 3) OVER wd < h THEN 2
+      |         ELSE 3 END AS a,
+      |    CASE WHEN lead(h, 1) OVER wd IS NULL OR lead(h, 1) OVER wd <= h THEN 0
+      |         WHEN lead(h, 2) OVER wd IS NULL OR lead(h, 2) OVER wd <= h THEN 1
+      |         WHEN lead(h, 3) OVER wd IS NULL OR lead(h, 3) OVER wd <= h THEN 2
+      |         ELSE 3 END AS b
+      |  FROM grams
+      |  WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+      |)
+      |SELECT doc_id, pos, h AS fp
+      |FROM runs
+      |WHERE GREATEST(3 - b, pos - (g_n - 3), 0) <= LEAST(a, pos - 1, 3)
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023, arXiv:2302.03169): documents are scored
     * by how much more likely their hashed-bigram features are under a
@@ -661,6 +736,146 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
       .orderBy(col("doc_id"))
   }
+
+  /** T5-style span-corruption planning (Raffel et al. 2020's denoising
+    * objective, arXiv:1910.10683 §3.1.4), made deterministic and
+    * shuffle-parallel: instead of randomly permuting positions (a
+    * sequential, seed-order-dependent recipe), each document is cut into
+    * fixed 20-token blocks and the md5-minimal position inside each block
+    * starts a 3-token noise span (clamped at the doc end) — ~15% corruption
+    * with spans ≥ 17 tokens apart in expectation, no two spans overlapping
+    * across block boundaries by more than the 2-token clamp slack, and the
+    * SAME plan on every run and every engine (a reproducible-pretraining
+    * requirement: the mask plan is part of the experiment). The per-block
+    * argmin is a window over (doc, block) — bounded by block size 20,
+    * never by corpus size.
+    */
+  private def spanCorruptionPlan(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .repartition(col("doc_id"))
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("n_toks"),
+        explode(sequence(lit(1L), col("n_toks"))).as("pos"))
+      .withColumn("blk", expr("(pos - 1) div 20"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("sc:"), col("doc_id").cast("string"),
+          lit(":"), col("pos").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("doc_id"), col("blk")).orderBy(col("h"), col("pos"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("blk"), col("pos").as("span_start"),
+        least(lit(3L), col("n_toks") - col("pos") + 1L).as("span_len"))
+      .orderBy(col("doc_id"), col("blk"))
+  }
+
+  private val spanCorruptionPlanSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |), posn AS (
+      |  SELECT doc_id, n_toks, CAST(i AS BIGINT) AS pos,
+      |    (CAST(i AS BIGINT) - 1) // 20 AS blk,
+      |    CAST(concat('0x', substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+      |      || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM d, unnest(generate_series(1, n_toks)) AS t(i)
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER()
+      |    OVER (PARTITION BY doc_id, blk ORDER BY h, pos) AS rn
+      |  FROM posn
+      |)
+      |SELECT doc_id, blk, pos AS span_start,
+      |  LEAST(3, n_toks - pos + 1) AS span_len
+      |FROM ranked WHERE rn = 1
+      |ORDER BY doc_id, blk""".stripMargin
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing every serious n-gram LM uses, where [[bigramLmScore]] is
+    * the add-1 baseline): P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) +
+    * D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··) with discount D = 0.75 —
+    * the continuation probability ranks words by how many DISTINCT
+    * contexts they follow, not raw frequency (the "San Francisco" effect:
+    * "Francisco" is frequent but predictable, so its continuation mass is
+    * tiny). Every count (bigram, context, forward/backward continuation
+    * fan-outs, distinct-bigram total) is an exact long from one bigram
+    * relation; the probability is ONE double expression with identical
+    * operator order in both engines, and log-probs go through the
+    * round(ln, 3)·1000 milli-quantization pattern so the per-doc sum is
+    * exact integer arithmetic.
+    *
+    * Scale posture: one corpus explode feeding five partial-aggregated
+    * counts (all vocabulary- or bigram-vocabulary-sized); the scoring join
+    * broadcasts those aggregates at bench SF — at 100 TB swap to plain
+    * equi-joins on w1/w2, vocabulary-keyed shuffles, never corpus-keyed
+    * (the bigramCollocations note applies verbatim).
+    */
+  private def knBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .repartition(col("doc_id")) // single-file scan → parallelize the explode
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2) // sequence(1, 0) guard, as bigram_lm_score
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .cache() // feeds all five count tables AND the scoring join
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val n1f = bg.groupBy(col("w1")).agg(countDistinct(col("w2")).as("n1f"))
+    val n1b = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("n1b"))
+    val nb = bg.select(col("w1"), col("w2")).distinct()
+      .agg(count(lit(1)).as("nbig"))
+    bg.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(n1f), Seq("w1"))
+      .join(broadcast(n1b), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .withColumn("lp_milli",
+        round(round(log(
+          (col("c2") - 0.75) / col("c1")
+            + lit(0.75) * col("n1f") / col("c1") * col("n1b") / col("nbig")),
+          3) * 1000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_milli")).as("sum_lp_milli"))
+      .withColumn("avg_logp",
+        col("sum_lp_milli").cast("double") / col("n_bigrams") / 1000.0)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp_milli"),
+        col("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val knBigramScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      |  WHERE len(toks) >= 2
+      |), c2t AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+      |), c1t AS (
+      |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+      |), n1ft AS (
+      |  SELECT w1, CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1f FROM bg GROUP BY 1
+      |), n1bt AS (
+      |  SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS n1b FROM bg GROUP BY 1
+      |), nbt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nbig
+      |  FROM (SELECT DISTINCT w1, w2 FROM bg)
+      |), lp AS (
+      |  SELECT doc_id,
+      |    CAST(ROUND(ROUND(ln((c2 - 0.75) / c1
+      |      + 0.75 * n1f / c1 * n1b / nbig), 3) * 1000) AS BIGINT) AS lp_milli
+      |  FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
+      |       JOIN n1ft USING (w1) JOIN n1bt USING (w2) CROSS JOIN nbt
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lp_milli) AS BIGINT) AS sum_lp_milli,
+      |  CAST(SUM(lp_milli) AS DOUBLE) / COUNT(*) / 1000.0 AS avg_logp
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** PMI-ranked collocations (phrase mining): token bigrams whose observed
     * count most exceeds what independent word frequencies predict —
@@ -1450,6 +1665,10 @@ object TextOps extends QueryModule {
     Q("bigram_collocations", bigramCollocations, Some(bigramCollocationsSql)),
     Q("dsir_importance_weights", dsirImportanceWeights,
       Some(dsirImportanceWeightsSql)),
+    Q("winnowing_fingerprints", winnowingFingerprints,
+      Some(winnowingFingerprintsSql)),
+    Q("kn_bigram_score", knBigramScore, Some(knBigramScoreSql)),
+    Q("span_corruption_plan", spanCorruptionPlan, Some(spanCorruptionPlanSql)),
     Q("bigram_lm_score", bigramLmScore, Some(
       """WITH bg AS (
         |  SELECT doc_id,

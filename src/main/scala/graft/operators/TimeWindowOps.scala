@@ -21,6 +21,84 @@ object TimeWindowOps extends QueryModule {
 
   private def events(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
 
+  /** STL-style additive decomposition of the per-type daily series:
+    * value = trend + seasonal + residual, entirely in exact µ-integer
+    * arithmetic. Trend is a centered 7-day moving average (NULL at the
+    * edges where the window is incomplete); seasonal is the per-day-of-week
+    * mean of the detrended series, re-centered so the 7 effects sum to ~0
+    * (classical decomposition — the one STL iteration every dashboard
+    * actually uses); residual is the remainder. All divisions are integer
+    * `div` (truncation toward zero in BOTH engines, checked on negatives);
+    * day-of-week is computed as days-since-a-fixed-Monday mod 7 because
+    * the engines disagree on dayofweek() numbering. Windows run over the
+    * compressed (type, day) domain — bounded by the calendar, not the
+    * event count — partitioned by type (the monthly_revenue_mom class).
+    */
+  private def stlDecomposeDaily(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("v_micro"))
+    val w7 = W.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend_micro",
+        when(count(lit(1)).over(w7) === 7,
+          expr("sum(v_micro) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+      .withColumn("det", col("v_micro") - col("trend_micro"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-05").cast("date")), lit(7)))
+    val seasonalRaw = trended.filter(col("det").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(expr("sum(det) div count(1)").as("s_raw"))
+    val seasonal = seasonalRaw
+      .withColumn("s_mean",
+        expr("sum(s_raw) OVER (PARTITION BY event_type) div count(s_raw) OVER (PARTITION BY event_type)"))
+      .withColumn("seasonal_micro", col("s_raw") - col("s_mean"))
+      .select(col("event_type"), col("dow"), col("seasonal_micro"))
+    trended
+      .join(broadcast(seasonal), Seq("event_type", "dow"), "left_outer")
+      .select(col("event_type"), col("day"), col("v_micro"),
+        col("trend_micro"),
+        when(col("trend_micro").isNotNull, col("seasonal_micro"))
+          .as("seasonal_micro"),
+        (col("det") - col("seasonal_micro")).as("residual_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val stlDecomposeDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS v_micro
+      |  FROM events GROUP BY 1, 2
+      |), trended AS (
+      |  SELECT event_type, day, v_micro,
+      |    CASE WHEN COUNT(*) OVER w7 = 7
+      |         THEN SUM(v_micro) OVER w7 // 7 END AS trend_micro,
+      |    date_diff('day', DATE '1970-01-05', day) % 7 AS dow
+      |  FROM daily
+      |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), det AS (
+      |  SELECT *, v_micro - trend_micro AS d FROM trended
+      |), sraw AS (
+      |  SELECT event_type, dow, SUM(d) // COUNT(*) AS s_raw
+      |  FROM det WHERE d IS NOT NULL GROUP BY 1, 2
+      |), seas AS (
+      |  SELECT event_type, dow,
+      |    s_raw - (SUM(s_raw) OVER (PARTITION BY event_type)
+      |             // COUNT(s_raw) OVER (PARTITION BY event_type)) AS seasonal_micro
+      |  FROM sraw
+      |)
+      |SELECT t.event_type, t.day, t.v_micro,
+      |  t.trend_micro,
+      |  CASE WHEN t.trend_micro IS NOT NULL THEN s.seasonal_micro END
+      |    AS seasonal_micro,
+      |  t.d - s.seasonal_micro AS residual_micro
+      |FROM det t LEFT JOIN seas s
+      |  ON s.event_type = t.event_type AND s.dow = t.dow
+      |ORDER BY 1, 2""".stripMargin
+
   /** Daily tumbling window per event type. */
   private def tumblingDaily(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -1496,6 +1574,7 @@ object TimeWindowOps extends QueryModule {
         |             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin)),
+    Q("stl_decompose_daily", stlDecomposeDaily, Some(stlDecomposeDailySql)),
     Q("tumbling_daily", tumblingDaily, Some(
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

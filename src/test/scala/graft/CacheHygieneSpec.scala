@@ -53,6 +53,10 @@ object CacheHygieneSpec {
     "bigram_lm_score", "bm25_score", "boilerplate_shingles", "ccf_daily",
     "cluster_keep_best", "cluster_size_histogram", "cluster_topterms",
     "clustering_agreement", "clustering_coefficient", "containment_pairs",
+    "crossdoc_dup_spans", "dup_span_coverage", // gram table read by df-cap agg + both pair-join sides
+    "harmonic_centrality", // cached edge list read by degree agg, both 2-hop sides, and the anti-join
+    "kcore_peel", // cached edge list re-read per peel round + final core-degree count
+    "kn_bigram_score", // bigram relation feeds 5 count tables + the scoring join
     "corpus_topp_select", "cosine_near_dup", "curriculum_phases",
     "customer_rfm", "dau_wau", "dedup_clusters", "dedup_impact_report",
     "dsir_importance_weights", // bigram explode read by raw/target/total aggs + scoring join
@@ -67,6 +71,7 @@ object CacheHygieneSpec {
     "recsys_precision_eval", "rrf_fusion", "segmented_trend",
     "semantic_dedup", "session_overlap_pairs", "shingle_novelty",
     "simhash_pairs", "sorted_neighborhood", "source_dedup_matrix",
-    "spearman_corr", "supplier_pareto", "triangle_count", "vocab_growth",
+    "spearman_corr", "supplier_pareto", "token_budget_waterfill", // ranked per-source table read by binding agg + final projection
+    "triangle_count", "vocab_growth",
     "weighted_median")
 }

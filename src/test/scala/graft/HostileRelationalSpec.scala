@@ -35,8 +35,9 @@ class HostileRelationalSpec extends SparkSpec {
     "anti_join_orderless", "assoc_rules", "benford_digits", "bfs_hops",
     "chi2_independence", "copurchase_pairs", "correlated_max_order",
     "cube_segment_priority", "customer_rfm", "degree_distribution",
-    "frequent_triples", "gini_concentration", "hits_scores", "item_item_sim",
-    "jaro_winkler_pairs", "k_anonymity_report", "key_skew_report",
+    "frequent_triples", "gini_concentration", "harmonic_centrality",
+    "hits_scores", "item_item_sim",
+    "jaro_winkler_pairs", "k_anonymity_report", "kcore_peel", "key_skew_report",
     "l_diversity_report", "label_propagation", "merge_upsert",
     "monthly_revenue_mom", "not_in_heavy_parts", "pagerank",
     "percent_of_parent", "pii_scrub", "q10_returned_items",

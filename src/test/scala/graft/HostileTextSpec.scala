@@ -41,6 +41,9 @@ class HostileTextSpec extends SparkSpec {
     "bloom_decontaminate", "lang_confusion", "zipf_slope",
     "curriculum_phases", "epoch_plan", "fellegi_sunter", "oov_rate",
     "bpe_learned_merges", "bpe_compression", "dsir_importance_weights",
+    "winnowing_fingerprints", "token_budget_waterfill",
+    "crossdoc_dup_spans", "dup_span_coverage", "kn_bigram_score",
+    "span_corruption_plan",
     // streaming near-dup replay (ReplayOps) reads only documents: empty /
     // whitespace-only docs flow through the md5 band-key state pipeline
     "streaming_neardup_replay")

@@ -277,6 +277,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === dist)
   }
 
+  test("kcore_peel equals a sequential peel-to-fixpoint and every survivor " +
+      "meets the degree bound") {
+    // independent derivation: support-≥2 edges rebuilt from raw pairs
+    // per order (with multiplicity), then literal peel until stable —
+    // also proves the operator's 12 bounded rounds REACH the fixpoint here
+    val li = Tables.t(spark, sf001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val edges = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 2).keys.toSeq
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var surv = adj.keySet
+    var changed = true
+    while (changed) {
+      val next = surv.filter(n => (adj(n) & surv).size >= 3)
+      changed = next != surv
+      surv = next
+    }
+    val expected = surv.map(n => n -> (adj(n) & surv).size.toLong).toMap
+    val got = SparkEntry.queries("kcore_peel")(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(got.values.forall(_ >= 3L))
+  }
+
   test("item_item_sim margins, score argument, and cosine recount") {
     val li = Tables.t(spark, sf001, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()

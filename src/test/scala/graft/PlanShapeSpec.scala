@@ -75,8 +75,11 @@ class PlanShapeSpec extends SparkSpec {
     // bounded by the observation window in days, same class as daily_interp
     // benford_digits: total over the 9-row first-digit domain
     // lift_by_decile: cumulative gain over the fixed 10-row decile table
+    // token_budget_waterfill: rank/prefix-sum over the per-SOURCE aggregate —
+    // bounded by the source domain (~20 values), not by document count
     val allowed = Set("monthly_revenue_mom", "batch_summary", "skyline_parts",
-      "daily_interp", "kaplan_meier", "benford_digits", "lift_by_decile")
+      "daily_interp", "kaplan_meier", "benford_digits", "lift_by_decile",
+      "token_budget_waterfill")
     // AQE off so executedPlan is a plain traversable tree (restored after)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -101,6 +104,7 @@ class PlanShapeSpec extends SparkSpec {
       "mutual_information", // 1-row boundary/total broadcasts (psi shape)
       "cosine_topk", "cosine_topk_fast", "knn_classify", "mutual_knn",
       "bigram_lm_score",
+      "kn_bigram_score", // 1-row distinct-bigram-total broadcast (bigram_lm_score class)
       "tf_idf",
       "source_mixture_weights", "range_join_bands",
       "dau_wau", // day-table (≈30 rows) broadcast against user-day pairs
@@ -145,7 +149,8 @@ class PlanShapeSpec extends SparkSpec {
       "bpe_learned_merges", "bpe_compression", // 1-row argmax-pair broadcast per merge round
       "pq_quantization", // 4-row per-subspace codebook broadcasts
       "pq_ann_eval", // codebook/LUT/probe-id broadcasts (≤ 20×4×4 rows)
-      "dsir_importance_weights") // 1-row corpus-total broadcast into the 256-bucket ratio table
+      "dsir_importance_weights", // 1-row corpus-total broadcast into the 256-bucket ratio table
+      "token_budget_waterfill") // 1-row total + 1-row (K, level) broadcasts over the per-source table
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

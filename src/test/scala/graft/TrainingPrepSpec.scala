@@ -678,6 +678,80 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got.last._8 === 1000000L)
   }
 
+  test("winnowing_fingerprints equals the brute per-window rightmost-min") {
+    // the operator uses the O(1)-per-position run-length formulation in
+    // BOTH engines, so the oracle can't catch a shared derivation bug —
+    // this recomputes fingerprints the literal way: every window of 4
+    // consecutive gram hashes, rightmost minimum, union over windows
+    def h64(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < 7) Seq.empty
+        else {
+          val hs = (0 to toks.length - 4)
+            .map(i => h64("wn:" + toks.slice(i, i + 4).mkString(" ")))
+          val sel = scala.collection.mutable.Set[Int]()
+          for (s0 <- 0 to hs.length - 4) {
+            val win = (s0 until s0 + 4)
+            val m = win.map(hs).min
+            sel += win.filter(p => hs(p) == m).max // rightmost min
+          }
+          sel.toSeq.sorted.map(p => (id, (p + 1).toLong, hs(p)))
+        }
+      }.sorted
+    val got = SparkEntry.queries("winnowing_fingerprints")(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+  }
+
+  test("crossdoc_dup_spans equals the brute per-pair diagonal scan") {
+    // both engines derive spans via the same gaps-and-islands trick, so the
+    // oracle can't catch a shared derivation bug — this recomputes maximal
+    // spans the literal way: for every doc pair and every (pa, pb) offset
+    // pair, extend matching 8-gram runs one step at a time
+    def h64(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docsSeq = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val grams: Map[Long, Vector[Long]] = docsSeq.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      id -> (0 to toks.length - 8).toVector
+        .map(i => h64("sp:" + toks.slice(i, i + 8).mkString(" ")))
+    }.toMap
+    val df = grams.toSeq.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val kept: Map[Long, Vector[Option[Long]]] = grams.view.mapValues(
+      _.map(h => if (df(h) <= 16) Some(h) else None)).toMap
+    val ids = docsSeq.map(_._1).sorted
+    val expected = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.size
+      (a, b) = (ids(ai), ids(bi))
+      ha = kept(a); hb = kept(b)
+      pa <- ha.indices; pb <- hb.indices
+      // run start: positions 0-based here; a run starts where no previous
+      // position continues it
+      if ha(pa).isDefined && ha(pa) == hb(pb)
+      if pa == 0 || pb == 0 || ha(pa - 1).isEmpty || ha(pa - 1) != hb(pb - 1)
+    } yield {
+      var len = 0
+      while (pa + len < ha.size && pb + len < hb.size &&
+        ha(pa + len).isDefined && ha(pa + len) == hb(pb + len)) len += 1
+      (a, b, (pa + 1).toLong, (pb + 1).toLong, (len + 7).toLong)
+    }).filter(_._5 >= 15).sorted
+    val got = SparkEntry.queries("crossdoc_dup_spans")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+  }
+
   test("oov_rate: vocab cut is exact and per-source rates recount") {
     val rows = Tables.t(spark, sf001, "documents")
       .select($"source", $"text").as[(String, String)].collect().toSeq
