@@ -954,6 +954,71 @@ object RelationalOps extends QueryModule {
       |FROM n1t LEFT JOIN n2t ON n1t.src = n2t.src
       |ORDER BY node""".stripMargin
 
+  /** Link prediction by common neighbors + Adamic-Adar over the support-≥2
+    * co-purchase graph: for every NON-adjacent pair at distance 2, count
+    * shared neighbors and sum 1/ln(deg(mid)) over the shared mids
+    * (Adamic & Adar 2003 — rare shared neighbors say more than hubs); top
+    * 50 candidate edges. A 2-path middle necessarily has degree ≥ 2, so
+    * ln(deg) is never 0 — no guard needed, by construction. The AA term is
+    * milli-quantized per MID (round(ln,3) house pattern) and summed as
+    * longs, so the ranking is exact integer arithmetic.
+    *
+    * Scale posture: the path join is Σdeg²-bounded like
+    * [[harmonicCentrality]]; the per-mid inverse-log table is node-sized
+    * (broadcast at bench SF — swap to a plain equi-join at corpus scale);
+    * the candidate anti-join is an equi-join on the pair key.
+    */
+  private def linkPredictionCn(s: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(s, dir).cache()
+    // deg ≥ 2 BEFORE the division: a degree-1 node can never be a 2-path
+    // middle, but ANSI mode aborts on its 1/ln(1) row in the deg table
+    // long before the join would have dropped it
+    val inv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("src").as("mid"),
+        round(round(lit(1.0) / log(col("deg")), 3) * 1000).cast("long")
+          .as("inv_ln_milli"))
+    e.select(col("src").as("u"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst").as("v")), Seq("mid"))
+      .filter(col("u") < col("v"))
+      .join(e.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(broadcast(inv), Seq("mid"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cn"),
+        sum(col("inv_ln_milli")).cast("long").as("aa_milli"))
+      .orderBy(col("cn").desc, col("aa_milli").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
+  private def linkPredictionCnSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2
+      |), e AS (
+      |  SELECT src, dst FROM pairs WHERE w >= 2
+      |), inv AS (
+      |  SELECT src AS mid,
+      |    CAST(ROUND(ROUND(1.0 / ln(COUNT(*)), 3) * 1000) AS BIGINT)
+      |      AS inv_ln_milli
+      |  FROM e GROUP BY src HAVING COUNT(*) >= 2
+      |), cand AS (
+      |  SELECT a.src AS u, a.dst AS mid, b.dst AS v
+      |  FROM e a JOIN e b ON a.dst = b.src
+      |  WHERE a.src < b.dst
+      |    AND NOT EXISTS (SELECT 1 FROM e
+      |                    WHERE e.src = a.src AND e.dst = b.dst)
+      |)
+      |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+      |  CAST(SUM(inv_ln_milli) AS BIGINT) AS aa_milli
+      |FROM cand JOIN inv USING (mid)
+      |GROUP BY u, v
+      |ORDER BY cn DESC, aa_milli DESC, u, v LIMIT 50""".stripMargin
+
   /** Degree distribution of the co-purchase part graph — the first plot of
     * any graph workload (is this power-law? where does the hub tail
     * start?), and the pre-flight check before degree-sensitive algorithms
@@ -2207,6 +2272,7 @@ object RelationalOps extends QueryModule {
     Q("degree_distribution", degreeDistribution, Some(degreeDistributionSql)),
     Q("kcore_peel", kcorePeel, Some(kcorePeelSql)),
     Q("harmonic_centrality", harmonicCentrality, Some(harmonicCentralitySql)),
+    Q("link_prediction_cn", linkPredictionCn, Some(linkPredictionCnSql)),
     Q("bfs_hops", bfsHops, Some(bfsHopsSql)),
     Q("item_item_sim", itemItemSim, Some(itemItemSimSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),

@@ -1094,6 +1094,67 @@ object SimilarityOps extends QueryModule {
     * kernel exists because on PAIR joins (millions of evaluations) the fused
     * loop is ~100× the HOF tree; for one pass per row the HOF cost is fine.
     */
+  /** Int8 scalar-quantization error audit — the go/no-go check before
+    * shipping an embedding index at 4× compression (FAISS SQ8 class):
+    * per vector, min-max quantize each element to 0..255 and report the
+    * reconstruction residual. ALL-INTEGER by construction: elements are
+    * first quantized to exact µ-longs (the embedding_stats primitive),
+    * then the int8 code is round-half-up((v−mn)·255/rng) computed as
+    * (2a+rng) div (2rng), and the residual is kept ×255 so it never
+    * leaves ℤ: err255 = (v−mn)·255 − q·rng. No float ROUND anywhere, so
+    * no half-boundary rendering divergence class (the dsum lesson) can
+    * exist here by construction. Zero-range vectors (constant fill — a
+    * hostile_embeddings row) quantize losslessly to code 0 with zero
+    * error via the rng=0 guard.
+    *
+    * Scale posture: per-row HOF arithmetic inside whole-stage codegen,
+    * no shuffle, no explode — one pass at any corpus size.
+    */
+  private def int8QuantizationError(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("xq", transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")))
+      .withColumn("mnq", array_min(col("xq")))
+      .withColumn("rng", array_max(col("xq")) - col("mnq"))
+      .withColumn("err255", when(col("rng") === 0L,
+        transform(col("xq"), _ => lit(0L)))
+        .otherwise(expr(
+          """transform(xq, v -> (v - mnq) * 255
+            |  - ((2 * (v - mnq) * 255 + rng) div (2 * rng)) * rng)"""
+            .stripMargin)))
+      .select(col("vec_id"),
+        size(col("xq")).cast("long").as("dim"),
+        col("rng").as("rng_q"),
+        expr("aggregate(err255, 0L, (acc, e) -> acc + e * e)").as("sse255"),
+        expr("aggregate(err255, 0L, (acc, e) -> greatest(acc, abs(e)))")
+          .as("max_abs_err255"))
+      .orderBy(col("vec_id"))
+
+  private val int8QuantizationErrorSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+      |  FROM embeddings
+      |), stats AS (
+      |  SELECT vec_id, xq, list_min(xq) AS mnq,
+      |         list_max(xq) - list_min(xq) AS rng
+      |  FROM q
+      |), errs AS (
+      |  SELECT vec_id, xq, rng,
+      |    CASE WHEN rng = 0 THEN list_transform(xq, v -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(xq, v -> (v - mnq) * 255
+      |           - ((2 * (v - mnq) * 255 + rng) // (2 * rng)) * rng)
+      |    END AS err255
+      |  FROM stats
+      |)
+      |SELECT vec_id, CAST(len(xq) AS BIGINT) AS dim, rng AS rng_q,
+      |  CAST(COALESCE(list_sum(list_transform(err255, e -> e * e)), 0)
+      |       AS BIGINT) AS sse255,
+      |  CAST(COALESCE(list_max(list_transform(err255, e -> abs(e))), 0)
+      |       AS BIGINT) AS max_abs_err255
+      |FROM errs ORDER BY vec_id""".stripMargin
+
   private def embeddingStats(s: SparkSession, dir: String): DataFrame = {
     val qElems = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
@@ -1682,6 +1743,8 @@ object SimilarityOps extends QueryModule {
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("cluster_balanced_sample", clusterBalancedSample, Some(clusterBalancedSampleSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
-    Q("embedding_stats", embeddingStats, Some(embeddingStatsSql))
+    Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)),
+    Q("int8_quantization_error", int8QuantizationError,
+      Some(int8QuantizationErrorSql))
   )
 }

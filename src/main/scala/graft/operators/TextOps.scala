@@ -737,6 +737,39 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility audit per source: characters per token and tokens
+    * per document — the first table in any tokenizer-choice writeup
+    * (fertility spikes flag sources the tokenizer fragments, e.g. code or
+    * non-Latin text under a Latin-heavy vocab). Whitespace tokens here, as
+    * everywhere in this catalog; ratios are exact milli integers via
+    * `div`. One partial-aggregated pass; NULL text contributes to n_docs
+    * but to neither sum (both engines skip NULL in SUM).
+    */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_toks"))
+      .withColumn("chars_per_tok_milli",
+        expr("sum_chars * 1000 div sum_toks"))
+      .withColumn("toks_per_doc_milli",
+        expr("sum_toks * 1000 div n_docs"))
+      .orderBy(col("source"))
+
+  private val tokenizerFertilitySql: String =
+    """WITH agg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS sum_toks
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT source, n_docs, sum_chars, sum_toks,
+      |  sum_chars * 1000 // sum_toks AS chars_per_tok_milli,
+      |  sum_toks * 1000 // n_docs AS toks_per_doc_milli
+      |FROM agg ORDER BY source""".stripMargin
+
   /** T5-style span-corruption planning (Raffel et al. 2020's denoising
     * objective, arXiv:1910.10683 §3.1.4), made deterministic and
     * shuffle-parallel: instead of randomly permuting positions (a
@@ -1669,6 +1702,7 @@ object TextOps extends QueryModule {
       Some(winnowingFingerprintsSql)),
     Q("kn_bigram_score", knBigramScore, Some(knBigramScoreSql)),
     Q("span_corruption_plan", spanCorruptionPlan, Some(spanCorruptionPlanSql)),
+    Q("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     Q("bigram_lm_score", bigramLmScore, Some(
       """WITH bg AS (
         |  SELECT doc_id,

@@ -57,6 +57,7 @@ object CacheHygieneSpec {
     "harmonic_centrality", // cached edge list read by degree agg, both 2-hop sides, and the anti-join
     "kcore_peel", // cached edge list re-read per peel round + final core-degree count
     "kn_bigram_score", // bigram relation feeds 5 count tables + the scoring join
+    "link_prediction_cn", // cached edge list read by deg agg, both path sides, and the anti-join
     "corpus_topp_select", "cosine_near_dup", "curriculum_phases",
     "customer_rfm", "dau_wau", "dedup_clusters", "dedup_impact_report",
     "dsir_importance_weights", // bigram explode read by raw/target/total aggs + scoring join

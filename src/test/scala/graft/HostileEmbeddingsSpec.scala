@@ -25,7 +25,8 @@ class HostileEmbeddingsSpec extends SparkSpec {
   private val embQueries = Seq(
     "ann_ivf", "ann_lsh", "ann_recall_eval", "cluster_balanced_sample",
     "cosine_near_dup", "cosine_topk", "cosine_topk_fast",
-    "embedding_norm_outliers", "embedding_stats", "jl_projection",
+    "embedding_norm_outliers", "embedding_stats", "int8_quantization_error",
+    "jl_projection",
     "kmeans_trained", "knn_classify", "label_centroids", "mutual_knn",
     "pca_projection", "pq_ann_eval", "pq_quantization", "semantic_dedup")
 

@@ -38,7 +38,8 @@ class HostileRelationalSpec extends SparkSpec {
     "frequent_triples", "gini_concentration", "harmonic_centrality",
     "hits_scores", "item_item_sim",
     "jaro_winkler_pairs", "k_anonymity_report", "kcore_peel", "key_skew_report",
-    "l_diversity_report", "label_propagation", "merge_upsert",
+    "l_diversity_report", "label_propagation", "link_prediction_cn",
+    "merge_upsert",
     "monthly_revenue_mom", "not_in_heavy_parts", "pagerank",
     "percent_of_parent", "pii_scrub", "q10_returned_items",
     "q11_important_stock", "q12_shipmode_priority", "q13_order_distribution",

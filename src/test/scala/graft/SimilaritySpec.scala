@@ -153,4 +153,30 @@ class SimilaritySpec extends SparkSpec {
     assert(sVar >= maxAxisVar * 0.999,
       s"var(pc1)=$sVar below best single axis $maxAxisVar")
   }
+
+  test("int8_quantization_error equals the literal recompute and residuals " +
+      "stay within half a quantization step") {
+    val raw = Tables.t(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val expected = raw.map { case (id, v) =>
+      val xq = v.map(x => math.round(x.toDouble * 1e6))
+      val (mnq, mxq) = (xq.min, xq.max)
+      val rng = mxq - mnq
+      val errs =
+        if (rng == 0L) xq.map(_ => 0L)
+        else xq.map { e =>
+          val a = (e - mnq) * 255L
+          a - ((2 * a + rng) / (2 * rng)) * rng
+        }
+      (id, xq.size.toLong, rng, errs.map(e => e * e).sum,
+        errs.map(math.abs).foldLeft(0L)(math.max))
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("int8_quantization_error")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // |err255| <= rng/2 + rounding slack: half a step in the x255 domain
+    got.foreach { case (id, _, rng, _, mx) =>
+      assert(mx <= rng / 2 + 1, s"vec $id residual $mx exceeds half-step")
+    }
+  }
 }
