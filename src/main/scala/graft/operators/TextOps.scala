@@ -1030,6 +1030,57 @@ object TextOps extends QueryModule {
        |    + 1 AS BIGINT) AS n_bins_spanned
        |FROM c ORDER BY source, doc_id""".stripMargin
 
+  private val SHARD_TOKENS = 2000L
+
+  /** Deterministic data-loader shard plan: shuffle the corpus by a seeded
+    * hash (no rand(), so the "random" order is reproducible and
+    * re-derivable on any engine), then pack documents contiguously into
+    * ~2000-token shards by exclusive-prefix division — the shard manifest
+    * a training job reads to know which docs land in which file, with byte
+    * offsets replaced by token offsets. Where [[sequencePacking]] packs
+    * WITHIN each source, this is the corpus-GLOBAL plan, which is exactly
+    * why it routes through [[graft.operators.PrefixOps.withGlobalPrefix]]
+    * (two-level bucketed prefix sum) instead of an unpartitioned window:
+    * the global cumulative token count is computed with a 64-way parallel
+    * window stage plus a broadcast offsets table, never a single reducer.
+    * The hash ordering doubles as shard BALANCE: documents arrive in
+    * hash-uniform order, so every shard mixes sources/lengths instead of
+    * inheriting the ingest order's skew.
+    */
+  private def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("shard_key"))
+    PrefixOps.withGlobalPrefix(base, col("shard_key"),
+      Seq(col("shard_key"), col("doc_id")), sums = Seq("n_toks"))
+      .select(col("doc_id"), col("shard_key"), col("n_toks"),
+        expr(s"(g_run_n_toks - n_toks) div $SHARD_TOKENS").as("shard_id"),
+        (col("g_run_n_toks") - col("n_toks")
+          - expr(s"((g_run_n_toks - n_toks) div $SHARD_TOKENS) * $SHARD_TOKENS"))
+          .as("shard_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def shardPlanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS shard_key
+       |  FROM documents
+       |), pre AS (
+       |  SELECT *, CAST(SUM(n_toks) OVER (ORDER BY shard_key, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+       |  FROM d
+       |)
+       |SELECT doc_id, shard_key, n_toks,
+       |  (run - n_toks) // $SHARD_TOKENS AS shard_id,
+       |  run - n_toks - ((run - n_toks) // $SHARD_TOKENS) * $SHARD_TOKENS
+       |    AS shard_offset
+       |FROM pre ORDER BY doc_id""".stripMargin
+
   private val CHUNK_LEN = 64
   private val CHUNK_STRIDE = 48
 
@@ -1668,6 +1719,7 @@ object TextOps extends QueryModule {
     Q("dup_span_removal", dupSpanRemoval, Some(dupSpanRemovalSql)),
     Q("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Q("sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    Q("shard_plan", shardPlan, Some(shardPlanSql)),
     Q("doc_chunking", docChunking, Some(docChunkingSql)),
     Q("cdc_chunking", cdcChunking, Some(cdcChunkingSql)),
     Q("rolling_fingerprint", rollingFingerprint, Some(

@@ -792,14 +792,23 @@ object StreamJobs {
     val shingles: Seq[String] =
       if (toks.length < 3) Seq(toks.mkString(" "))
       else toks.sliding(3).map(_.mkString(" ")).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
     val mh = Array.fill(16)(Long.MaxValue)
-    shingles.foreach { sh =>
+    // distinct: a repeated shingle cannot change any MIN (the oracle's
+    // DISTINCT shx); the numeric fold below IS parseLong(hex.take(15), 16)
+    // — the first 15 hex digits are the top 60 bits big-endian — without
+    // the per-byte format/parse round-trip that made this loop the single
+    // most expensive stage of the sf0.1 bench (16 digests per shingle
+    // stand; they define the signature family the oracle replays)
+    shingles.distinct.foreach { sh =>
       var i = 0
       while (i < 16) {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"mh:$i:$sh".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 15)
-        val h = java.lang.Long.parseLong(hex, 16)
+        md.reset()
+        val d = md.digest(s"mh:$i:$sh".getBytes("UTF-8"))
+        var be = 0L
+        var j = 0
+        while (j < 8) { be = (be << 8) | (d(j) & 0xffL); j += 1 }
+        val h = be >>> 4
         if (h < mh(i)) mh(i) = h
         i += 1
       }

@@ -58,6 +58,7 @@ object CacheHygieneSpec {
     "kcore_peel", // cached edge list re-read per peel round + final core-degree count
     "kn_bigram_score", // bigram relation feeds 5 count tables + the scoring join
     "link_prediction_cn", // cached edge list read by deg agg, both path sides, and the anti-join
+    "shard_plan", // PrefixOps bucketed table read by the offsets agg + the final window (corpus_topp_select class)
     "corpus_topp_select", "cosine_near_dup", "curriculum_phases",
     "customer_rfm", "dau_wau", "dedup_clusters", "dedup_impact_report",
     "dsir_importance_weights", // bigram explode read by raw/target/total aggs + scoring join

@@ -43,7 +43,7 @@ class HostileTextSpec extends SparkSpec {
     "bpe_learned_merges", "bpe_compression", "dsir_importance_weights",
     "winnowing_fingerprints", "token_budget_waterfill",
     "crossdoc_dup_spans", "dup_span_coverage", "kn_bigram_score",
-    "span_corruption_plan", "tokenizer_fertility",
+    "span_corruption_plan", "tokenizer_fertility", "shard_plan",
     // streaming near-dup replay (ReplayOps) reads only documents: empty /
     // whitespace-only docs flow through the md5 band-key state pipeline
     "streaming_neardup_replay")
