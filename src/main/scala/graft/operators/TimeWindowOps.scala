@@ -99,6 +99,64 @@ object TimeWindowOps extends QueryModule {
       |  ON s.event_type = t.event_type AND s.dow = t.dow
       |ORDER BY 1, 2""".stripMargin
 
+  /** Watermark planning audit: how out-of-order does each event type's
+    * stream actually arrive, and what watermark delay would a streaming
+    * job need? Arrival order is event_id (the ingest sequence — the same
+    * convention every tie-break in this catalog uses); an event's lateness
+    * is how far the max event-time already SEEN at its arrival exceeds its
+    * own event time (exact µs longs via unix_micros/epoch_us). Output per
+    * type: out-of-order count, max lateness, and the count of events a
+    * 1-minute / 10-minute / 30-minute watermark would each drop — the
+    * table you read before choosing `withWatermark` for the StreamJobs
+    * pipelines. Windows partition by type ordered by the unique event_id;
+    * one shuffle, linear scans.
+    */
+  private def watermarkPlan(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val prior = W.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us",
+        greatest(coalesce(max(col("us")).over(prior), col("us")) - col("us"),
+          lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("ooo_n"),
+        max(col("late_us")).cast("long").as("max_late_us"),
+        sum(when(col("late_us") > 60L * 1000000L, 1L).otherwise(0L))
+          .cast("long").as("drop_wm_1m"),
+        sum(when(col("late_us") > 600L * 1000000L, 1L).otherwise(0L))
+          .cast("long").as("drop_wm_10m"),
+        sum(when(col("late_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .cast("long").as("drop_wm_30m"))
+      .orderBy(col("event_type"))
+  }
+
+  private val watermarkPlanSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+      |), marked AS (
+      |  SELECT event_type, us,
+      |    GREATEST(COALESCE(MAX(us) OVER (PARTITION BY event_type
+      |      ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us,
+      |      0) AS late_us
+      |  FROM e
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ooo_n,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS drop_wm_1m,
+      |  CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS drop_wm_10m,
+      |  CAST(SUM(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS drop_wm_30m
+      |FROM marked GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Daily tumbling window per event type. */
   private def tumblingDaily(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -1575,6 +1633,7 @@ object TimeWindowOps extends QueryModule {
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin)),
     Q("stl_decompose_daily", stlDecomposeDaily, Some(stlDecomposeDailySql)),
+    Q("watermark_plan", watermarkPlan, Some(watermarkPlanSql)),
     Q("tumbling_daily", tumblingDaily, Some(
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

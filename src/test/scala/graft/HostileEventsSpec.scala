@@ -48,7 +48,7 @@ class HostileEventsSpec extends SparkSpec {
     "nearest_touch", "null_key_fallback", "ols_by_type", "pivot_user_events",
     "psi_drift", "quantile_normalize", "retention_cohorts", "salted_agg",
     "gini_by_type", "source_concentration", "trimmed_mean",
-    "dp_noisy_counts",
+    "dp_noisy_counts", "watermark_plan",
     "scd2_history", "seasonal_dow", "seasonal_outliers", "segmented_trend", "stl_decompose_daily",
     "session_cap_split", "session_concurrency", "session_overlap_pairs",
     "session_windows",
