@@ -162,6 +162,37 @@ object ReplayOps extends QueryModule {
       col("window_start"), col("user_id"))
   }
 
+  /** Late-data DROP under a REAL watermark delay — the replay that closes
+    * the loop with the batch `watermark_plan` audit: does Structured
+    * Streaming actually drop exactly the rows the batch arithmetic
+    * predicts? Feed even-user events as batch 1 (spanning the full time
+    * range, so the watermark ratchets to max_even_ts − 25 h), then
+    * odd-user events as batch 2: an odd row is dropped iff its DAY
+    * window's end ≤ that watermark (Spark's aggregation late-filter is on
+    * the window end, and the watermark is the ms-floored batch-1 max
+    * minus the delay — both reproduced to the microsecond in the oracle).
+    * Sentinels are custom (+50 h/+52 h): the shared replay() sentinels sit
+    * only 3–6 h past max and can never flush windows behind a 25-hour
+    * watermark. Output: surviving (day window, user) counts.
+    */
+  private def watermarkDropReplay(spark: SparkSession, dir: String): DataFrame = {
+    val evs = fixture(spark, dir)
+    val (evens, odds) = evs.partition(_.key % 2 == 0)
+    val maxMs = evs.map(_.timestamp.getTime).max
+    val out = replay(spark,
+      Seq(evens.toSeq, odds.toSeq,
+        Seq(Ev(-1L, "s", ts(maxMs + 50L * 3600 * 1000))),
+        Seq(Ev(-1L, "s", ts(maxMs + 52L * 3600 * 1000)))),
+      "replay_wm_drop", sentinels = false) { df =>
+      StreamJobs.windowedCounts(df, "1 day", "25 hours")
+    }
+    QOps.ordered1(
+      out.filter(col("key") >= 0)
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("key").as("user_id"), col("n")),
+      col("window_start"), col("user_id"))
+  }
+
   /** Cross-batch streaming dedup (StreamJobs.streamingDedup, D1): distinct
     * (user, event_type) pairs; output projected to the dedup key (which
     * physical row is "first seen" is task-order dependent; the key set is
@@ -580,6 +611,21 @@ object ReplayOps extends QueryModule {
       """SELECT date_trunc('hour', ts) AS window_start, user_id,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("streaming_watermark_drop_replay", watermarkDropReplay, Some(
+      """WITH wm AS (
+        |  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 90000000000 AS wm_us
+        |  FROM events WHERE user_id % 2 = 0
+        |), surv AS (
+        |  SELECT user_id, ts FROM events WHERE user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT user_id, ts FROM events, wm
+        |  WHERE user_id % 2 <> 0
+        |    AND epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)
+        |        > COALESCE(wm_us, -4611686018427387904)
+        |)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM surv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("streaming_dedup_replay", dedupReplay, Some(distinctPairSql)),
     Q("streaming_dedup_ww_replay", dedupWwReplay, Some(distinctPairSql)),
     Q("streaming_topk_replay", topkReplay, Some(

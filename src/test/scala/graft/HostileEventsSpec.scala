@@ -67,7 +67,8 @@ class HostileEventsSpec extends SparkSpec {
     "streaming_left_join_replay", "streaming_enrich_replay",
     "streaming_running_counts_replay", "streaming_heavy_hitters_replay",
     "streaming_temporal_enrich_replay", "streaming_sessionize_replay",
-    "streaming_debounce_replay", "streaming_anomaly_exact_replay")
+    "streaming_debounce_replay", "streaming_anomaly_exact_replay",
+    "streaming_watermark_drop_replay")
 
   test("every events-backed query survives the hostile fixture, twice") {
     eventQueries.foreach { name =>
