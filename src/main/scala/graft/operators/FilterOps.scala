@@ -712,8 +712,12 @@ object FilterOps extends QueryModule {
       |  FROM bind
       |)
       |SELECT source, avail AS available,
-      |  CASE WHEN rn <= k0 THEN avail
-      |       ELSE LEAST(avail, level) END AS allocated,
+      |  -- CAST: `level` inherits HUGEINT from the prefix_incl window-SUM
+      |  -- (via p0), and pandas renders HUGEINT as float64 ("452.0") where
+      |  -- the Spark side emits int64 ("452") — the r6-root-caused dtype
+      |  -- class; the BIGINT cast makes the driver's digest byte-identical
+      |  CAST(CASE WHEN rn <= k0 THEN avail
+      |            ELSE LEAST(avail, level) END AS BIGINT) AS allocated,
       |  rn <= k0 AS fully_funded
       |FROM flags CROSS JOIN lvl
       |ORDER BY source""".stripMargin

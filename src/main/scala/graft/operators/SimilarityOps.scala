@@ -1217,9 +1217,15 @@ object SimilarityOps extends QueryModule {
        |         ${dotQSql("embedding", "embedding")} AS norm2
        |  FROM embeddings
        |), pairs AS (
+       |  -- zero-norm guard: the Spark side's codegen cosine_sim returns 0.0
+       |  -- on an all-zero vector (VectorExpressions.scala:45), where a bare
+       |  -- x/0 here yields NULL and sorts differently — unlike the rest of
+       |  -- the family (cosineQ's /0 -> NULL), this query must match 0.0
        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-       |         CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
-       |           / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cosine
+       |         CASE WHEN q.norm2 = 0 OR c.norm2 = 0 THEN 0.0
+       |              ELSE CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |                / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))
+       |         END AS cosine
        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
        |  WHERE q.vec_id < 20
        |), ranked AS (

@@ -75,7 +75,10 @@ object TimeWindowOps extends QueryModule {
       |  SELECT event_type, day, v_micro,
       |    CASE WHEN COUNT(*) OVER w7 = 7
       |         THEN SUM(v_micro) OVER w7 // 7 END AS trend_micro,
-      |    date_diff('day', DATE '1970-01-05', day) % 7 AS dow
+      |    -- double-mod: DuckDB % returns NEGATIVE remainders for pre-epoch
+    |    -- days where Spark's pmod is always 0..6 — latent until a hostile
+    |    -- fixture adds a pre-1970 timestamp
+    |    ((date_diff('day', DATE '1970-01-05', day) % 7) + 7) % 7 AS dow
       |  FROM daily
       |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
       |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)

@@ -74,11 +74,34 @@ object ReplayOps extends QueryModule {
     * the `finally` next to `q.stop()`. */
   private def pinPartitions(spark: SparkSession): String = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     prev
   }
   private def restorePartitions(spark: SparkSession, prev: String): Unit =
     spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+  /** Recursive delete of a replay temp dir (checkpoint/state-store/sink
+    * litter): repeated Verify/Bench/test sweeps in one environment would
+    * otherwise accumulate unbounded /tmp state. Never throws — cleanup must
+    * not mask the real result or error. */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case _: Throwable => () }
+
+  /** Create a temp dir for `body`, ALWAYS deleting it after. */
+  private def withTempDir[A](prefix: String)(body: String => A): A = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    try body(d.toString) finally rmTree(d)
+  }
+
+  /** Eagerly materialize a replay result so its backing sink/temp files can
+    * be deleted before returning: the bounded rows move into the block
+    * manager (lineage cut), the lazy parquet/memory-sink read is severed. */
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Feed `batches` through `pipeline`, flush with two sentinel batches,
     * return the memory-sink table. `mk` builds the pipeline from the
@@ -91,26 +114,27 @@ object ReplayOps extends QueryModule {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     withReplayPartitions(spark) {
-      val in = MemoryStream[Ev]
-      val out = mk(in.toDF())
-      // re-runs in one session (test + Verify + Bench share sweeps) replace
-      // the previous replay's sink table
-      spark.catalog.dropTempView(sinkName)
-      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_replay_$sinkName")
-      val q = out.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .format("memory").queryName(sinkName).start()
-      try {
-        batches.foreach { b => in.addData(b); q.processAllAvailable() }
-        if (sentinels) {
-          val maxMs = batches.flatten.map(_.timestamp.getTime).max
-          // far past any real session (30 min gap) or window (1 h) end
-          in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000)))
-          q.processAllAvailable()
-          in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withTempDir(s"graft_replay_$sinkName") { ckpt =>
+        val in = MemoryStream[Ev]
+        val out = mk(in.toDF())
+        // re-runs in one session (test + Verify + Bench share sweeps) replace
+        // the previous replay's sink table
+        spark.catalog.dropTempView(sinkName)
+        val q = out.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("memory").queryName(sinkName).start()
+        try {
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+          if (sentinels) {
+            val maxMs = batches.flatten.map(_.timestamp.getTime).max
+            // far past any real session (30 min gap) or window (1 h) end
+            in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000)))
+            q.processAllAvailable()
+            in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
     }
     spark.table(sinkName)
   }
@@ -210,14 +234,18 @@ object ReplayOps extends QueryModule {
   /** Watermark-bounded dedup (StreamJobs.streamingDedupWithinWatermark) fed
     * in TWO time-split micro-batches so the second batch's duplicates are
     * suppressed by cross-batch STATE, not within-batch aggregation. The
-    * watermark delay spans the whole fixture (365 days) so no state is
-    * evicted mid-replay and the result equals batch DISTINCT. */
+    * watermark delay is DERIVED from the fixture's actual time span (+2
+    * days margin) so no state is evicted mid-replay and the result equals
+    * batch DISTINCT — a hardcoded delay would silently re-admit duplicates
+    * on any scaled/hostile fixture spanning longer. */
   private def dedupWwReplay(spark: SparkSession, dir: String): DataFrame = {
     val evs = fixture(spark, dir)
     val (b1, b2) = evs.splitAt(evs.length / 2) // fixture is ts-sorted
+    val spanDays = (evs.last.timestamp.getTime - evs.head.timestamp.getTime) /
+      86400000L + 2
     val out = replay(spark, Seq(b1.toSeq, b2.toSeq), "replay_dedup_ww",
       sentinels = false) { df =>
-      StreamJobs.streamingDedupWithinWatermark(df, "365 days")
+      StreamJobs.streamingDedupWithinWatermark(df, s"$spanDays days")
     }
     QOps.ordered1(
       out.select(col("key").as("user_id"), col("value").as("event_type")),
@@ -231,24 +259,27 @@ object ReplayOps extends QueryModule {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val evs = fixture(spark, dir)
-    val in = MemoryStream[Ev]
-    val sink = new TopicTableSink(
-      java.nio.file.Files.createTempDirectory("graft_replay_topk").toString + "/t")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_topk_ck")
-    val prevParts = pinPartitions(spark)
-    val q = StreamJobs.windowedTopK(in.toDF(), "1 hour", "0 seconds", 3, sink,
-      checkpoint = Some(ckpt.toString))
-    try {
-      in.addData(evs.toSeq); q.processAllAvailable()
-      val maxMs = evs.map(_.timestamp.getTime).max
-      in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000))); q.processAllAvailable()
-      in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000))); q.processAllAvailable()
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
-    QOps.ordered1(
-      sink.read(spark).filter(col("key") >= 0)
-        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
-          col("key").as("user_id"), col("n"), col("rk")),
-      col("window_start"), col("rk"))
+    withTempDir("graft_replay_topk") { sinkDir =>
+      withTempDir("graft_replay_topk_ck") { ckpt =>
+        val in = MemoryStream[Ev]
+        val sink = new TopicTableSink(sinkDir + "/t")
+        val prevParts = pinPartitions(spark)
+        val q = StreamJobs.windowedTopK(in.toDF(), "1 hour", "0 seconds", 3, sink,
+          checkpoint = Some(ckpt))
+        try {
+          in.addData(evs.toSeq); q.processAllAvailable()
+          val maxMs = evs.map(_.timestamp.getTime).max
+          in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000))); q.processAllAvailable()
+          in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000))); q.processAllAvailable()
+        } finally { q.stop(); restorePartitions(spark, prevParts) }
+        // materialize BEFORE the temp sink dir is deleted on scope exit
+        materialize(QOps.ordered1(
+          sink.read(spark).filter(col("key") >= 0)
+            .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+              col("key").as("user_id"), col("n"), col("rk")),
+          col("window_start"), col("rk")))
+      }
+    }
   }
 
   /** Stream-stream INTERVAL join (StreamJobs.streamStreamJoin): views
@@ -273,7 +304,7 @@ object ReplayOps extends QueryModule {
       lIn.addData(evs.filter(_.value == "view").toSeq)
       rIn.addData(evs.filter(_.value == "purchase").toSeq)
       q.processAllAvailable()
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_join").select(
         col("l_key").as("user_id"),
@@ -312,7 +343,7 @@ object ReplayOps extends QueryModule {
         rIn.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
         q.processAllAvailable()
       }
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_left_join").filter(col("l_key") >= 0).select(
         col("l_key").as("user_id"),
@@ -367,7 +398,7 @@ object ReplayOps extends QueryModule {
       Seq(b1, b2).foreach { b =>
         in.addData(b.map(toKafkaShaped).toSeq); q.processAllAvailable()
       }
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_running_counts")
         .groupBy(col("user_key")).agg(max(col("n")).as("n")),
@@ -397,7 +428,7 @@ object ReplayOps extends QueryModule {
       Seq(b1, b2).foreach { b =>
         in.addData(b.map(toKafkaShaped).toSeq); q.processAllAvailable()
       }
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_heavy_hitters")
         .groupBy(col("user_key"), col("event_type"))
@@ -431,7 +462,7 @@ object ReplayOps extends QueryModule {
       uIn.addData(evs.filter(_.value == "purchase").toSeq)
       eIn.addData(evs.filter(_.value == "view").toSeq)
       q.processAllAvailable()
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_temporal_enrich").select(
         col("key").as("user_key"), col("value").as("view_id"),
@@ -468,6 +499,13 @@ object ReplayOps extends QueryModule {
       while (spark.table("replay_sessionize").count() < expected &&
           System.currentTimeMillis < deadline)
         Thread.sleep(250)
+      // a wedged timeout path must fail HERE with a named cause, not
+      // downstream as a confusing oracle hash mismatch on missing rows
+      val got = spark.table("replay_sessionize").count()
+      if (got < expected) throw new IllegalStateException(
+        s"sessionizeReplay: poll deadline (120 s) hit with $got of " +
+          s"$expected sessions closed — the ProcessingTimeTimeout batches " +
+          "did not fire; result would be incomplete")
     } finally { q.stop(); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_sessionize")
@@ -501,7 +539,7 @@ object ReplayOps extends QueryModule {
           StreamJobs.MetricPoint(s"${e.key}|${e.value}", e.us, e.dval)).toSeq)
         q.processAllAvailable()
       }
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_debounce").select(
         split(col("key"), "\\|").getItem(0).cast("long").as("user_id"),
@@ -536,7 +574,7 @@ object ReplayOps extends QueryModule {
       .format("memory").queryName("replay_anomaly").start()
     try {
       Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_anomaly").select(
         col("key").cast("long").as("user_id"), col("tsUs").as("us"),
@@ -568,7 +606,7 @@ object ReplayOps extends QueryModule {
       .format("memory").queryName("replay_neardup").start()
     try {
       in.addData(docs.toSeq); q.processAllAvailable()
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_neardup").select(
         col("docId").as("doc_id"), col("dupOf").as("dup_of"),
