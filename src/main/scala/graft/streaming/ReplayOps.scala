@@ -614,6 +614,397 @@ object ReplayOps extends QueryModule {
       col("doc_id"), col("band"))
   }
 
+  /** The reference's FIRST main — Streamer.main (Streamer.scala:120-202),
+    * rebuilt as StreamJobs.summaryPipeline — replayed under the oracle: the
+    * events fixture in two deterministic row-count-split batches (the same
+    * (ts, event_id) midpoint split every two-batch replay uses), through
+    * the REAL topic-table + KV-upsert sinks, read back as one table.
+    *
+    * Per batch the pipeline emits (a) one formatted summary line to the
+    * topic table, (b) the same line as a KV cell at rowkey = batch epoch
+    * second, and (c) the batch's distinct (key, value) messages as bulk KV
+    * cells at rowkey = epochSec-key — all stamped with the batch time
+    * (max event ts), so the sink's last-write-wins merge is deterministic:
+    * ts ties fall to the cell_value tiebreak. The oracle rebuilds the
+    * batch split, the summary strings, and the LWW merge in SQL. Output
+    * rows are tagged 'topic' | 'kv' so ONE hash covers both sinks.
+    */
+  private def summaryReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    withTempDir("graft_replay_summary") { root =>
+      val topicSink = new TopicTableSink(root + "/topic")
+      val kvSink = new KvUpsertSink(root + "/kv")
+      val in = MemoryStream[Ev]
+      val prevParts = pinPartitions(spark)
+      // the pipeline consumes the Kafka pair shape (key, value, timestamp);
+      // key cast to string = the reference's String key
+      val shaped = in.toDF().select(
+        col("key").cast("string").as("key"), col("value"), col("timestamp"))
+      val q = StreamJobs.summaryPipeline(shaped, "events", "out",
+        topicSink, kvSink,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        checkpoint = Some(root + "/ckpt"))
+      try {
+        Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      } finally { q.stop(); restorePartitions(spark, prevParts) }
+      val kv = kvSink.read(spark).select(
+        lit("kv").as("src"), col("rowkey").as("k1"), col("cf").as("k2"),
+        col("qualifier").as("k3"), col("cell_value").as("v"))
+      val topic = topicSink.read(spark).select(
+        lit("topic").as("src"), col("topic").as("k1"), lit("").as("k2"),
+        lit("").as("k3"), col("value").as("v"))
+      materialize(QOps.ordered1(kv.unionAll(topic),
+        col("src"), col("k1"), col("k3"), col("v")))
+    }
+  }
+
+  private val summarySql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts,
+      |         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+      |         COUNT(*) OVER () AS m
+      |  FROM events
+      |), batched AS (
+      |  SELECT *, CASE WHEN rn <= m // 2 THEN 1 ELSE 2 END AS b FROM ordered
+      |), bstats AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n, MAX(ts) AS bts
+      |  FROM batched GROUP BY b
+      |), summaries AS (
+      |  SELECT b, bts,
+      |    CAST(CAST(floor(epoch(bts)) AS BIGINT) AS VARCHAR) AS sec,
+      |    'Spark - date:' || strftime(bts, '%Y/%m/%d %H:%M')
+      |      || ' from topic: events - number of RDD (batches): ' || b
+      |      || ' - number of message ' || n AS line
+      |  FROM bstats
+      |), cells AS (
+      |  SELECT sec AS rowkey, 'cf1' AS cf, 'messages' AS qualifier,
+      |         line AS cell_value, bts AS ts
+      |  FROM summaries
+      |  UNION ALL
+      |  SELECT s.sec || '-' || d.user_id, 'cf1', 'content',
+      |         d.user_id || '--|--' || d.event_type, s.bts
+      |  FROM (SELECT DISTINCT b, user_id, event_type FROM batched) d
+      |  JOIN summaries s USING (b)
+      |), merged AS (
+      |  SELECT rowkey, cf, qualifier, cell_value,
+      |         ROW_NUMBER() OVER (PARTITION BY rowkey, cf, qualifier
+      |                            ORDER BY ts DESC, cell_value DESC) AS rnk
+      |  FROM cells
+      |)
+      |SELECT * FROM (
+      |  SELECT 'kv' AS src, rowkey AS k1, cf AS k2, qualifier AS k3,
+      |         cell_value AS v
+      |  FROM merged WHERE rnk = 1
+      |  UNION ALL
+      |  SELECT 'topic', 'out', '', '', line FROM summaries
+      |)
+      |ORDER BY src, k1, k3, v""".stripMargin
+
+  /** The reference's SECOND main — KafkaStreamerToHbase.main
+    * (KafkaStreamerToHbase.scala:87-167), rebuilt as
+    * StreamJobs.perRecordPipeline — replayed under the oracle: every record
+    * upserts a cell at rowkey = its epoch SECOND, so all records within one
+    * second collide and last-write-wins leaves ≤1 surviving cell per
+    * second. Two row-count-split batches exercise the sink's cross-batch
+    * incremental merge (a second spanning the split must still converge to
+    * the global survivor). Survivor rule (KvUpsertSink): max full-precision
+    * ts, ties by max cell_value — deterministic, and replayed by the
+    * oracle's window. */
+  private def perRecordReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    withTempDir("graft_replay_per_record") { root =>
+      val kvSink = new KvUpsertSink(root + "/kv")
+      val in = MemoryStream[Ev]
+      val prevParts = pinPartitions(spark)
+      val shaped = in.toDF().select(
+        col("key").cast("string").as("key"), col("value"), col("timestamp"))
+      val q = StreamJobs.perRecordPipeline(shaped, kvSink,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        checkpoint = Some(root + "/ckpt"))
+      try {
+        Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      } finally { q.stop(); restorePartitions(spark, prevParts) }
+      materialize(QOps.ordered1(
+        kvSink.read(spark)
+          .select(col("rowkey"), col("cf"), col("qualifier"), col("cell_value")),
+        col("rowkey")))
+    }
+  }
+
+  private val perRecordSql =
+    """WITH r AS (
+      |  SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS rowkey,
+      |         user_id || '--|--' || event_type AS cell_value,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY CAST(floor(epoch(ts)) AS BIGINT)
+      |           ORDER BY ts DESC, user_id || '--|--' || event_type DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT rowkey, 'cf1' AS cf, 'message' AS qualifier, cell_value
+      |FROM r WHERE rn = 1 ORDER BY rowkey""".stripMargin
+
+  /** Crash-restart replay — the exactly-once claim under the oracle: batch
+    * 1 runs under query q1, q1 STOPS, a NEW query q2 resumes from the SAME
+    * checkpoint (state store + file-sink log recovered), batch 2 and the
+    * watermark sentinels run under q2, and the durable parquet sink is read
+    * back. The oracle is the UNCHANGED batch session SQL: sessions
+    * straddling the restart only merge if q2 really restored q1's open
+    * session state, and the file-sink commit log guarantees no batch-1 row
+    * is duplicated — any recovery defect is a hash mismatch. This is the
+    * restart-safety the reference's driver `var counter` could never have
+    * (SURVEY §2.3 A4). */
+  private def restartReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    withTempDir("graft_replay_restart") { root =>
+      val prevParts = pinPartitions(spark)
+      try {
+        val in = MemoryStream[Ev]
+        val pipe = StreamJobs.sessionWindowCounts(in.toDF(), "30 minutes",
+          "0 seconds")
+        def start() = pipe.writeStream.outputMode("append")
+          .option("checkpointLocation", root + "/ckpt")
+          .option("path", root + "/out")
+          .format("parquet").start()
+        val q1 = start()
+        try { in.addData(b1.toSeq); q1.processAllAvailable() } finally q1.stop()
+        val q2 = start() // SAME checkpoint, SAME sink: resume, not rebuild
+        try {
+          in.addData(b2.toSeq); q2.processAllAvailable()
+          val maxMs = evs.map(_.timestamp.getTime).max
+          in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000)))
+          q2.processAllAvailable()
+          in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        materialize(QOps.ordered1(
+          spark.read.parquet(root + "/out").filter(col("key") >= 0)
+            .select(col("key").as("user_id"),
+              col("session_start").cast("timestamp_ntz").as("session_start"),
+              col("session_end").cast("timestamp_ntz").as("session_end"),
+              col("n")),
+          col("user_id"), col("session_start")))
+      } finally restorePartitions(spark, prevParts)
+    }
+  }
+
+  /** Streaming drift monitor (StreamJobs.streamingDriftMonitor) replayed to
+    * completion: per-hour event-type mix scored by exact-integer Hellinger²
+    * (picos) against the static full-fixture baseline, alarm at h2 ≥ 1e10
+    * (hellinger ≈ 0.07). One batch + the two watermark sentinels close
+    * every real window; sentinel windows (key 's', hours past the data)
+    * are filtered by window_start, and the sentinel key contributes
+    * exactly-zero terms to real windows (n=0, qc=0). The emitted
+    * `hellinger` double is derived from h2_pico and excluded from the
+    * compare (redundant with the exact column). */
+  private def driftReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val baseline = Tables.t(spark, dir, "events")
+      .groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("qc"))
+    withTempDir("graft_replay_drift") { root =>
+      val sink = new TopicTableSink(root + "/t")
+      val in = MemoryStream[Ev]
+      val prevParts = pinPartitions(spark)
+      // drift is over the TYPE mix: key = event_type (the Ev value column)
+      val shaped = in.toDF().select(col("value").as("key"), col("timestamp"))
+      val q = StreamJobs.streamingDriftMonitor(shaped, "1 hour", "0 seconds",
+        baseline, sink, alarmPico = 10000000000L,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        checkpoint = Some(root + "/ckpt"))
+      val maxMs = evs.map(_.timestamp.getTime).max
+      try {
+        in.addData(evs.toSeq); q.processAllAvailable()
+        in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000)))
+        q.processAllAvailable()
+        in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally { q.stop(); restorePartitions(spark, prevParts) }
+      val maxHour = new Timestamp(maxMs - Math.floorMod(maxMs, 3600000L))
+      materialize(QOps.ordered1(
+        sink.read(spark)
+          .filter(col("window_start") <= lit(maxHour))
+          .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+            col("n_events"), col("h2_pico"), col("alarm")),
+        col("window_start")))
+    }
+  }
+
+  private val driftSql =
+    """WITH bl AS (
+      |  SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS qc
+      |  FROM events GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(qc) AS BIGINT) AS nq FROM bl
+      |), wc AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type AS key,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), wn AS (
+      |  SELECT window_start, CAST(SUM(n) AS BIGINT) AS nd FROM wc GROUP BY 1
+      |), diffs AS (
+      |  SELECT w.window_start, w.nd,
+      |    sqrt(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(w.nd AS DOUBLE))
+      |      - sqrt(CAST(b.qc AS DOUBLE) / CAST(t.nq AS DOUBLE)) AS d
+      |  FROM wn w CROSS JOIN bl b CROSS JOIN tot t
+      |  LEFT JOIN wc c ON c.window_start = w.window_start AND c.key = b.key
+      |)
+      |SELECT window_start, MAX(nd) AS n_events,
+      |  CAST(SUM(CAST(ROUND(d * d * 1e12) AS BIGINT)) AS BIGINT) AS h2_pico,
+      |  SUM(CAST(ROUND(d * d * 1e12) AS BIGINT)) >= 10000000000 AS alarm
+      |FROM diffs GROUP BY window_start ORDER BY window_start""".stripMargin
+
+  /** Float Welford anomaly detection (StreamJobs.anomalyDetect) replayed in
+    * two time-split batches. The state is IEEE doubles, but the fold is a
+    * fixed-order recurrence (rows sorted by (µs, value) per batch, batches
+    * in order), and IEEE +,−,×,÷,sqrt,abs are correctly rounded in both
+    * engines — so a DuckDB recursive CTE replaying the identical expression
+    * tree reproduces every double bit-for-bit, and the flag set plus the
+    * ppm-quantized prior mean/σ hash-match exactly (same argument as the
+    * bit-exact `cosine_topk_fast` codegen check). */
+  private def anomalyFloatReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamJobs.MetricPoint]
+    val out = StreamJobs.anomalyDetect(in.toDS(), k = 3.0, minPrior = 5L).toDF()
+    spark.catalog.dropTempView("replay_anomaly_float")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_anf")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_anomaly_float").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.map(e =>
+          StreamJobs.MetricPoint(e.key.toString, e.us, e.dval)).toSeq)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_anomaly_float").select(
+        col("key").cast("long").as("user_id"), col("tsMs").as("us"),
+        round(col("value") * 100).cast("long").as("centi"),
+        round(col("mean") * 1e6).cast("long").as("mean_ppm"),
+        round(col("stddev") * 1e6).cast("long").as("sd_ppm"),
+        col("n_prior")),
+      col("user_id"), col("us"), col("centi"))
+  }
+
+  private val anomalyFloatSql =
+    """WITH RECURSIVE ordered AS (
+      |  SELECT user_id, epoch_us(ts) AS us, value, event_id,
+      |         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+      |         COUNT(*) OVER () AS m
+      |  FROM events
+      |), seq AS (
+      |  -- fold order: batch (midpoint row-count split), then (µs, value)
+      |  -- inside each batch — the pipeline's per-batch sort key; event_id
+      |  -- only breaks exact (us, value) ties, where rows are
+      |  -- interchangeable
+      |  SELECT user_id, us, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY (rn > m // 2), us, value, event_id) AS i
+      |  FROM ordered
+      |), fold AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n,
+      |         CAST(0 AS DOUBLE) AS mean, CAST(0 AS DOUBLE) AS m2,
+      |         CAST(NULL AS BIGINT) AS us, CAST(NULL AS DOUBLE) AS x,
+      |         FALSE AS flagged, CAST(NULL AS DOUBLE) AS prior_mean,
+      |         CAST(NULL AS DOUBLE) AS prior_sd, CAST(NULL AS BIGINT) AS prior_n
+      |  FROM (SELECT DISTINCT user_id FROM seq)
+      |  UNION ALL
+      |  SELECT s.user_id, s.i, f.n + 1,
+      |         f.mean + (s.value - f.mean) / (f.n + 1),
+      |         f.m2 + (s.value - f.mean)
+      |           * (s.value - (f.mean + (s.value - f.mean) / (f.n + 1))),
+      |         s.us, s.value,
+      |         f.n >= 5 AND abs(s.value - f.mean) > 3 * sqrt(f.m2 / f.n),
+      |         f.mean,
+      |         CASE WHEN f.n > 0 THEN sqrt(f.m2 / f.n) END,
+      |         f.n
+      |  FROM fold f JOIN seq s ON s.user_id = f.user_id AND s.i = f.i + 1
+      |)
+      |SELECT user_id, us,
+      |  CAST(ROUND(x * 100) AS BIGINT) AS centi,
+      |  CAST(ROUND(prior_mean * 1e6) AS BIGINT) AS mean_ppm,
+      |  CAST(ROUND(prior_sd * 1e6) AS BIGINT) AS sd_ppm,
+      |  prior_n AS n_prior
+      |FROM fold WHERE flagged
+      |ORDER BY user_id, us, centi""".stripMargin
+
+  /** Streaming benchmark decontamination (StreamJobs.streamingDecontaminate)
+    * replayed: benchmark = documents with doc_id < 10 (their distinct
+    * 3-token shingles), corpus = the doc_id ≥ 10 stream; emits every
+    * confirmed (doc, shingle) hit. The bloom phase is cost-only (false
+    * positives removed by the exact semi-join), so the oracle is the plain
+    * shingle equi-join — duplicates preserved (a doc repeating a
+    * contaminated shingle emits it once per occurrence in both engines). */
+  private def decontaminateReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 10)
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+        .otherwise(array())).as("sh"))
+      .distinct()
+    val corpus = docs.filter(col("doc_id") >= 10)
+      .orderBy("doc_id").select(col("doc_id"), col("text")).collect()
+      .map(r => StreamJobs.StreamDoc(r.getLong(0), r.getString(1),
+        ts(1704067200000L)))
+    val in = MemoryStream[StreamJobs.StreamDoc]
+    val out = StreamJobs.streamingDecontaminate(in.toDS(), bench)
+    spark.catalog.dropTempView("replay_decontaminate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_dc")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_decontaminate").start()
+    try {
+      in.addData(corpus.toSeq); q.processAllAvailable()
+    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_decontaminate")
+        .select(col("docId").as("doc_id"), col("sh")),
+      col("doc_id"), col("sh"))
+  }
+
+  private val decontaminateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), shl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) >= 3
+      |         THEN list_transform(generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |         ELSE [] END AS shs
+      |  FROM toks
+      |), bench AS (
+      |  SELECT DISTINCT unnest(shs) AS sh FROM shl WHERE doc_id < 10
+      |), corpus AS (
+      |  SELECT doc_id, unnest(shs) AS sh FROM shl WHERE doc_id >= 10
+      |)
+      |SELECT c.doc_id, c.sh
+      |FROM corpus c JOIN bench b USING (sh)
+      |ORDER BY c.doc_id, c.sh""".stripMargin
+
   /** Session-window SQL shared with the batch `session_windows` oracle
     * (TimeWindowOps), reduced to the replayed columns. */
   private val sessionSql =
@@ -644,6 +1035,14 @@ object ReplayOps extends QueryModule {
       |ORDER BY user_id, event_type""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("streaming_summary_replay", summaryReplay, Some(summarySql)),
+    Q("streaming_per_record_replay", perRecordReplay, Some(perRecordSql)),
+    // restart-from-checkpoint: SAME oracle as the non-restart session
+    // replay — recovery is correct iff the hash doesn't move
+    Q("streaming_restart_replay", restartReplay, Some(sessionSql)),
+    Q("streaming_drift_replay", driftReplay, Some(driftSql)),
+    Q("streaming_anomaly_float_replay", anomalyFloatReplay, Some(anomalyFloatSql)),
+    Q("streaming_decontaminate_replay", decontaminateReplay, Some(decontaminateSql)),
     Q("streaming_session_replay", sessionReplay, Some(sessionSql)),
     Q("streaming_window_counts_replay", windowCountsReplay, Some(
       """SELECT date_trunc('hour', ts) AS window_start, user_id,

@@ -200,7 +200,10 @@ object StreamJobs {
           // deterministic batch time = max event time (reference used wall clock)
           val batchTs = cached.agg(max(col("timestamp"))).head().getTimestamp(0)
           if (batchTs != null) {
-            val epochSec = batchTs.getTime / 1000
+            // floorDiv, not /: Java integer division truncates toward zero,
+            // which disagrees with unix_timestamp/epoch-floor for pre-1970
+            // timestamps (hostile fixtures carry them)
+            val epochSec = Math.floorDiv(batchTs.getTime, 1000L)
             val fmt = new java.text.SimpleDateFormat("yyyy/MM/dd HH:mm")
             fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
             val summary = s"Spark - date:${fmt.format(batchTs)} from topic: " +
@@ -212,7 +215,14 @@ object StreamJobs {
             kvSink.upsert(spark,
               Seq((epochSec.toString, "cf1", "messages", summary, batchTs))
                 .toDF("rowkey", "cf", "qualifier", "cell_value", "ts"))
-            // bulk table: distinct messages, rowkey = epochSec-key (O6 intent)
+            // bulk table: distinct messages, rowkey = epochSec-key (O6 intent).
+            // Cell ts is the BATCH time, not the surviving row's event time:
+            // dropDuplicates keeps an arbitrary physical row, so a per-row ts
+            // would make the sink's LWW survivor for a colliding rowkey
+            // (one key, several values) task-order dependent; stamping the
+            // batch time pushes ties to the sink's cell_value tiebreak —
+            // deterministic, and what the reference effectively did (puts
+            // stamped at write time ≈ batch wall clock)
             kvSink.upsert(spark,
               cached
                 .dropDuplicates("key", "value")
@@ -224,7 +234,7 @@ object StreamJobs {
                   when(col("key").isNull, lit("kafka empty message"))
                     .otherwise(concat(col("key"), lit("--|--"), col("value")))
                     .as("cell_value"),
-                  col("timestamp").as("ts")))
+                  lit(batchTs).as("ts")))
           }
         } finally cached.unpersist()
         ()
@@ -240,10 +250,13 @@ object StreamJobs {
   def perRecordPipeline(
       input: DataFrame,
       kvSink: KvUpsertSink,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    input.writeStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val base = input.writeStream
       .trigger(trigger)
       .outputMode("append")
+    checkpoint.foreach(base.option("checkpointLocation", _))
+    base
       .foreachBatch { (df: DataFrame, _: Long) =>
         kvSink.upsert(df.sparkSession,
           df.select(
@@ -257,6 +270,7 @@ object StreamJobs {
         ()
       }
       .start()
+  }
 
   /** Declarative event-time SESSION windows with a watermark — the
     * built-in `session_window(col, gap)` streaming aggregation (the
