@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A multimodal record: opaque binary payload + typed metadata (north star —
-  * image/audio/video as BinaryType columns). Payloads here are the utf-8
-  * bytes of documents.text (no media libs in this container); the Spark-side
-  * plumbing — schema, batch iteration, partitioning — is real.
+  * image/audio/video as BinaryType columns). Text-payload rows use the utf-8
+  * bytes of documents.text; REAL image payloads are the javax.imageio PNGs
+  * of [[MultimodalOps.pngTable]], decoded for real in
+  * [[MultimodalOps.decodeImageBatch]].
   */
 case class MediaRecord(
     doc_id: Long,
@@ -16,10 +17,9 @@ case class MediaRecord(
     lang: String,
     n_chars: Long)
 
-/** Deterministic stand-in for decoded media features. A real deployment
-  * swaps [[MultimodalOps.decodeBatch]]'s body for an image/audio decoder
-  * (the batch-iterator shape is exactly what a JNI/FFI decoder wants);
-  * everything around it is unchanged.
+/** Byte-level features of an opaque payload (any binary column — computed
+  * without decoding). The REAL decoded-image complement is
+  * [[MediaDecoded]] via [[MultimodalOps.decodeImageBatch]].
   */
 case class MediaFeatures(
     doc_id: Long,
@@ -27,6 +27,22 @@ case class MediaFeatures(
     head_byte: Long,
     checksum: Long,
     n_frames: Long)
+
+/** A real PNG payload (encoded with javax.imageio on the executors). */
+case class PngRecord(doc_id: Long, png: Array[Byte])
+
+/** REAL decoded-image features: produced by an actual `javax.imageio` PNG
+  * decode on the executors ([[MultimodalOps.decodeImageBatch]]) —
+  * dimensions and raster stats read from the decoded pixels, not from the
+  * byte stream.
+  */
+case class MediaDecoded(
+    doc_id: Long,
+    width: Long,
+    height: Long,
+    channels: Long,
+    pixel_sum: Long,
+    px00: Long)
 
 /** Multimodal-column operators: binary payload modeling, metadata projection,
   * batched "decode"/feature extraction via mapPartitions, frame sampling via
@@ -49,9 +65,10 @@ object MultimodalOps extends QueryModule {
         col("lang"),
         col("n_chars"))
 
-  /** STUB decode (clearly marked): deterministic fake features standing in
-    * for an image/audio decoder. Real decode would replace only the body of
-    * the `map` below — the batched mapPartitions shape stays.
+  /** Byte-level payload features — the decode-free half of the multimodal
+    * pair (length/head/checksum are meaningful for ANY opaque binary
+    * column; no codec involved). The REAL decode path with the same
+    * batched mapPartitions shape is [[decodeImageBatch]] below.
     */
   def decodeBatch(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
@@ -71,6 +88,93 @@ object MultimodalOps extends QueryModule {
       }
     }
   }
+
+  /** One tiny REAL grayscale PNG per document: width = 4 + doc_id % 13,
+    * height = 3 + doc_id % 7, pixel(x, y) = (doc_id·31 + x·7 + y·13) mod
+    * 256 — a deterministic ramp, encoded with `javax.imageio` in a
+    * mapPartitions (one encoder context per partition; payloads never
+    * leave their partition, exactly the at-scale media-ingest shape). The
+    * closed-form pixel function is what lets the DuckDB oracle verify the
+    * decode without any image library.
+    */
+  def pngTable(s: SparkSession, dir: String): Dataset[PngRecord] = {
+    import s.implicits._
+    Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // stream cache off: keep the encoder purely in-memory per task
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRecord(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL image decode — `javax.imageio.ImageIO.read` on the executors,
+    * batched mapPartitions (one decoder init per partition, the JNI/FFI
+    * codec shape): dimensions, band count, and raster stats come from the
+    * DECODED pixels. PNG is lossless, so the oracle recomputes the same
+    * stats from [[pngTable]]'s closed-form ramp — the full
+    * encode→bytes→decode round-trip is hash-checked end-to-end.
+    */
+  def decodeImageBatch(pngs: Dataset[PngRecord]): Dataset[MediaDecoded] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        MediaDecoded(r.doc_id, w.toLong, h.toLong, bands.toLong, sum,
+          raster.getSample(0, 0, 0).toLong)
+      }
+    }
+  }
+
+  private def mediaDecodeReal(s: SparkSession, dir: String): DataFrame =
+    decodeImageBatch(pngTable(s, dir)).toDF().orderBy(col("doc_id"))
+
+  private val mediaDecodeRealSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(list_sum(flatten(list_transform(generate_series(0, w - 1), x ->
+      |         list_transform(generate_series(0, h - 1), y ->
+      |           (doc_id * 31 + x * 7 + y * 13) % 256)))) AS BIGINT)
+      |    AS pixel_sum,
+      |  CAST(doc_id * 31 % 256 AS BIGINT) AS px00
+      |FROM dims ORDER BY doc_id""".stripMargin
 
   /** Metadata + payload stats — relational only, payload length/hash pushed
     * into codegen'd expressions. The head hash goes through hex before md5:
@@ -206,6 +310,7 @@ object MultimodalOps extends QueryModule {
       |ORDER BY s.a_id, s.b_id""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("media_decode_real", mediaDecodeReal, Some(mediaDecodeRealSql)),
     Q("payload_frame_dup", payloadFrameDup, Some(payloadFrameDupSql)),
     Q("multimodal_resize", mediaResize, Some(
       // COALESCE: DuckDB's array_to_string over an empty list yields NULL
@@ -231,12 +336,11 @@ object MultimodalOps extends QueryModule {
         |  md5(substr(hex(encode(text)), 1, 32)) AS head16_md5,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)),
-    // The mapPartitions decode path itself isn't SQL, but the STUB's feature
-    // math is; the oracle replays it over the UTF-8 BYTES (hex-pair
-    // extraction), matching the Spark stub's byte loop — the previous
-    // chars/codepoints form silently assumed an ASCII-only corpus (caught
-    // by the hostile unicode fixture), so the decode plumbing is
-    // hash-checked end-to-end on arbitrary text, not just rows-counted.
+    // Byte-feature extraction over opaque payloads (no codec): the oracle
+    // replays the byte loop over the UTF-8 BYTES (hex-pair extraction) —
+    // the previous chars/codepoints form silently assumed an ASCII-only
+    // corpus (caught by the hostile unicode fixture). The codec-backed
+    // sibling is media_decode_real above.
     Q("multimodal_features", mediaFeatures, Some(
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         |SELECT doc_id,
