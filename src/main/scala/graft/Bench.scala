@@ -83,7 +83,13 @@ object Bench {
     // happens to occur before the affected queries)
     var canaryFloor = Seq.fill(3)(canaryOnce()).min
 
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=name1,name2 times a subset (the
+    // driver never sets it — full sweep remains the default contract)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val sorted = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     val results = sorted.map { case (name, fn) =>
       // drop caches left by previous queries (some operators cache reused
       // subtrees internally); keep the cache warm between this query's own

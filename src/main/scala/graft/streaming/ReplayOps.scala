@@ -71,7 +71,7 @@ object ReplayOps extends QueryModule {
 
   /** Imperative form of [[withReplayPartitions]] for the replay fns that
     * interleave stream setup and drive: pin before `.start()`, restore in
-    * the `finally` next to `q.stop()`. */
+    * the `finally` next to `StreamQuiet.quietStop(q)`. */
   private def pinPartitions(spark: SparkSession): String = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
@@ -133,7 +133,7 @@ object ReplayOps extends QueryModule {
             in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
             q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally StreamQuiet.quietStop(q)
       }
     }
     spark.table(sinkName)
@@ -271,7 +271,7 @@ object ReplayOps extends QueryModule {
           val maxMs = evs.map(_.timestamp.getTime).max
           in.addData(Ev(-1L, "s", ts(maxMs + 3L * 3600 * 1000))); q.processAllAvailable()
           in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000))); q.processAllAvailable()
-        } finally { q.stop(); restorePartitions(spark, prevParts) }
+        } finally { StreamQuiet.quietStop(q); restorePartitions(spark, prevParts) }
         // materialize BEFORE the temp sink dir is deleted on scope exit
         materialize(QOps.ordered1(
           sink.read(spark).filter(col("key") >= 0)
@@ -304,7 +304,7 @@ object ReplayOps extends QueryModule {
       lIn.addData(evs.filter(_.value == "view").toSeq)
       rIn.addData(evs.filter(_.value == "purchase").toSeq)
       q.processAllAvailable()
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_join").select(
         col("l_key").as("user_id"),
@@ -343,7 +343,7 @@ object ReplayOps extends QueryModule {
         rIn.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
         q.processAllAvailable()
       }
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_left_join").filter(col("l_key") >= 0).select(
         col("l_key").as("user_id"),
@@ -398,7 +398,7 @@ object ReplayOps extends QueryModule {
       Seq(b1, b2).foreach { b =>
         in.addData(b.map(toKafkaShaped).toSeq); q.processAllAvailable()
       }
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_running_counts")
         .groupBy(col("user_key")).agg(max(col("n")).as("n")),
@@ -428,7 +428,7 @@ object ReplayOps extends QueryModule {
       Seq(b1, b2).foreach { b =>
         in.addData(b.map(toKafkaShaped).toSeq); q.processAllAvailable()
       }
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_heavy_hitters")
         .groupBy(col("user_key"), col("event_type"))
@@ -462,7 +462,7 @@ object ReplayOps extends QueryModule {
       uIn.addData(evs.filter(_.value == "purchase").toSeq)
       eIn.addData(evs.filter(_.value == "view").toSeq)
       q.processAllAvailable()
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_temporal_enrich").select(
         col("key").as("user_key"), col("value").as("view_id"),
@@ -506,7 +506,7 @@ object ReplayOps extends QueryModule {
         s"sessionizeReplay: poll deadline (120 s) hit with $got of " +
           s"$expected sessions closed — the ProcessingTimeTimeout batches " +
           "did not fire; result would be incomplete")
-    } finally { q.stop(); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_sessionize")
         .select(col("key").as("user_key"), col("n_events"),
@@ -539,7 +539,7 @@ object ReplayOps extends QueryModule {
           StreamJobs.MetricPoint(s"${e.key}|${e.value}", e.us, e.dval)).toSeq)
         q.processAllAvailable()
       }
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_debounce").select(
         split(col("key"), "\\|").getItem(0).cast("long").as("user_id"),
@@ -574,7 +574,7 @@ object ReplayOps extends QueryModule {
       .format("memory").queryName("replay_anomaly").start()
     try {
       Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_anomaly").select(
         col("key").cast("long").as("user_id"), col("tsUs").as("us"),
@@ -606,7 +606,7 @@ object ReplayOps extends QueryModule {
       .format("memory").queryName("replay_neardup").start()
     try {
       in.addData(docs.toSeq); q.processAllAvailable()
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_neardup").select(
         col("docId").as("doc_id"), col("dupOf").as("dup_of"),
@@ -649,7 +649,7 @@ object ReplayOps extends QueryModule {
         checkpoint = Some(root + "/ckpt"))
       try {
         Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
-      } finally { q.stop(); restorePartitions(spark, prevParts) }
+      } finally { StreamQuiet.quietStop(q); restorePartitions(spark, prevParts) }
       val kv = kvSink.read(spark).select(
         lit("kv").as("src"), col("rowkey").as("k1"), col("cf").as("k2"),
         col("qualifier").as("k3"), col("cell_value").as("v"))
@@ -729,7 +729,7 @@ object ReplayOps extends QueryModule {
         checkpoint = Some(root + "/ckpt"))
       try {
         Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
-      } finally { q.stop(); restorePartitions(spark, prevParts) }
+      } finally { StreamQuiet.quietStop(q); restorePartitions(spark, prevParts) }
       materialize(QOps.ordered1(
         kvSink.read(spark)
           .select(col("rowkey"), col("cf"), col("qualifier"), col("cell_value")),
@@ -775,7 +775,7 @@ object ReplayOps extends QueryModule {
           .option("path", root + "/out")
           .format("parquet").start()
         val q1 = start()
-        try { in.addData(b1.toSeq); q1.processAllAvailable() } finally q1.stop()
+        try { in.addData(b1.toSeq); q1.processAllAvailable() } finally StreamQuiet.quietStop(q1)
         val q2 = start() // SAME checkpoint, SAME sink: resume, not rebuild
         try {
           in.addData(b2.toSeq); q2.processAllAvailable()
@@ -784,7 +784,7 @@ object ReplayOps extends QueryModule {
           q2.processAllAvailable()
           in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
           q2.processAllAvailable()
-        } finally q2.stop()
+        } finally StreamQuiet.quietStop(q2)
         materialize(QOps.ordered1(
           spark.read.parquet(root + "/out").filter(col("key") >= 0)
             .select(col("key").as("user_id"),
@@ -829,7 +829,7 @@ object ReplayOps extends QueryModule {
         q.processAllAvailable()
         in.addData(Ev(-1L, "s", ts(maxMs + 6L * 3600 * 1000)))
         q.processAllAvailable()
-      } finally { q.stop(); restorePartitions(spark, prevParts) }
+      } finally { StreamQuiet.quietStop(q); restorePartitions(spark, prevParts) }
       val maxHour = new Timestamp(maxMs - Math.floorMod(maxMs, 3600000L))
       materialize(QOps.ordered1(
         sink.read(spark)
@@ -891,7 +891,7 @@ object ReplayOps extends QueryModule {
           StreamJobs.MetricPoint(e.key.toString, e.us, e.dval)).toSeq)
         q.processAllAvailable()
       }
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_anomaly_float").select(
         col("key").cast("long").as("user_id"), col("tsMs").as("us"),
@@ -979,7 +979,7 @@ object ReplayOps extends QueryModule {
       .format("memory").queryName("replay_decontaminate").start()
     try {
       in.addData(corpus.toSeq); q.processAllAvailable()
-    } finally { q.stop(); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
     QOps.ordered1(
       spark.table("replay_decontaminate")
         .select(col("docId").as("doc_id"), col("sh")),

@@ -68,7 +68,11 @@ class HostileEventsSpec extends SparkSpec {
     "streaming_running_counts_replay", "streaming_heavy_hitters_replay",
     "streaming_temporal_enrich_replay", "streaming_sessionize_replay",
     "streaming_debounce_replay", "streaming_anomaly_exact_replay",
-    "streaming_watermark_drop_replay")
+    "streaming_watermark_drop_replay",
+    // round 8: the two reference mains, crash-restart, drift, float anomaly
+    "streaming_summary_replay", "streaming_per_record_replay",
+    "streaming_restart_replay", "streaming_drift_replay",
+    "streaming_anomaly_float_replay")
 
   test("every events-backed query survives the hostile fixture, twice") {
     eventQueries.foreach { name =>

@@ -103,7 +103,7 @@ class SourcesSpec extends SparkSpec {
       .format("memory").queryName("src_counts")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val streamed = spark.sql("select * from src_counts")
       .as[(String, Long)].collect().toMap
     val batch = Sources.kafkaShapedBatch(spark, sf001)

@@ -27,7 +27,7 @@ class StreamJobsSpec extends SparkSpec {
     in.addData(rec("a", "1", 1000, 0), rec("a", "1", 1000, 1), rec("b", "2", 1001, 2))
     val q = StreamJobs.summaryPipeline(in.toDF(), "page_visits", "out",
       topicSink, kvSink, Trigger.AvailableNow())
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
 
     val topic = topicSink.read(spark)
     assert(topic.count() === 1)
@@ -51,7 +51,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("b", "2", 3000, 1))
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val lines = topicSink.read(spark).select($"value").as[String].collect().sorted
     assert(lines.exists(_.contains("batches): 1")))
     assert(lines.exists(_.contains("batches): 2")))
@@ -66,7 +66,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("a", "3", 1002, 2)) // only 'a' changes in batch 2
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     // update mode appends each trigger's CHANGED rows to the sink: 'a'
     // appears at counts 1 then 2, 'b' only once — unlike complete mode, the
     // sink is a changelog, not a snapshot
@@ -84,7 +84,7 @@ class StreamJobsSpec extends SparkSpec {
     assert(spark.table("cm").as[(String, Long)].collect().toMap === Map("a" -> 2L))
     in.addData(rec("b", "3", 1002, 2))
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     // complete mode: the sink holds the WHOLE refreshed state, not a delta
     assert(spark.table("cm").as[(String, Long)].collect().toMap ===
       Map("a" -> 2L, "b" -> 1L))
@@ -99,7 +99,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("b", "2", 1002, 2)) // second batch re-joins the same dim
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val got = spark.table("sse").select($"key", $"tier").as[(String, String)]
       .collect().sorted.toSeq
     assert(got === Seq("a" -> "gold", "b" -> "silver", "c" -> "unknown"))
@@ -113,7 +113,7 @@ class StreamJobsSpec extends SparkSpec {
     in.addData(rec("a", "1", 5000, 0), rec("b", "2", 5000, 1),
       rec("c", "3", 5000, 2), rec("d", "4", 5001, 3))
     val q = StreamJobs.perRecordPipeline(in.toDF(), kvSink, Trigger.AvailableNow())
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val kv = kvSink.read(spark)
     assert(kv.count() === 2) // one per rowkey(second)
     assert(kv.filter($"rowkey" === "5001").select($"cell_value").as[String].head()
@@ -133,7 +133,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("a", "4", 300, 4)) // closes [200,210)
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val rows = spark.sql("select * from wc")
       .select(unix_timestamp($"window_start").as[Long], $"n".as[Long]).collect().toMap
     assert(rows(100L) === 2L) // the late record did NOT bump the closed window
@@ -158,7 +158,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("y", "8", 300, 12)) // watermark → 290, closes [200,210)
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
 
     val got = out.read(spark)
       .select(unix_timestamp($"window_start").as[Long], $"key".as[String],
@@ -201,7 +201,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("a", "7", 300, 6)) // watermark → 290, closes [200,210)
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val got = out.read(spark)
       .select(unix_timestamp($"window_start").as[Long], $"n_events".as[Long],
         $"h2_pico".as[Long], $"hellinger".as[Double], $"alarm".as[Boolean])
@@ -241,7 +241,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(b2.zipWithIndex.map { case (v, i) => rec("k", v, 300 + i, 100 + i) }: _*)
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     // latest trigger's rows for key k
     val rows = spark.sql("select * from mg").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -270,7 +270,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("a", "1", 150, 1), rec("b", "2", 151, 2)) // (a,1) is a cross-batch dup
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     assert(spark.sql("select * from sd").count() === 2)
   }
 
@@ -289,7 +289,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("u1", "d", 400, 3)) // advances watermark, closes sessions
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val rows = spark.sql("select * from sess")
       .as[(String, Long, Long, Long)].collect().toSet
     // session 1: [100, 110+30), 2 events; session 2: [150, 150+30), 1 event
@@ -329,7 +329,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("u3", "w2", 500, 7)) // push watermark again to flush
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val after = spark.sql("select * from swc")
       .as[(String, Timestamp, Timestamp, Long)].collect().toSet
     assert(after.filter(_._1 == "u1") === closed.filter(_._1 == "u1"),
@@ -348,7 +348,7 @@ class StreamJobsSpec extends SparkSpec {
       rec("u1", "buy-in-window", 105, 0),   // within 10s of u1 click
       rec("u1", "buy-late", 200, 1),        // outside the interval
       rec("u3", "buy-nokey", 105, 2))       // no matching click key
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val rows = spark.sql("select l_key, r_value from ssj")
       .as[(String, String)].collect().toSeq
     assert(rows === Seq(("u1", "buy-in-window")))
@@ -369,7 +369,7 @@ class StreamJobsSpec extends SparkSpec {
     val deadline = System.currentTimeMillis + 60000
     while (rowsNow().isEmpty && System.currentTimeMillis < deadline)
       Thread.sleep(200)
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val a = rowsNow().filter(_._1 == "a")
     assert(a.length === 1, s"expected exactly one closed 'a' session, got ${rowsNow().toSeq}")
     assert(a.head === (("a", 2L, 100000L, 103000L)))
@@ -385,7 +385,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("a", "4", 200, 3))
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     // last update per key wins: a → 3 (2 then +1), b → 1
     val last = spark.sql("select * from rc").collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -406,14 +406,14 @@ class StreamJobsSpec extends SparkSpec {
       topicSink, kvSink, Trigger.ProcessingTime(0), Some(ckpt))
     in.addData(rec("a", "1", 2000, 0))
     q1.processAllAvailable()
-    q1.stop()
+    graft.streaming.StreamQuiet.quietStop(q1)
 
     // restart against the SAME checkpoint + sinks; feed one more batch
     val q2 = StreamJobs.summaryPipeline(in.toDF(), "t", "out",
       topicSink, kvSink, Trigger.ProcessingTime(0), Some(ckpt))
     in.addData(rec("b", "2", 3000, 1))
     q2.processAllAvailable()
-    q2.stop()
+    graft.streaming.StreamQuiet.quietStop(q2)
 
     val lines = topicSink.read(spark).select($"value").as[String].collect().toSeq
     // exactly one line per batch: batch 0 NOT reprocessed after restart
@@ -443,14 +443,14 @@ class StreamJobsSpec extends SparkSpec {
     // open a session, then kill the query BEFORE the watermark closes it
     val q1 = start()
     in.addData(rec("u1", "a", 100, 0), rec("u1", "b", 110, 1))
-    q1.processAllAvailable(); q1.stop()
+    q1.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q1)
     // restart from the same checkpoint: the open-session state must be
     // restored; extend the session, then close it with a watermark push
     val q2 = start()
     in.addData(rec("u1", "c", 120, 2))   // merges into the restored session
     q2.processAllAvailable()
     in.addData(rec("u2", "w", 400, 3))   // watermark to 340 → closes u1
-    q2.processAllAvailable(); q2.stop()
+    q2.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q2)
     val rows = out.toArray(Array.empty[(String, Timestamp, Timestamp, Long)]).toList
     // ONE u1 session [100, 150) with all 3 events — not two fragments,
     // not a duplicate emission
@@ -479,7 +479,7 @@ class StreamJobsSpec extends SparkSpec {
       doc(5, "eta theta zeta", 14)) // shingle "eta theta zeta" not in bench
     in.addData(docs.take(2)); q.processAllAvailable()
     in.addData(docs.drop(2)); q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val got = spark.table(qname).select($"docId", $"sh")
       .as[(Long, String)].collect().toSet
     // batch recompute over the same docs
@@ -513,10 +513,10 @@ class StreamJobsSpec extends SparkSpec {
       .start()
     val q1 = start()
     in.addData(doc(1, "alpha beta gamma delta epsilon", 10))
-    q1.processAllAvailable(); q1.stop()
+    q1.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q1)
     val q2 = start() // state store restored from the checkpoint
     in.addData(doc(2, "alpha beta gamma delta epsilon", 20))
-    q2.processAllAvailable(); q2.stop()
+    q2.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q2)
     val got = StreamJobs.BufferForeachWriter.get(bufId).toSet
     StreamJobs.BufferForeachWriter.clear(bufId)
     // d1's bucket ownership crossed the restart: d2 hits it in all 4 bands
@@ -600,7 +600,7 @@ class StreamJobsSpec extends SparkSpec {
       .start()
     in.addData(b1: _*); q.processAllAvailable()
     in.addData(b2: _*); q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
 
     // batch: all ops in one MERGE
     val batchSink = new KvUpsertSink(tmp() + "/kv_batch", numBuckets = 4)
@@ -630,7 +630,7 @@ class StreamJobsSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(rec("a", "1", 301, 3)) // re-arrival after eviction → NEW record
     q.processAllAvailable()
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val vals = spark.sql("select key, value from ddw")
       .as[(String, String)].collect().toSeq
     assert(vals.count(_ == ("a", "1")) === 2, vals.toString) // before + after eviction
@@ -652,7 +652,7 @@ class StreamJobsSpec extends SparkSpec {
     buys.addData(rec("u9", "advance", 1000, 1))
     q.processAllAvailable()
     q.processAllAvailable() // no-data batch emits the final outer rows
-    q.stop()
+    graft.streaming.StreamQuiet.quietStop(q)
     val rows = spark.sql("select l_key, r_value from ssoj")
       .as[(String, Option[String])].collect().toSet
     assert(rows.contains(("u1", Some("buy-in-window"))), rows.toString)
@@ -672,7 +672,7 @@ class StreamJobsSpec extends SparkSpec {
     // the version in force at ITS time, not the latest; fresh key u2 too
     ev.addData(rec("u1", "e-ooo", 120, 4), rec("u2", "e-nodim", 300, 5))
     upd.addData(rec("u2", "w1", 100, 2))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val rows = spark.sql("select value, dim_value from te")
       .as[(String, Option[String])].collect().toMap
     assert(rows("e-early") === None)          // left-outer: no version yet
@@ -696,7 +696,7 @@ class StreamJobsSpec extends SparkSpec {
     // enough priors to judge)
     in.addData(MetricPoint("a", 700, 99.0), MetricPoint("a", 800, 10.5),
       MetricPoint("b", 100, 5.0), MetricPoint("b", 200, 500.0))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val flags = spark.sql("select key, tsMs, value, mean, stddev, n_prior from anom")
       .as[(String, Long, Double, Double, Double, Long)].collect().sortBy(_._2)
 
@@ -733,7 +733,7 @@ class StreamJobsSpec extends SparkSpec {
     // 2600 is past it and kept; fresh key c always keeps its first
     in.addData(MetricPoint("a", 2400, 6.0), MetricPoint("a", 2600, 7.0),
       MetricPoint("c", 5, 8.0))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val got = spark.sql("select key, tsMs from deb")
       .as[(String, Long)].collect().toSet
     assert(got === Set(("a", 0L), ("a", 1500L), ("a", 2600L),
@@ -760,7 +760,7 @@ class StreamJobsSpec extends SparkSpec {
     in.addData(d1, d3)
     q.processAllAvailable()
     in.addData(d2, d5, d9)
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val got = spark.sql("select docId, dupOf, band from snd")
       .as[(Long, Long, Int)].collect().toSet
     // expected: replay the same band keys; later doc hits earlier owner
@@ -800,7 +800,7 @@ class StreamJobsSpec extends SparkSpec {
     in.addData(doc(6, "alpha beta gamma delta epsilon", 102))
     q.processAllAvailable() // same text as d1 — but buckets are forgotten
     in.addData(doc(5, "alpha beta gamma delta epsilon", 103))
-    q.processAllAvailable(); q.stop() // d5 collides with the NEW owner d6
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q) // d5 collides with the NEW owner d6
     val got = spark.sql("select docId, dupOf from snd2")
       .as[(Long, Long)].collect().toSet
     assert(!got.exists(_._1 == 6L)) // re-admitted: no hit against evicted d1
@@ -828,7 +828,7 @@ class StreamJobsSpec extends SparkSpec {
     // second-truncated timestamps would tie them and wrongly apply v1
     upd.addData(ms("k", "v0", 500, 0), ms("k", "v1", 1900, 1))
     ev.addData(ms("k", "e", 1100, 0))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val rows = spark.sql("select value, dim_value from tems")
       .as[(String, Option[String])].collect().toMap
     assert(rows("e") === Some("v0"))
@@ -842,7 +842,7 @@ class StreamJobsSpec extends SparkSpec {
     upd.addData(rec("k", "v1", 100, 0), rec("k", "v2", 200, 1), rec("k", "v3", 300, 2))
     q.processAllAvailable()
     ev.addData(rec("k", "behind-horizon", 150, 0), rec("k", "in-horizon", 250, 1))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     val rows = spark.sql("select value, dim_value from tev")
       .as[(String, Option[String])].collect().toMap
     assert(rows("behind-horizon") === None)   // v1 evicted: bounded state
@@ -857,7 +857,7 @@ class StreamJobsSpec extends SparkSpec {
       .foreach(new StreamJobs.BufferForeachWriter(id))
       .start()
     in.addData(rec("a", "1", 100, 0), rec("b", "2", 101, 1))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable(); graft.streaming.StreamQuiet.quietStop(q)
     assert(StreamJobs.BufferForeachWriter.get(id).sorted === Seq("a|1", "b|2"))
     StreamJobs.BufferForeachWriter.clear(id)
   }

@@ -51,6 +51,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     import os
+    # spill to /tmp with a hard cap: an accidentally-quadratic oracle over a
+    # scaled fixture once filled the DISK with 44 GB of spill under the
+    # repo's cwd (.tmp/) -- fail the one query loudly instead
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("DUCKDB_TEMP_CAP", "16GiB"))
     for t in TABLES:
         # fixture dirs (e.g. fixtures/hostile) hold a table subset; only
         # register what exists so subset verifies work
