@@ -64,21 +64,44 @@ object ReplayOps extends QueryModule {
     * spent 17 s on it at sf0.01), and at production scale the production
     * session's own setting applies. Correctness is unaffected: state is
     * hash-partitioned by key at any width. */
-  private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
+  private def withReplayPartitions[A](spark: SparkSession,
+      noData: Boolean = false)(body: => A): A = {
     val prev = pinPartitions(spark)
+    if (noData) spark.conf.set(NoDataKey, "true")
     try body finally restorePartitions(spark, prev)
   }
 
+  private val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+  private case class Pinned(parts: String, noData: Option[String])
+
   /** Imperative form of [[withReplayPartitions]] for the replay fns that
     * interleave stream setup and drive: pin before `.start()`, restore in
-    * the `finally` next to `StreamQuiet.quietStop(q)`. */
-  private def pinPartitions(spark: SparkSession): String = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    * the `finally` next to `StreamQuiet.quietStop(q)`.
+    *
+    * Also disables NO-DATA micro-batches for the replay: with a
+    * ProcessingTime(0) trigger the engine otherwise runs an extra empty
+    * stateful batch (plan + per-partition state commit) after every
+    * watermark advance — pure fixed overhead here, because every replay
+    * that needs a post-watermark batch feeds a DATA batch (the second
+    * sentinel) to provide it. The one exception is sessionizeReplay: its
+    * ProcessingTimeTimeout only FIRES in no-data batches, so it re-enables
+    * the flag after pinning. Outputs are unchanged either way (the driver
+    * hash-checks this catalog-wide). */
+  private def pinPartitions(spark: SparkSession): Pinned = {
+    val prev = Pinned(spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.getOption(NoDataKey))
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(NoDataKey, "false")
     prev
   }
-  private def restorePartitions(spark: SparkSession, prev: String): Unit =
-    spark.conf.set("spark.sql.shuffle.partitions", prev)
+  private def restorePartitions(spark: SparkSession, prev: Pinned): Unit = {
+    spark.conf.set("spark.sql.shuffle.partitions", prev.parts)
+    prev.noData match {
+      case Some(v) => spark.conf.set(NoDataKey, v)
+      case None    => spark.conf.unset(NoDataKey)
+    }
+  }
 
   /** Recursive delete of a replay temp dir (checkpoint/state-store/sink
     * litter): repeated Verify/Bench/test sweeps in one environment would
@@ -110,10 +133,11 @@ object ReplayOps extends QueryModule {
       spark: SparkSession,
       batches: Seq[Seq[Ev]],
       sinkName: String,
-      sentinels: Boolean = true)(mk: DataFrame => DataFrame): DataFrame = {
+      sentinels: Boolean = true,
+      noData: Boolean = false)(mk: DataFrame => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    withReplayPartitions(spark) {
+    withReplayPartitions(spark, noData) {
       withTempDir(s"graft_replay_$sinkName") { ckpt =>
         val in = MemoryStream[Ev]
         val out = mk(in.toDF())
@@ -140,15 +164,34 @@ object ReplayOps extends QueryModule {
   }
 
   /** events → Ev rows, one driver-side fixture collect (bounded, see
-    * class doc), sorted by (ts, event_id) so batch splits are stable. */
+    * class doc), sorted by (ts, event_id) so batch splits are stable.
+    *
+    * Memoized per (session, dir) like Tables.t: every replay consumes the
+    * identical array, and re-collecting it cost ~0.4 s × 22 replays × 2
+    * timed runs in the sf0.1 bench sweep. ~10 MB at bench SF — bounded.
+    * The array is shared read-only; replays must not mutate it. */
+  private val fixtureMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[Ev]]]()
+
   private def fixture(spark: SparkSession, dir: String): Array[Ev] = {
-    import spark.implicits._
-    Tables.t(spark, dir, "events")
-      .orderBy("ts", "event_id")
-      .select(col("user_id").as("key"), col("event_type").as("value"),
-        col("ts").as("timestamp"), col("event_id").as("eid"),
-        col("value").as("dval"), unix_micros(col("ts")).as("us"))
-      .as[Ev].collect()
+    val perSession = fixtureMemo.synchronized {
+      var m = fixtureMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Array[Ev]]()
+        fixtureMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      Tables.t(spark, dir, "events")
+        .orderBy("ts", "event_id")
+        .select(col("user_id").as("key"), col("event_type").as("value"),
+          col("ts").as("timestamp"), col("event_id").as("eid"),
+          col("value").as("dval"), unix_micros(col("ts")).as("us"))
+        .as[Ev].collect()
+    })
   }
 
   /** Declarative streaming session windows (StreamJobs.sessionWindowCounts)
@@ -203,11 +246,16 @@ object ReplayOps extends QueryModule {
     val evs = fixture(spark, dir)
     val (evens, odds) = evs.partition(_.key % 2 == 0)
     val maxMs = evs.map(_.timestamp.getTime).max
+    // noData = true: this replay verifies the engine's DEFAULT late-drop
+    // behavior, and the watermark a batch filters against only reaches
+    // the aggregation through the default no-data-batch propagation —
+    // with it disabled the odd batch runs before the evens' watermark
+    // applies and nothing is dropped (measured: 4006 rows vs 2132)
     val out = replay(spark,
       Seq(evens.toSeq, odds.toSeq,
         Seq(Ev(-1L, "s", ts(maxMs + 50L * 3600 * 1000))),
         Seq(Ev(-1L, "s", ts(maxMs + 52L * 3600 * 1000)))),
-      "replay_wm_drop", sentinels = false) { df =>
+      "replay_wm_drop", sentinels = false, noData = true) { df =>
       StreamJobs.windowedCounts(df, "1 day", "25 hours")
     }
     QOps.ordered1(
@@ -490,6 +538,9 @@ object ReplayOps extends QueryModule {
     // one batch, let the timeout-driven batches close every session, and
     // POLL the sink against the known closed-session count with a deadline.
     val prevParts = pinPartitions(spark)
+    // ProcessingTimeTimeout fires in NO-DATA batches — this replay is the
+    // one that needs them (pinPartitions disables them for the others)
+    spark.conf.set(NoDataKey, "true")
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("replay_sessionize").start()
     try {

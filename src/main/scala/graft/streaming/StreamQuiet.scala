@@ -31,21 +31,43 @@ object StreamQuiet {
     "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
     "org.apache.spark.util.Utils")
 
+  // Deferred restore: stop() waits for the STREAM thread, but interrupted
+  // executor TASK threads flush their abort stacks asynchronously — an
+  // inline grace sleep would sit inside every Bench-timed replay run
+  // (measured: ~+0.4 s/query at min-of-2), so restoration instead runs on
+  // a daemon timer 300 ms after the LAST quietStop. Levels are back to
+  // normal before the next replay does real work; a genuine error from
+  // another thread inside that 300 ms teardown window would be dropped —
+  // acceptable for the sequential harness/suite this serves.
+  private val restorer = java.util.concurrent.Executors
+    .newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "stream-quiet-restore"); t.setDaemon(true); t
+    }
+  private val lock = new Object
+  private var saved: Option[Seq[(String, org.apache.logging.log4j.Level)]] = None
+  private var pending: java.util.concurrent.ScheduledFuture[_] = null
+
   def quietStop(q: StreamingQuery): Unit = {
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.config.Configurator
-    val prev =
-      try Some(noisy.map(n => n -> LogManager.getLogger(n).getLevel))
-      catch { case _: Throwable => None } // no log4j2 core: plain stop
-    prev.foreach(_ => noisy.foreach(n =>
-      Configurator.setLevel(n, org.apache.logging.log4j.Level.OFF)))
+    try lock.synchronized {
+      if (pending != null) { pending.cancel(false); pending = null }
+      if (saved.isEmpty) { // capture only when not already suppressed
+        saved = Some(noisy.map(n => n -> LogManager.getLogger(n).getLevel))
+        noisy.foreach(n =>
+          Configurator.setLevel(n, org.apache.logging.log4j.Level.OFF))
+      }
+    } catch { case _: Throwable => () } // no log4j2 core: plain stop
     try q.stop()
-    finally prev.foreach { saved =>
-      // stop() waits for the STREAM thread, but the interrupted executor
-      // TASK threads log their abort stacks asynchronously on their own
-      // threads — give them a beat before restoring the levels
-      Thread.sleep(200)
-      saved.foreach { case (n, l) => Configurator.setLevel(n, l) }
+    finally lock.synchronized {
+      if (saved.nonEmpty && pending == null)
+        pending = restorer.schedule(new Runnable {
+          def run(): Unit = lock.synchronized {
+            saved.foreach(_.foreach { case (n, l) => Configurator.setLevel(n, l) })
+            saved = None
+            pending = null
+          }
+        }, 300, java.util.concurrent.TimeUnit.MILLISECONDS)
     }
   }
 }
