@@ -223,6 +223,109 @@ object DedupOps extends QueryModule {
     graft.QOps.ordered1(out, col("a_id"), col("b_id"))
   }
 
+  /** BLOCKING QUALITY report — the set-level eval a pipeline owner reads
+    * before trusting LSH blocking at scale (minhash_calibration is the
+    * per-pair sketch-error view; this is the recall/cost view):
+    *
+    *  - ground truth = exact shingle-Jaccard ≥ 0.5 pairs. COMPLETE, not
+    *    sampled: any pair with Jaccard > 0 shares a shingle, so the
+    *    shingle equi-join candidate space provably contains every
+    *    above-threshold pair.
+    *  - candidates  = the 4×4 MinHash-LSH band buckets (the same blocking
+    *    minhash_lsh_pairs / incremental_dedup run in production).
+    *  - pairs_completeness (recall): caught truth pairs / truth pairs.
+    *  - reduction_ratio: 1 − candidates / all n·(n−1)/2 pairs — the whole
+    *    point of blocking (at 1e9 docs, all-pairs is 5e17; this is the
+    *    number that says the join never materializes it).
+    *
+    * All metrics exact integer millis (÷ via integer div). One output row.
+    * Shingle sets and signatures are the same cached subtrees the LSH
+    * queries build. */
+  private def blockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("sh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+      .filter(expr("(inter * 1000) div (na + nb - inter) >= 500"))
+      .select(col("a_id"), col("b_id"))
+      .cache()
+    val sig = minhashSig(s, dir).cache()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(bnd =>
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .cache()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nCaught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nCaught))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_caught"),
+        when(col("n_truth") > 0, expr("(n_caught * 1000) div n_truth"))
+          .otherwise(lit(1000L)).as("recall_milli"),
+        // ppm, not milli: a good blocker prunes >99.9% of the pair space,
+        // so milli resolution would round every healthy value to 1000
+        expr("1000000 - (n_cand * 1000000) div (n_docs * (n_docs - 1) div 2)")
+          .as("reduction_ppm"))
+  }
+
+  private def blockingQualitySql: String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), truth AS (
+       |  SELECT i.a_id, i.b_id
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  WHERE (i.inter * 1000) // (sa.n_sh + sb.n_sh - i.inter) >= 500
+       |), sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), m AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+       |     WHERE EXISTS (SELECT 1 FROM cand c
+       |                   WHERE c.a_id = t.a_id AND c.b_id = t.b_id)) AS n_caught
+       |)
+       |SELECT n_docs, n_truth, n_cand, n_caught,
+       |  CAST(CASE WHEN n_truth > 0 THEN (n_caught * 1000) // n_truth
+       |            ELSE 1000 END AS BIGINT) AS recall_milli,
+       |  CAST(1000000 - (n_cand * 1000000) // (n_docs * (n_docs - 1) // 2)
+       |       AS BIGINT) AS reduction_ppm
+       |FROM m""".stripMargin
+  }
+
   private def minhashCalibrationSql: String = {
     val matchSum = (0 until 16).map(j =>
       s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
@@ -1614,6 +1717,7 @@ object DedupOps extends QueryModule {
     Q("minhash_signatures", minhashSig, Some(minhashSigSql + "\nORDER BY doc_id")),
     Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),
     Q("minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
+    Q("blocking_quality", blockingQuality, Some(blockingQualitySql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("cluster_size_histogram", clusterSizeHistogram, Some(clusterSizeHistogramSql)),

@@ -123,33 +123,73 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn")
-      val staging = new Path(path + "_staging")
-      fs.delete(staging, true)
-      // one dir per touched bucket lands in staging; untouched buckets are
-      // neither read nor written
-      merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
-      fs.mkdirs(base)
-      // rename-aside swap: the old bucket is MOVED aside (not deleted), so
-      // every failure point leaves a recoverable state — before the second
-      // rename the aside copy survives (recoverAsides restores it); after,
-      // the new bucket is live. A failed rename still fails the micro-batch
-      // so the checkpoint retries, but no state is lost at any point.
-      touched.foreach { k =>
-        val src = new Path(staging, s"bucket=$k")
-        val dst = new Path(base, s"bucket=$k")
-        val aside = new Path(base, s"_aside_$k")
-        if (fs.exists(src)) {
-          fs.delete(aside, true)
-          if (fs.exists(dst) && !fs.rename(dst, aside))
-            throw new java.io.IOException(s"KvUpsertSink: rename $dst -> $aside failed")
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(s"KvUpsertSink: rename $src -> $dst failed")
-          fs.delete(aside, true)
-        }
-      }
-      fs.delete(staging, true)
+      writeBuckets(fs, base, merged, touched)
     } finally b.unpersist()
     ()
+  }
+
+  /** Stage `rows` (already carrying a `bucket` column) and swap the
+    * `touched` buckets in via rename-aside. The old bucket is MOVED aside
+    * (not deleted), so every failure point leaves a recoverable state —
+    * before the second rename the aside copy survives (recoverAsides
+    * restores it); after, the new bucket is live. A failed rename still
+    * fails the caller (micro-batch retries from the checkpoint), but no
+    * state is lost at any point. A touched bucket with NO staged rows
+    * (compaction dropped everything in it) is removed the same
+    * recoverable way. Untouched buckets are neither read nor written. */
+  private def writeBuckets(fs: FileSystem, base: Path,
+      rows: DataFrame, touched: Array[Int]): Unit = {
+    val staging = new Path(base.toString + "_staging")
+    fs.delete(staging, true)
+    rows.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(base)
+    touched.foreach { k =>
+      val src = new Path(staging, s"bucket=$k")
+      val dst = new Path(base, s"bucket=$k")
+      val aside = new Path(base, s"_aside_$k")
+      fs.delete(aside, true)
+      if (fs.exists(dst) && !fs.rename(dst, aside))
+        throw new java.io.IOException(s"KvUpsertSink: rename $dst -> $aside failed")
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(s"KvUpsertSink: rename $src -> $dst failed")
+      fs.delete(aside, true)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Tombstone COMPACTION — the maintenance pass the class doc promised.
+    *
+    * A tombstone at ts_d exists to make a LATE upsert with event time
+    * ≤ ts_d lose (without it the delete would be forgotten and the old
+    * cell would resurrect). Once the caller can bound lateness — no future
+    * arrival carries event time < `watermark` — every tombstone with
+    * ts < watermark is unreachable: a future upsert either has
+    * ts ≥ watermark > ts_d (beats the tombstone whether or not it exists)
+    * or is excluded by the bound. Dropping them is therefore
+    * result-invariant under the stated contract, and `read()` is
+    * byte-identical before/after (it filters tombstones anyway).
+    *
+    * Cost is O(buckets containing droppable tombstones), via the same
+    * staged rename-aside swap as `upsert` — a crash mid-compaction
+    * recovers to either the compacted or the pre-compaction bucket, both
+    * correct. Pass the stream's watermark (event-time), not wall clock.
+    */
+  def compact(spark: SparkSession, watermark: java.sql.Timestamp): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(path)
+    val fs = FileSystem.get(base.toUri, hconf)
+    recoverAsides(fs, base)
+    if (!fs.exists(base)) return
+    val all = withOp(spark.read.parquet(path))
+    val droppable = col("op") === "delete" && col("ts") < lit(watermark)
+    // ≤ numBuckets ints — driver-safe, same shape as upsert's touched set
+    val touched = all.filter(droppable).select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val kept = all
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .filter(!droppable)
+    writeBuckets(fs, base, kept, touched)
   }
 
   /** Read the live table: heal any crashed swap first (an `_aside_` bucket

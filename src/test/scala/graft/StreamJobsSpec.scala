@@ -618,6 +618,42 @@ class StreamJobsSpec extends SparkSpec {
     assert(tombs === Set("k2", "k3"))
   }
 
+  test("KvUpsertSink.compact drops exactly the pre-watermark tombstones; " +
+      "read() unchanged; kept tombstones still beat late upserts") {
+    def mcell(k: String, v: String, sec: Long, op: String) =
+      (k, "cf1", "q", v, new Timestamp(sec * 1000), op)
+    val cols = Seq("rowkey", "cf", "qualifier", "cell_value", "ts", "op")
+    val path = tmp() + "/kv_compact"
+    val sink = new KvUpsertSink(path, numBuckets = 4)
+    sink.upsert(spark, Seq(
+      mcell("a", "va", 100, "upsert"),
+      mcell("b", "vb", 100, "upsert"),
+      mcell("c", "vc", 100, "upsert"),
+      mcell("a", null, 300, "delete"),   // old tombstone: compactable
+      mcell("b", null, 900, "delete")    // young tombstone: must survive
+    ).toDF(cols: _*))
+    def live() = sink.read(spark)
+      .select($"rowkey", $"cell_value").as[(String, String)].collect().toSet
+    val before = live()
+    assert(before === Set("c" -> "vc"))
+
+    // watermark 500 s: arrivals with event time < 500 are contractually over
+    sink.compact(spark, new Timestamp(500 * 1000))
+    assert(live() === before) // read() is tombstone-free either way
+    val tombs = spark.read.parquet(path).filter($"op" === "delete")
+      .select($"rowkey").as[String].collect().toSet
+    assert(tombs === Set("b"), "only the pre-watermark tombstone may drop")
+
+    // a late-but-in-contract upsert (ts 800 < b's delete at 900) must
+    // still lose to the KEPT tombstone
+    sink.upsert(spark, Seq(mcell("b", "zombie", 800, "upsert")).toDF(cols: _*))
+    assert(live() === Set("c" -> "vc"))
+
+    // idempotent: a second pass with the same watermark is a no-op
+    sink.compact(spark, new Timestamp(500 * 1000))
+    assert(live() === Set("c" -> "vc"))
+  }
+
   test("dropDuplicatesWithinWatermark evicts state past the watermark") {
     val in = MemoryStream[KafkaShaped]
     val q = StreamJobs.streamingDedupWithinWatermark(in.toDF(), "30 seconds")
