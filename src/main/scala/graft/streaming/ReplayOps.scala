@@ -122,9 +122,17 @@ object ReplayOps extends QueryModule {
   }
 
   /** Eagerly materialize a replay result so its backing sink/temp files can
-    * be deleted before returning: the bounded rows move into the block
-    * manager (lineage cut), the lazy parquet/memory-sink read is severed. */
-  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    * be deleted before returning: the bounded rows (every sink-backed
+    * replay output is ≤ ~10k rows by construction) move to the driver and
+    * come back as a local-relation DataFrame. NOT localCheckpoint: that
+    * pins a block-manager RDD that `spark.catalog.clearCache()` cannot
+    * reclaim, leaking one result-sized pin per sweep query
+    * (CacheHygieneSpec caught it). */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
 
   /** Feed `batches` through `pipeline`, flush with two sentinel batches,
     * return the memory-sink table. `mk` builds the pipeline from the

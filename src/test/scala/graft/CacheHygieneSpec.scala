@@ -49,6 +49,9 @@ object CacheHygieneSpec {
     */
   val pinners: Set[String] = Set(
     "ab_test_zscore",
+    // shingle/signature tables read by both join sides; truth/cand read by
+    // their own count AND the caught semi-join
+    "blocking_quality",
     "acf_daily", "assoc_rules", "bfs_hops", "bigram_collocations",
     "bigram_lm_score", "bm25_score", "boilerplate_shingles", "ccf_daily",
     "cluster_keep_best", "cluster_size_histogram", "cluster_topterms",

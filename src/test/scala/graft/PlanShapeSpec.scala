@@ -151,7 +151,8 @@ class PlanShapeSpec extends SparkSpec {
       "pq_ann_eval", // codebook/LUT/probe-id broadcasts (≤ 20×4×4 rows)
       "dsir_importance_weights", // 1-row corpus-total broadcast into the 256-bucket ratio table
       "token_budget_waterfill", // 1-row total + 1-row (K, level) broadcasts over the per-source table
-      "shard_plan") // PrefixOps 1-row global-stats + offsets-table broadcasts (corpus_topp_select class)
+      "shard_plan", // PrefixOps 1-row global-stats + offsets-table broadcasts (corpus_topp_select class)
+      "blocking_quality") // 1-row metric crossjoins (n_truth × n_cand × n_caught × n_docs)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
