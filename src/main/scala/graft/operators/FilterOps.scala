@@ -775,7 +775,185 @@ object FilterOps extends QueryModule {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- deterministic epoch shuffle ----------------------------------------
+
+  /** Deterministic per-epoch global shuffle: every document gets a total
+    * shuffle POSITION = its rank under a seeded md5-derived hash — the
+    * reproducible "random order" a training run reads each epoch (same
+    * seed → same order on any cluster, any partitioning; new epoch = new
+    * seed string). The rank is computed with PrefixOps' two-level bucketed
+    * prefix (the hash is its own bucket key — uniform by construction, so
+    * buckets are balanced), NEVER an unpartitioned window: at 1e9 docs
+    * this is 64 parallel sorts of ~1.6e7 rows plus a 64-row offsets
+    * broadcast. `shard` = (pos−1) mod 8 is the round-robin file assignment
+    * a writer would use (contiguous positions land on different shards, so
+    * readers that consume shards in parallel still see a shuffled stream).
+    */
+  private def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val hk = conv(substring(md5(concat(lit("ep1:"), col("doc_id"))), 1, 15),
+      16, 10).cast("long")
+    val ranked = graft.operators.PrefixOps.withGlobalPrefix(
+      docs(s, dir).select(col("doc_id")).withColumn("hk", hk),
+      col("hk"), Seq(col("hk"), col("doc_id")))
+    ranked
+      .select(col("doc_id"), col("g_rank").as("pos"),
+        pmod(col("g_rank") - 1, lit(8L)).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val epochShuffleSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5('ep1:' || doc_id), 1, 15)) AS BIGINT)
+      |      AS hk
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS BIGINT) AS pos,
+      |  CAST((ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1) % 8 AS BIGINT)
+      |    AS shard
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  // ---- train/val split leakage --------------------------------------------
+
+  /** Split-leakage audit: after a train/val split (here the deterministic
+    * doc_id%10 rule train_val_split uses), how many NEAR-DUPLICATE pairs
+    * cross the boundary — i.e. how many val documents have a ≥0.5-Jaccard
+    * twin in train? This is the eval-integrity number (a leaked val doc
+    * measures memorization, not generalization). Ground truth is COMPLETE
+    * for the threshold: any pair with Jaccard > 0 shares a 3-shingle, so
+    * the shingle equi-join (the same blocked join every dedup query uses —
+    * the all-pairs space never materializes) provably contains every
+    * above-threshold pair. One output row: split sizes, cross-split dup
+    * pairs, distinct leaked val docs, and the leak rate in millis.
+    */
+  private def splitLeakageReport(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("sh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val cross = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+      .filter(expr("(inter * 1000) div (na + nb - inter) >= 500"))
+      // exactly one endpoint in val (doc_id % 10 >= 8)
+      .filter((col("a_id") % 10 >= 8) =!= (col("b_id") % 10 >= 8))
+      .select(col("a_id"), col("b_id"))
+      .cache()
+    val splits = docs(s, dir).agg(
+      sum(when(col("doc_id") % 10 < 8, 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("doc_id") % 10 >= 8, 1L).otherwise(0L)).as("n_val"))
+    val nCross = cross.agg(count(lit(1)).as("n_cross_pairs"))
+    val leaked = cross.select(
+        when(col("a_id") % 10 >= 8, col("a_id")).otherwise(col("b_id"))
+          .as("val_id"))
+      .distinct().agg(count(lit(1)).as("n_val_leaked"))
+    splits.crossJoin(broadcast(nCross)).crossJoin(broadcast(leaked))
+      .select(col("n_train"), col("n_val"), col("n_cross_pairs"),
+        col("n_val_leaked"),
+        expr("(n_val_leaked * 1000) div n_val").as("leak_milli"))
+  }
+
+  private def splitLeakageReportSql: String =
+    s"""WITH sh AS (${DedupOps.shinglesSql}),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), cross_dups AS (
+       |  SELECT i.a_id, i.b_id
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  WHERE (i.inter * 1000) // (sa.n_sh + sb.n_sh - i.inter) >= 500
+       |    AND ((i.a_id % 10 >= 8) <> (i.b_id % 10 >= 8))
+       |), m AS (
+       |  SELECT
+       |    (SELECT CAST(SUM(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+       |            AS BIGINT) FROM documents) AS n_train,
+       |    (SELECT CAST(SUM(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END)
+       |            AS BIGINT) FROM documents) AS n_val,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_dups) AS n_cross_pairs,
+       |    (SELECT CAST(COUNT(DISTINCT CASE WHEN a_id % 10 >= 8 THEN a_id
+       |                                     ELSE b_id END) AS BIGINT)
+       |     FROM cross_dups) AS n_val_leaked
+       |)
+       |SELECT n_train, n_val, n_cross_pairs, n_val_leaked,
+       |  CAST((n_val_leaked * 1000) // n_val AS BIGINT) AS leak_milli
+       |FROM m""".stripMargin
+
+  // ---- batch padding waste -------------------------------------------------
+
+  /** Padding-waste report: how many pad tokens does fixed-size-32 batching
+    * burn under (a) arrival order vs (b) length-bucketed order — the
+    * measurement behind "dynamic batching saves X%" in every training-infra
+    * writeup. Each strategy ranks the corpus scale-safely (PrefixOps
+    * two-level prefix, no unpartitioned window), groups consecutive ranks
+    * into batches of 32, and pays `rows_in_batch × batch_max − Σlen` pad
+    * tokens per batch. Whitespace token counts — the catalog's standard
+    * carrier (token_stats / token_budget_waterfill).
+    */
+  private def paddingWasteReport(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    def strat(name: String, bucketBy: org.apache.spark.sql.Column,
+        order: Seq[org.apache.spark.sql.Column]): DataFrame =
+      graft.operators.PrefixOps.withGlobalPrefix(base, bucketBy, order)
+        .withColumn("batch", expr("(g_rank - 1) div 32"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("bn"), max(col("len")).as("bmax"),
+          sum(col("len")).as("btok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("btok")).as("total_tokens"),
+          sum(col("bn") * col("bmax")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("((padded_tokens - total_tokens) * 1000000) div padded_tokens")
+            .as("waste_ppm"))
+    strat("arrival", col("doc_id"), Seq(col("doc_id")))
+      .unionAll(strat("length_bucketed", col("len"),
+        Seq(col("len"), col("doc_id"))))
+      .orderBy(col("strategy"))
+  }
+
+  private val paddingWasteReportSql =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT 'arrival' AS strategy, len,
+      |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+      |  FROM lens
+      |  UNION ALL
+      |  SELECT 'length_bucketed', len,
+      |    ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rk
+      |  FROM lens
+      |), batches AS (
+      |  SELECT strategy, (rk - 1) // 32 AS batch,
+      |    CAST(COUNT(*) AS BIGINT) AS bn,
+      |    CAST(MAX(len) AS BIGINT) AS bmax,
+      |    CAST(SUM(len) AS BIGINT) AS btok
+      |  FROM ranked GROUP BY 1, 2
+      |)
+      |SELECT strategy,
+      |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+      |  CAST(SUM(btok) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(bn * bmax) AS BIGINT) AS padded_tokens,
+      |  CAST(((SUM(bn * bmax) - SUM(btok)) * 1000000) // SUM(bn * bmax)
+      |       AS BIGINT) AS waste_ppm
+      |FROM batches GROUP BY strategy ORDER BY strategy""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
+    Q("split_leakage_report", splitLeakageReport, Some(splitLeakageReportSql)),
+    Q("padding_waste_report", paddingWasteReport, Some(paddingWasteReportSql)),
     Q("curriculum_phases", curriculumPhases, Some(curriculumPhasesSql)),
     Q("epoch_plan", epochPlan, Some(epochPlanSql)),
     Q("token_budget_waterfill", tokenBudgetWaterfill,

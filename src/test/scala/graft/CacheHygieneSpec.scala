@@ -52,6 +52,11 @@ object CacheHygieneSpec {
     // shingle/signature tables read by both join sides; truth/cand read by
     // their own count AND the caught semi-join
     "blocking_quality",
+    // PrefixOps bucketed-input diamond (window pass + offsets aggregate)
+    "epoch_shuffle", "padding_waste_report",
+    // shingle table on both join sides; cross-pair set read by pair count
+    // AND leaked-doc distinct
+    "split_leakage_report",
     "acf_daily", "assoc_rules", "bfs_hops", "bigram_collocations",
     "bigram_lm_score", "bm25_score", "boilerplate_shingles", "ccf_daily",
     "cluster_keep_best", "cluster_size_histogram", "cluster_topterms",

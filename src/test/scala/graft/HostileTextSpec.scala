@@ -46,7 +46,11 @@ class HostileTextSpec extends SparkSpec {
     "span_corruption_plan", "tokenizer_fertility", "shard_plan",
     // streaming near-dup replay (ReplayOps) reads only documents: empty /
     // whitespace-only docs flow through the md5 band-key state pipeline
-    "streaming_neardup_replay")
+    "streaming_neardup_replay",
+    // round 8: decode plumbing over real PNGs keyed by doc_id; blocking /
+    // leakage / shuffle / padding reports over the hostile corpus
+    "media_decode_real", "blocking_quality", "split_leakage_report",
+    "epoch_shuffle", "padding_waste_report", "streaming_decontaminate_replay")
 
   test("every documents-backed query survives the hostile corpus, twice") {
     docQueries.foreach { name =>

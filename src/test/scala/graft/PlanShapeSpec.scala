@@ -152,7 +152,9 @@ class PlanShapeSpec extends SparkSpec {
       "dsir_importance_weights", // 1-row corpus-total broadcast into the 256-bucket ratio table
       "token_budget_waterfill", // 1-row total + 1-row (K, level) broadcasts over the per-source table
       "shard_plan", // PrefixOps 1-row global-stats + offsets-table broadcasts (corpus_topp_select class)
-      "blocking_quality") // 1-row metric crossjoins (n_truth × n_cand × n_caught × n_docs)
+      "blocking_quality", // 1-row metric crossjoins (n_truth × n_cand × n_caught × n_docs)
+      "epoch_shuffle", "padding_waste_report", // PrefixOps 1-row stats + offsets broadcasts (shard_plan class)
+      "split_leakage_report") // 1-row metric crossjoins (blocking_quality class)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
