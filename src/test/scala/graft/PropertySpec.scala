@@ -172,4 +172,37 @@ class PropertySpec extends SparkSpec {
     assert(jac((1L, 2L)) === 1.0)
     assert(!jac.contains((1L, 3L))) // disjoint shingles → no candidate pair
   }
+
+  test("KvUpsertSink MERGE is split-invariant: any micro-batch partition " +
+      "of an op sequence converges to the one-shot merge (the tombstone + " +
+      "total-order-survivor design is what makes the fold associative)") {
+    import java.sql.Timestamp
+    import graft.streaming.KvUpsertSink
+    val opGen = Gen.listOfN(50, for {
+      k <- Gen.oneOf("k1", "k2", "k3", "k4", "k5")
+      sec <- Gen.choose(100L, 115L) // small domain → many ts collisions
+      op <- Gen.frequency(3 -> "upsert", 1 -> "delete")
+      v <- Gen.choose(0, 9).map("v" + _)
+    } yield (k, "cf1", "q", if (op == "delete") null else v,
+      new Timestamp(sec * 1000), op))
+    val cols = Seq("rowkey", "cf", "qualifier", "cell_value", "ts", "op")
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_prop_kv").toString
+    def state(s: KvUpsertSink) = s.read(spark)
+      .select($"rowkey", $"cell_value").as[(String, String)].collect().toSet
+    samples(opGen, 4).zipWithIndex.foreach { case (ops, i) =>
+      val oneShot = new KvUpsertSink(tmp() + "/kv", numBuckets = 4)
+      oneShot.upsert(spark, ops.toDF(cols: _*))
+      // deterministic uneven split into 3 micro-batches (incl. ties
+      // straddling the cuts — the case that breaks non-total orders)
+      val (c1, c2) = (ops.size / 3 + i % 3, 2 * ops.size / 3)
+      val inc = new KvUpsertSink(tmp() + "/kv", numBuckets = 4)
+      Seq(ops.take(c1), ops.slice(c1, c2), ops.drop(c2))
+        .filter(_.nonEmpty)
+        .foreach(b => inc.upsert(spark, b.toDF(cols: _*)))
+      assert(state(inc) === state(oneShot), s"sample $i diverged")
+      // and compaction at the max ts bound never changes the visible table
+      inc.compact(spark, new Timestamp(116 * 1000))
+      assert(state(inc) === state(oneShot), s"sample $i changed under compact")
+    }
+  }
 }

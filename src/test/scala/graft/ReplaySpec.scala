@@ -156,4 +156,22 @@ class ReplaySpec extends SparkSpec {
       .filter(col("rk") <= 3)
     assert(rows(run("streaming_topk_replay")) === rows(batch))
   }
+
+  test("replay output is state-store-backend independent: RocksDB equals " +
+      "the HDFS-backed default (the at-scale provider swap is config-only)") {
+    // one stateful-agg replay (session windows) and one arbitrary-state
+    // replay (running counts) — the two state-store code paths
+    val names = Seq("streaming_session_replay", "streaming_running_counts_replay")
+    val baseline = names.map(n => n -> rows(run(n))).toMap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try names.foreach { n =>
+      assert(rows(run(n)) === baseline(n), s"$n diverges under RocksDB")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
