@@ -326,6 +326,136 @@ object DedupOps extends QueryModule {
        |FROM m""".stripMargin
   }
 
+  /** Exact theoretical LSH catch probability at the decile midpoint
+    * j = (2d+1)/20 for the 4-band × 4-row family: p = 1 − (1 − j⁴)⁴,
+    * computed as EXACT RATIONAL integer arithmetic (numerator/denominator
+    * over 160000⁴ ≈ 6.6e20 — BigInt here, HUGEINT in the oracle) so both
+    * engines produce the identical BIGINT millis; a float pow would not be
+    * cross-engine reproducible. */
+  private def scurveTheoMilli(d: Int): Long = {
+    val k4 = BigInt(2 * d + 1).pow(4)
+    val den = BigInt(160000).pow(4)
+    val base4 = (BigInt(160000) - k4).pow(4)
+    (((den - base4) * 1000) / den).toLong
+  }
+
+  /** LSH S-CURVE eval — the (bands, rows) design readout: per exact-Jaccard
+    * decile, how many true pairs exist, how many the 4×4 banding actually
+    * catches, and what the theory 1 − (1 − j^rows)^bands predicts at the
+    * decile midpoint. `blocking_quality` is the single-threshold summary;
+    * this is the full curve you read before changing the band geometry
+    * (is the knee where the dedup threshold needs it?). Truth = ALL pairs
+    * with Jaccard > 0 (complete via the blocked shingle equi-join); a
+    * 10-row decile spine keeps empty deciles visible (n_true = 0,
+    * caught_milli NULL in both engines). All columns exact integers.
+    */
+  private def lshScurveEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val truth = sh.select(col("doc_id").as("a_id"), col("sh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("decile", least(lit(9L),
+        expr("(inter * 1000) div (na + nb - inter) div 100")))
+      .select(col("a_id"), col("b_id"), col("decile"))
+    val sig = minhashSig(s, dir).cache()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(bnd =>
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val perDec = truth
+      .join(cand.withColumn("_hit", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_caught"))
+    val theo = (0 until 10)
+      .map(d => (d.toLong, (2L * d + 1) * 50, scurveTheoMilli(d)))
+      .toDF("decile", "j_mid_milli", "theo_milli")
+    broadcast(theo).join(perDec, Seq("decile"), "left")
+      .select(col("decile"), col("j_mid_milli"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        when(col("n_true") > 0, expr("(n_caught * 1000) div n_true"))
+          .as("caught_milli"),
+        col("theo_milli"))
+      .orderBy(col("decile"))
+  }
+
+  private def lshScurveEvalSql: String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       |truth AS (
+       |  SELECT i.a_id, i.b_id,
+       |    LEAST(9, (i.inter * 1000) // (sa.n_sh + sb.n_sh - i.inter) // 100)
+       |      AS decile
+       |  FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |           CAST(COUNT(*) AS BIGINT) AS inter
+       |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2
+       |  ) i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |), sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), per_dec AS (
+       |  SELECT t.decile, CAST(COUNT(*) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_caught
+       |  FROM truth t
+       |  LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+       |  GROUP BY 1
+       |), spine AS (
+       |  SELECT unnest(generate_series(0, 9)) AS decile
+       |), theo AS (
+       |  -- exact rational: p = 1 - (1 - j^4)^4 at j = (2d+1)/20, all
+       |  -- HUGEINT integer arithmetic over the 160000^4 denominator —
+       |  -- identical BIGINT millis to the Spark side's BigInt constants
+       |  SELECT decile,
+       |    CAST(((den - base * base * base * base) * 1000) // den AS BIGINT)
+       |      AS theo_milli
+       |  FROM (
+       |    SELECT decile,
+       |      CAST(160000 AS HUGEINT) * 160000 * 160000 * 160000 AS den,
+       |      CAST(160000 - (2*decile+1)*(2*decile+1)*(2*decile+1)*(2*decile+1)
+       |           AS HUGEINT) AS base
+       |    FROM spine
+       |  )
+       |)
+       |SELECT s.decile,
+       |  CAST((2 * s.decile + 1) * 50 AS BIGINT) AS j_mid_milli,
+       |  COALESCE(p.n_true, 0) AS n_true,
+       |  COALESCE(p.n_caught, 0) AS n_caught,
+       |  CAST(CASE WHEN p.n_true > 0 THEN (p.n_caught * 1000) // p.n_true END
+       |       AS BIGINT) AS caught_milli,
+       |  t.theo_milli
+       |FROM spine s
+       |LEFT JOIN per_dec p USING (decile)
+       |JOIN theo t USING (decile)
+       |ORDER BY s.decile""".stripMargin
+  }
+
   private def minhashCalibrationSql: String = {
     val matchSum = (0 until 16).map(j =>
       s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
@@ -1718,6 +1848,7 @@ object DedupOps extends QueryModule {
     Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),
     Q("minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
     Q("blocking_quality", blockingQuality, Some(blockingQualitySql)),
+    Q("lsh_scurve_eval", lshScurveEval, Some(lshScurveEvalSql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("cluster_size_histogram", clusterSizeHistogram, Some(clusterSizeHistogramSql)),

@@ -52,6 +52,8 @@ object CacheHygieneSpec {
     // shingle/signature tables read by both join sides; truth/cand read by
     // their own count AND the caught semi-join
     "blocking_quality",
+    // shingle/signature tables read by both join sides (blocking_quality class)
+    "lsh_scurve_eval",
     // PrefixOps bucketed-input diamond (window pass + offsets aggregate)
     "epoch_shuffle", "padding_waste_report",
     // shingle table on both join sides; cross-pair set read by pair count

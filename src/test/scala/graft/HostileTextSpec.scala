@@ -50,7 +50,8 @@ class HostileTextSpec extends SparkSpec {
     // round 8: decode plumbing over real PNGs keyed by doc_id; blocking /
     // leakage / shuffle / padding reports over the hostile corpus
     "media_decode_real", "blocking_quality", "split_leakage_report",
-    "epoch_shuffle", "padding_waste_report", "streaming_decontaminate_replay")
+    "epoch_shuffle", "padding_waste_report", "streaming_decontaminate_replay",
+    "lsh_scurve_eval")
 
   test("every documents-backed query survives the hostile corpus, twice") {
     docQueries.foreach { name =>
