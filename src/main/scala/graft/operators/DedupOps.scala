@@ -279,9 +279,16 @@ object DedupOps extends QueryModule {
         when(col("n_truth") > 0, expr("(n_caught * 1000) div n_truth"))
           .otherwise(lit(1000L)).as("recall_milli"),
         // ppm, not milli: a good blocker prunes >99.9% of the pair space,
-        // so milli resolution would round every healthy value to 1000
-        expr("1000000 - (n_cand * 1000000) div (n_docs * (n_docs - 1) div 2)")
-          .as("reduction_ppm"))
+        // so milli resolution would round every healthy value to 1000.
+        // DECIMAL(38,0) carrier: n_cand·10⁶ and n_docs·(n_docs−1) overflow
+        // BIGINT near the 1e9-doc scale this metric targets (DuckDB's
+        // HUGEINT promotion would keep going while a long silently wraps);
+        // div on decimals still returns an exact BIGINT. Guarded for
+        // n_docs ≤ 1 where the pair space is empty (DuckDB errors on //0).
+        expr("""CASE WHEN n_docs > 1 THEN
+                  1000000 - (CAST(n_cand AS DECIMAL(38,0)) * 1000000) div
+                    (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2)
+                END""").as("reduction_ppm"))
   }
 
   private def blockingQualitySql: String = {
@@ -321,8 +328,9 @@ object DedupOps extends QueryModule {
        |SELECT n_docs, n_truth, n_cand, n_caught,
        |  CAST(CASE WHEN n_truth > 0 THEN (n_caught * 1000) // n_truth
        |            ELSE 1000 END AS BIGINT) AS recall_milli,
-       |  CAST(1000000 - (n_cand * 1000000) // (n_docs * (n_docs - 1) // 2)
-       |       AS BIGINT) AS reduction_ppm
+       |  CAST(CASE WHEN n_docs > 1 THEN
+       |         1000000 - (n_cand * 1000000) // (n_docs * (n_docs - 1) // 2)
+       |       END AS BIGINT) AS reduction_ppm
        |FROM m""".stripMargin
   }
 

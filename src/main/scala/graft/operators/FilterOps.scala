@@ -856,7 +856,10 @@ object FilterOps extends QueryModule {
     splits.crossJoin(broadcast(nCross)).crossJoin(broadcast(leaked))
       .select(col("n_train"), col("n_val"), col("n_cross_pairs"),
         col("n_val_leaked"),
-        expr("(n_val_leaked * 1000) div n_val").as("leak_milli"))
+        // guarded like recall_milli: DuckDB errors on //0 where Spark's
+        // div yields NULL, so an empty val split would diverge unguarded
+        expr("CASE WHEN n_val > 0 THEN (n_val_leaked * 1000) div n_val END")
+          .as("leak_milli"))
   }
 
   private def splitLeakageReportSql: String =
@@ -886,7 +889,8 @@ object FilterOps extends QueryModule {
        |     FROM cross_dups) AS n_val_leaked
        |)
        |SELECT n_train, n_val, n_cross_pairs, n_val_leaked,
-       |  CAST((n_val_leaked * 1000) // n_val AS BIGINT) AS leak_milli
+       |  CAST(CASE WHEN n_val > 0 THEN (n_val_leaked * 1000) // n_val END
+       |       AS BIGINT) AS leak_milli
        |FROM m""".stripMargin
 
   // ---- batch padding waste -------------------------------------------------

@@ -188,7 +188,10 @@ final class KvUpsertSink(path: String, numBuckets: Int = 16) extends Serializabl
     if (touched.isEmpty) return
     val kept = all
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-      .filter(!droppable)
+      // null-safe complement: a delete row with NULL ts makes `droppable`
+      // NULL, and plain !droppable would silently drop it regardless of the
+      // watermark bound — keep every row not PROVEN droppable
+      .filter(!(droppable <=> lit(true)))
     writeBuckets(fs, base, kept, touched)
   }
 

@@ -885,6 +885,24 @@ class StreamJobsSpec extends SparkSpec {
     assert(rows("in-horizon") === Some("v2"))
   }
 
+  test("quietStop's teardown filter denies only the benign interruption class") {
+    import graft.streaming.StreamQuiet.benignTeardown
+    // the three real teardown signatures: error-class text, interrupt in the
+    // cause chain, task-kill
+    assert(benignTeardown(
+      "[CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT] Error writing state store", null))
+    assert(benignTeardown("Exception in task 3.0 in stage 7.0",
+      new RuntimeException("boom", new InterruptedException())))
+    assert(benignTeardown("Lost task: TaskKilled (Stage cancelled)", null))
+    // a genuine concurrent error must pass through (Level.OFF would have
+    // dropped these — the regression the filter rewrite exists to prevent)
+    assert(!benignTeardown("Exception in task 3.0 in stage 7.0",
+      new RuntimeException("ArithmeticException: / by zero")))
+    assert(!benignTeardown("Query [id=x] terminated with error",
+      new java.io.IOException("No space left on device")))
+    assert(!benignTeardown(null, null))
+  }
+
   test("ForeachWriter lifecycle processes every record (O2 analog)") {
     val in = MemoryStream[KafkaShaped]
     val id = "t" + System.nanoTime()
