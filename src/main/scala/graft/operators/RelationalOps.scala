@@ -1332,7 +1332,10 @@ object RelationalOps extends QueryModule {
     * count ≤ degree) — the GraphFrames/Pregel LPA step expressed
     * relationally, each round materialized to keep the lineage flat.
     */
-  private def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+  /** Shared 2-round LPA chain: (cached distinct symmetric edge list,
+    * cached node→label assignment) — consumed by [[labelPropagation]] and
+    * [[modularityScore]]. */
+  private def lpChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
@@ -1356,14 +1359,21 @@ object RelationalOps extends QueryModule {
       lab.unpersist()
       lab = next
     }
+    (edges, lab)
+  }
+
+  private def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val (_, lab) = lpChain(s, dir)
     val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
     lab.join(sizes, "lab")
       .select(col("node"), col("lab").as("community"), col("n_members"))
       .orderBy(col("node"))
   }
 
-  private val labelPropagationSql: String =
-    """WITH li AS (
+  /** The 2-round LPA CTE chain (li → edges → l0 → r1 → r2), shared by the
+    * label_propagation and modularity_score oracles. */
+  private val lpCtes: String =
+    """li AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |), edges AS (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1387,12 +1397,96 @@ object RelationalOps extends QueryModule {
       |    FROM edges e JOIN r1 l ON e.src = l.node
       |    GROUP BY e.dst, l.lab)
       |  WHERE rn = 1
-      |), sizes AS (
+      |)""".stripMargin
+
+  private val labelPropagationSql: String =
+    s"""WITH $lpCtes,
+      |sizes AS (
       |  SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_members FROM r2 GROUP BY 1
       |)
       |SELECT r2.node, r2.lab AS community, sizes.n_members
       |FROM r2 JOIN sizes ON r2.lab = sizes.lab
       |ORDER BY r2.node""".stripMargin
+
+  /** Newman modularity of the LPA communities over the same undirected
+    * co-purchase graph — the standard "did the community detection find
+    * real structure" score (Q > 0: denser inside communities than a random
+    * degree-preserving rewiring). With E the DIRECTED edge count (= 2m),
+    * I_c the directed intra-community edge count and d_c the community's
+    * degree sum, Q = Σ_c [I_c·E − d_c²] / E² — evaluated as exact integers
+    * in a DECIMAL(38,0) carrier (d_c² reaches E² ≈ 4e18 already at ~1e9
+    * directed edges, past BIGINT) with ONE integral division to ppm.
+    *
+    * Scale posture: reuses the LPA chain (each round one equi-join + two
+    * hash aggregates); the additional passes are two equi-joins of the edge
+    * list against the broadcast-sized label table aggregate — no new
+    * shuffle class, and the 1-row E aggregate is a broadcast cross join.
+    */
+  private def modularityScore(s: SparkSession, dir: String): DataFrame = {
+    val (edges, lab) = lpChain(s, dir)
+    val e = edges.agg(count(lit(1)).cast("long").as("e_directed"))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val labN = lab.select(col("node"), col("lab"))
+    val intra = edges
+      .join(labN.select(col("node").as("src"), col("lab").as("ls")), "src")
+      .join(labN.select(col("node").as("dst"), col("lab").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("community"))
+      .agg(count(lit(1)).cast("long").as("i_c"))
+    val dc = deg.join(labN, "node")
+      .groupBy(col("lab").as("community"))
+      .agg(sum(col("d")).cast("long").as("d_c"))
+    dc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(e))
+      .select(col("community"),
+        coalesce(col("i_c"), lit(0L)).as("i_c"), col("d_c"), col("e_directed"))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+        sum(col("d_c")).cast("long").as("sum_deg"),
+        max(col("e_directed")).as("e_directed"),
+        sum(col("i_c").cast(DecimalType(38, 0)) * col("e_directed") -
+          col("d_c").cast(DecimalType(38, 0)) * col("d_c")).as("num"))
+      .select(col("n_communities"), col("sum_deg"), col("e_directed"),
+        when(col("e_directed") > 0,
+          expr("(num * 1000000) div (CAST(e_directed AS DECIMAL(38,0)) * e_directed)"))
+          .as("q_ppm"))
+      .withColumn("modularity", col("q_ppm").cast("double") / 1e6)
+  }
+
+  private val modularityScoreSql: String =
+    s"""WITH $lpCtes,
+      |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_directed FROM edges),
+      |deg AS (
+      |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM edges GROUP BY 1
+      |), intra AS (
+      |  SELECT ls.lab AS community, CAST(COUNT(*) AS BIGINT) AS i_c
+      |  FROM edges ed
+      |  JOIN r2 ls ON ed.src = ls.node
+      |  JOIN r2 ld ON ed.dst = ld.node
+      |  WHERE ls.lab = ld.lab
+      |  GROUP BY 1
+      |), dc AS (
+      |  SELECT l.lab AS community, CAST(SUM(d.d) AS BIGINT) AS d_c
+      |  FROM deg d JOIN r2 l ON d.node = l.node
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+      |    CAST(SUM(d.d_c) AS BIGINT) AS sum_deg,
+      |    MAX(e.e_directed) AS e_directed,
+      |    SUM(CAST(COALESCE(i.i_c, 0) AS HUGEINT) * e.e_directed -
+      |        CAST(d.d_c AS HUGEINT) * d.d_c) AS num
+      |  FROM dc d LEFT JOIN intra i ON d.community = i.community
+      |  CROSS JOIN e
+      |)
+      |SELECT n_communities, sum_deg, e_directed,
+      |  CAST(CASE WHEN e_directed > 0
+      |       THEN (num * 1000000) // (CAST(e_directed AS HUGEINT) * e_directed)
+      |       END AS BIGINT) AS q_ppm,
+      |  CAST(CAST(CASE WHEN e_directed > 0
+      |       THEN (num * 1000000) // (CAST(e_directed AS HUGEINT) * e_directed)
+      |       END AS BIGINT) AS DOUBLE) / 1e6 AS modularity
+      |FROM m""".stripMargin
 
   /** Multi-hop BFS shortest-path distances from a seed node over the
     * undirected co-purchase part graph (same distinct edge list as
@@ -2267,6 +2361,7 @@ object RelationalOps extends QueryModule {
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("hits_scores", hitsScores, Some(hitsScoresSql)),
     Q("label_propagation", labelPropagation, Some(labelPropagationSql)),
+    Q("modularity_score", modularityScore, Some(modularityScoreSql)),
     Q("recsys_precision_eval", recsysPrecisionEval, Some(recsysPrecisionEvalSql)),
     Q("recsys_ndcg_eval", recsysNdcgEval, Some(recsysNdcgEvalSql)),
     Q("degree_distribution", degreeDistribution, Some(degreeDistributionSql)),

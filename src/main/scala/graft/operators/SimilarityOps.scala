@@ -1729,7 +1729,163 @@ object SimilarityOps extends QueryModule {
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
   }
 
+  // ---- classifier evaluation: exact AUC + calibration ------------------------
+
+  /** Per-row classifier score for the AUC / calibration family: the raw
+    * inner product of the row's quantized embedding with the positive-class
+    * (label = 0) SUM vector — the nearest-class-mean score up to a fixed
+    * positive scaling (1/(n_pos·10¹²)), which AUC and rank-based binning are
+    * invariant to, so the whole family needs NO floating point at all.
+    * Components quantize at 1e-6 (exact in both engines); per-term products
+    * accumulate as DECIMAL(38,0), so the score cannot wrap at any corpus
+    * size. The class-sum vector is ONE 64-column aggregate row broadcast
+    * back over the scan (no driver collect, no shuffle of the big side).
+    */
+  private def classScores(s: SparkSession, dir: String): DataFrame = {
+    def q(i: Int): Column =
+      round(element_at(col("embedding"), i).cast("double") * 1e6).cast("long")
+    val cent = emb(s, dir).filter(col("label") === 0)
+      .agg(sum(q(1)).as("cs1"), (2 to DIM).map(i => sum(q(i)).as(s"cs$i")): _*)
+    emb(s, dir).crossJoin(broadcast(cent))
+      .withColumn("score",
+        (1 to DIM).map(i =>
+          col(s"cs$i").cast(DecimalType(38, 0)) * q(i)).reduce(_ + _))
+      .select(col("vec_id"), col("label"), col("score"))
+  }
+
+  private def classScoresSql: String = {
+    def q(e: String, i: Int) =
+      s"CAST(ROUND(CAST($e.embedding[$i] AS DOUBLE) * 1e6) AS BIGINT)"
+    val centCols = (1 to DIM).map(i =>
+      s"SUM(${q("e", i)}) AS cs$i").mkString(",\n      ")
+    // HUGEINT, not DECIMAL(38,0): DuckDB's decimal multiply would need
+    // precision 38+19 and falls back to DOUBLE (inexact past 2^53, and the
+    // score reaches ~1e16); HUGEINT stays exact like Spark's DECIMAL(38,0)
+    val terms = (1 to DIM).map(i =>
+      s"CAST(c.cs$i AS HUGEINT) * ${q("e", i)}").mkString(" +\n      ")
+    s"""cent AS (
+       |  SELECT $centCols
+       |  FROM embeddings e WHERE e.label = 0
+       |), scores AS (
+       |  SELECT e.vec_id, e.label,
+       |      ($terms) AS score
+       |  FROM embeddings e CROSS JOIN cent c
+       |)""".stripMargin
+  }
+
+  /** Exact ROC AUC of the nearest-class-mean classifier for label 0, via
+    * the rank-sum identity with full tie handling: group rows by exact
+    * score, take a scale-safe ascending running count of negatives
+    * ([[PrefixOps]] two-level prefix — no single-reducer window), and sum
+    * n_pos(s)·(2·neg_below(s) + n_neg(s)) over score groups; that is
+    * 2·n_pos·n_neg·AUC exactly (concordant pairs count 2, ties count 1).
+    * Pure integers end to end — the per-group terms carry DECIMAL(38,0), so
+    * the identity holds at any scale; one integral division at the end.
+    * The oracle replays the same identity with a plain window (oracle-side
+    * single reducer is fine; the ENGINE side must not).
+    */
+  private def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    val g = classScores(s, dir).groupBy(col("score"))
+      .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("n_pos_s"),
+        sum(when(col("label") === 0, 0L).otherwise(1L)).as("n_neg_s"))
+    val r = PrefixOps.withGlobalPrefix(g, col("score").cast("double"),
+      Seq(col("score")), sums = Seq("n_neg_s"))
+      .withColumn("neg_below", col("g_run_n_neg_s") - col("n_neg_s"))
+    r.agg(sum(col("n_pos_s")).cast("long").as("n_pos"),
+        sum(col("n_neg_s")).cast("long").as("n_neg"),
+        count(lit(1)).cast("long").as("n_scores"),
+        sum(col("n_pos_s").cast(DecimalType(38, 0)) *
+          (col("neg_below") * 2L + col("n_neg_s"))).as("n2"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(n2 * 1000000) div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"))
+          .as("auc_ppm"))
+      .withColumn("auc", col("auc_ppm").cast("double") / 1e6)
+  }
+
+  private def rocAucSql: String =
+    s"""WITH ${classScoresSql},
+       |g AS (
+       |  SELECT score,
+       |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_s,
+       |    CAST(SUM(CASE WHEN label = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_s
+       |  FROM scores GROUP BY 1
+       |), r AS (
+       |  SELECT n_pos_s, n_neg_s,
+       |    COALESCE(SUM(n_neg_s) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM g
+       |), m AS (
+       |  SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+       |    CAST(SUM(n_neg_s) AS BIGINT) AS n_neg,
+       |    CAST(COUNT(*) AS BIGINT) AS n_scores,
+       |    SUM(CAST(n_pos_s AS HUGEINT) * (2 * neg_below + n_neg_s)) AS n2
+       |  FROM r
+       |)
+       |SELECT n_pos, n_neg, n_scores,
+       |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+       |       THEN (n2 * 1000000) // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+       |       END AS BIGINT) AS auc_ppm,
+       |  CAST(CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+       |       THEN (n2 * 1000000) // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+       |       END AS BIGINT) AS DOUBLE) / 1e6 AS auc
+       |FROM m""".stripMargin
+
+  /** Reliability diagram + per-bin Brier for the same classifier: scores
+    * min-max-scaled to a ppm pseudo-probability (one 1-row min/max broadcast
+    * — rank-preserving, which is all a reliability curve needs), cut into 10
+    * fixed-width bins; per bin the mean predicted ppm, the observed positive
+    * rate, and the mean squared error (p − y)² in micro² units. Integer
+    * arithmetic throughout; the squared-error sum carries DECIMAL(38,0).
+    */
+  private def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val sc = classScores(s, dir)
+    val mm = sc.agg(min(col("score")).as("smin"), max(col("score")).as("smax"))
+    sc.crossJoin(broadcast(mm))
+      .withColumn("p_ppm",
+        when(col("smax") > col("smin"),
+          expr("((score - smin) * 1000000) div (smax - smin)"))
+          .otherwise(lit(500000L)))
+      .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
+      .withColumn("y_ppm",
+        when(col("label") === 0, 1000000L).otherwise(0L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("p_ppm")).as("sum_p"),
+        sum(((col("p_ppm") - col("y_ppm")) * (col("p_ppm") - col("y_ppm")))
+          .cast(DecimalType(38, 0))).as("sum_d2"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_p div n").as("mean_p_ppm"),
+        expr("(n_pos * 1000) div n").as("pos_rate_milli"),
+        expr("sum_d2 div n").as("brier_micro2"))
+      .orderBy(col("bin"))
+  }
+
+  private def calibrationBinsSql: String =
+    s"""WITH ${classScoresSql},
+       |mm AS (SELECT MIN(score) AS smin, MAX(score) AS smax FROM scores),
+       |p AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN smax > smin
+       |         THEN CAST(((score - smin) * 1000000) // (smax - smin) AS BIGINT)
+       |         ELSE 500000 END AS p_ppm,
+       |    CASE WHEN label = 0 THEN 1000000 ELSE 0 END AS y_ppm
+       |  FROM scores CROSS JOIN mm
+       |)
+       |SELECT LEAST(p_ppm // 100000, 9) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+       |  CAST((SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+       |       AS BIGINT) AS pos_rate_milli,
+       |  CAST(SUM(CAST((p_ppm - y_ppm) AS HUGEINT) * (p_ppm - y_ppm))
+       |       // COUNT(*) AS BIGINT) AS brier_micro2
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("roc_auc", rocAuc, Some(rocAucSql)),
+    Q("calibration_bins", calibrationBins, Some(calibrationBinsSql)),
     Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
     Q("embedding_norm_outliers", embeddingNormOutliers, Some(embeddingNormOutliersSql)),
     Q("cluster_topterms", clusterTopterms, Some(clusterToptermsSql)),

@@ -143,6 +143,8 @@ class PlanShapeSpec extends SparkSpec {
       "hellinger_drift", // type-list (~5 rows) + 1-row baseline-total broadcasts
       "ks_test", "welch_ttest", // 1-row global-moment broadcasts
       "hits_scores", // 1-row max-authority broadcast
+      "modularity_score", // 1-row directed-edge-count broadcast
+      "roc_auc", "calibration_bins", // 1-row class-sum / min-max broadcasts
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
