@@ -1729,6 +1729,175 @@ object SimilarityOps extends QueryModule {
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
   }
 
+  // ---- contrastive-training hard-negative mining ------------------------------
+
+  /** Hard-negative mining for contrastive training: for each anchor vector
+    * (bounded query set vec_id < 30), the top-5 most-similar candidates
+    * carrying a DIFFERENT label — the "looks like the anchor but isn't"
+    * rows a contrastive loss learns most from. Same broadcast-anchors ×
+    * partitioned-candidate-scan shape as [[cosineTopk]] (no shuffle of the
+    * big side; per-anchor top-k via a partitioned window); at production
+    * scale the candidate pass swaps to the LSH/IVF bucketed generators in
+    * this file, the ranking stage unchanged.
+    */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val q = e.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      .filter(col("q_id") < 30)
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("embedding").as("c_emb"), col("norm2").as("c_norm2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q).join(c,
+        col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("q_emb"), col("c_emb")), col("q_norm2"), col("c_norm2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("c_id"), col("c_label").cast("long").as("c_label"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private def hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         CAST(c.label AS BIGINT) AS c_label,
+       |         CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |           / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))
+       |           AS cosine
+       |  FROM e q JOIN e c
+       |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+       |  WHERE q.vec_id < 30 AND q.norm2 > 0 AND c.norm2 > 0
+       |), ranked AS (
+       |  SELECT q_id, c_id, c_label, cosine,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, c_id) AS BIGINT) AS rk
+       |  FROM pairs
+       |)
+       |SELECT q_id, rk, c_id, c_label, cosine FROM ranked
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  // ---- MMR result diversification ---------------------------------------------
+
+  private val MMR_POOL = 20
+  private val MMR_K = 8
+
+  /** Maximal-marginal-relevance diversification (the classic RAG reranker):
+    * from the top-[[MMR_POOL]] candidates by cosine relevance to the query
+    * vector (vec_id 0), greedily select [[MMR_K]] maximizing
+    * 0.7·rel(d) − 0.3·max_{s∈selected} sim(d, s), ties to lowest id.
+    *
+    * Scale split: candidate generation is the DISTRIBUTED pass (broadcast
+    * 1-row query against the partitioned scan, TakeOrdered top-20 — at
+    * production scale the ANN generators in this file feed the same pool).
+    * The greedy rerank is inherently sequential in k; it runs as k tiny
+    * Spark jobs over the CACHED 20-row pool, collecting ONE id per step
+    * (the kmeans collect-k-centroids pattern) — all similarity math stays
+    * in the same quantized Catalyst expressions the oracle replays, never
+    * reimplemented driver-side. The oracle unrolls the k steps as chained
+    * CTEs.
+    */
+  private def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val pool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("rel",
+        cosineQ(dotQ(col("embedding"), col("q_emb")), col("norm2"), col("q_norm2")))
+      .filter(col("rel").isNotNull)
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MMR_POOL)
+      .select(col("vec_id").as("c_id"), col("embedding"), col("norm2"), col("rel"))
+      .cache()
+    var selected = List.empty[Long] // selection order, bounded by MMR_K
+    for (_ <- 1 to MMR_K) {
+      val remaining = pool.filter(!col("c_id").isin(selected.map(Long.box): _*))
+      val scored =
+        if (selected.isEmpty) remaining.withColumn("mmr", col("rel") * 0.7)
+        else {
+          val sel = pool
+            .filter(col("c_id").isin(selected.map(Long.box): _*))
+            .select(col("embedding").as("s_emb"), col("norm2").as("s_norm2"))
+          remaining.crossJoin(broadcast(sel)) // ≤ 20 × k rows
+            .withColumn("sim",
+              cosineQ(dotQ(col("embedding"), col("s_emb")),
+                col("norm2"), col("s_norm2")))
+            .groupBy(col("c_id"), col("rel"))
+            .agg(max(col("sim")).as("maxsim"))
+            .withColumn("mmr", col("rel") * 0.7 - col("maxsim") * 0.3)
+        }
+      val top = scored.orderBy(col("mmr").desc, col("c_id"))
+        .select(col("c_id")).limit(1).collect() // exactly one id per step
+      if (top.nonEmpty) selected = selected :+ top(0).getLong(0)
+    }
+    val order = s.createDataFrame(selected.zipWithIndex.map {
+      case (id, i) => (i + 1L, id)
+    }).toDF("rk", "c_id")
+    order.join(pool.select(col("c_id"), col("rel")), "c_id")
+      .select(col("rk"), col("c_id"), col("rel"))
+      .orderBy(col("rk"))
+  }
+
+  private def mmrDiversifySql: String = {
+    def cosSql(a: String, b: String) =
+      s"""(CAST(${dotQSql(s"$a.embedding", s"$b.embedding")} AS DOUBLE)
+         |  / (sqrt(CAST($a.norm2 AS DOUBLE)) * sqrt(CAST($b.norm2 AS DOUBLE))))""".stripMargin
+    // step i (i >= 2): argmax of 0.7·rel − 0.3·max-sim-to-sel_{i-1}.
+    // A plain join + GROUP BY, not a correlated subquery: DuckDB cannot
+    // correlate an outer column into a list_transform lambda. Every CTE is
+    // MATERIALIZED: each step references the previous selection twice, so
+    // inlining would re-expand the chain 2^k times.
+    val steps = (2 to MMR_K).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c_id, rel FROM (
+         |    SELECT p.c_id, p.rel, MAX(${cosSql("p", "x")}) AS maxsim
+         |    FROM pool p, pool x
+         |    WHERE x.c_id IN (SELECT c_id FROM sel${i - 1})
+         |      AND p.c_id NOT IN (SELECT c_id FROM sel${i - 1})
+         |    GROUP BY p.c_id, p.rel)
+         |  ORDER BY rel * 0.7 - 0.3 * maxsim DESC, c_id
+         |  LIMIT 1
+         |), sel$i AS MATERIALIZED (
+         |  SELECT c_id FROM sel${i - 1} UNION ALL SELECT c_id FROM s$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MMR_K).map(i =>
+      s"SELECT $i AS rk, c_id, rel FROM s$i").mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT embedding AS q_emb, norm2 AS q_norm2 FROM e WHERE vec_id = 0
+       |), pool AS MATERIALIZED (
+       |  SELECT e.vec_id AS c_id, e.embedding, e.norm2,
+       |         CAST(${dotQSql("e.embedding", "q.q_emb")} AS DOUBLE)
+       |           / (sqrt(CAST(e.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE)))
+       |           AS rel
+       |  FROM e CROSS JOIN q
+       |  WHERE e.vec_id <> 0 AND e.norm2 > 0 AND q.q_norm2 > 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $MMR_POOL
+       |), s1 AS MATERIALIZED (
+       |  SELECT c_id, rel FROM pool ORDER BY rel * 0.7 DESC, c_id LIMIT 1
+       |), sel1 AS MATERIALIZED (
+       |  SELECT c_id FROM s1
+       |),
+       |$steps
+       |SELECT CAST(rk AS BIGINT) AS rk, c_id, rel FROM (
+       |  $unions
+       |) ORDER BY rk""".stripMargin
+  }
+
   // ---- classifier evaluation: exact AUC + calibration ------------------------
 
   /** Per-row classifier score for the AUC / calibration family: the raw
@@ -1885,6 +2054,8 @@ object SimilarityOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("roc_auc", rocAuc, Some(rocAucSql)),
+    Q("hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    Q("mmr_diversify", mmrDiversify, Some(mmrDiversifySql)),
     Q("calibration_bins", calibrationBins, Some(calibrationBinsSql)),
     Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
     Q("embedding_norm_outliers", embeddingNormOutliers, Some(embeddingNormOutliersSql)),

@@ -77,6 +77,7 @@ object CacheHygieneSpec {
     "jaccard_histogram", "jaccard_prefix_join", "key_skew_report",
     "kmv_distinct", "ks_test", "label_propagation", "lift_by_decile",
     "modularity_score", // shares label_propagation's cached LPA chain
+    "mmr_diversify", // 20-row candidate pool cached across the k greedy steps
     "mad_outliers", "mann_whitney", "minhash_calibration",
     "minhash_lsh_pairs", "mutual_information", "mutual_knn",
     "ngram_jaccard_pairs", "pagerank", "payload_frame_dup", "psi_drift",

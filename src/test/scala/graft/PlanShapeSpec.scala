@@ -145,6 +145,8 @@ class PlanShapeSpec extends SparkSpec {
       "hits_scores", // 1-row max-authority broadcast
       "modularity_score", // 1-row directed-edge-count broadcast
       "roc_auc", "calibration_bins", // 1-row class-sum / min-max broadcasts
+      "hard_negatives", // bounded 30-anchor broadcast (cosine_topk class)
+      "mmr_diversify", // 1-row query + <=20-row pool/selected broadcasts
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
