@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-filtering operators for a training-data pipeline (north star; no
@@ -541,6 +542,107 @@ object FilterOps extends QueryModule {
       |  l = 1 AS homogeneous
       |FROM classes GROUP BY l ORDER BY l""".stripMargin
 
+  /** T-closeness audit — third of the privacy trio: l-diversity counts
+    * DISTINCT sensitive values per class, but a class whose value
+    * distribution is merely skewed toward one band still leaks (the
+    * skewness attack). Per QI class (mktsegment, nationkey), the ordered
+    * earth-mover's distance between the class's sensitive-band
+    * distribution and the global one: EMD = Σ_j |Σ_{i≤j}(p_i − q_i)| /
+    * (m−1) over the m global bands, evaluated exactly in units of
+    * class_size·N on a DECIMAL(38,0) carrier (cnt_i·N reaches N² — past
+    * BIGINT at ~3e9 rows) with one integral division to milli. Rows with
+    * NULL balance are excluded on both engines (DuckDB and Spark disagree
+    * on NULL ordering inside the running sum, and a NULL band has no
+    * position on the ordered grid).
+    *
+    * Scale posture: two hash aggregates over the table; the grid densify
+    * is |classes| × |bands| (both bounded by attribute domains) via a
+    * broadcast; running sums are windows PARTITIONED by class (≤ m rows
+    * each); the 1-row (N, m) aggregate is a broadcast cross join.
+    */
+  private def tClosenessReport(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cust = Tables.t(s, dir, "customer")
+      .filter(col("c_acctbal").isNotNull)
+      .select(col("c_mktsegment").as("qi_segment"),
+        col("c_nationkey").as("qi_nation"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val globalBands = cust.groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("g_cnt"))
+    val tot = globalBands.agg(sum(col("g_cnt")).cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("m_bands"))
+    val classes = cust.groupBy(col("qi_segment"), col("qi_nation"))
+      .agg(count(lit(1)).cast("long").as("class_size"))
+    val cells = cust.groupBy(col("qi_segment"), col("qi_nation"), col("band"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = classes.join(broadcast(globalBands))
+      .join(cells, Seq("qi_segment", "qi_nation", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff",
+        col("cnt").cast(dec) * col("n_total") -
+          col("g_cnt").cast(dec) * col("class_size"))
+    val w = Window.partitionBy(col("qi_segment"), col("qi_nation"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("run", sum(col("diff")).over(w))
+      .groupBy(col("qi_segment"), col("qi_nation"))
+      .agg(max(col("class_size")).as("class_size"),
+        sum(abs(col("run"))).as("t_num"),
+        max(col("n_total")).as("n_total"), max(col("m_bands")).as("m_bands"))
+      .select(col("qi_segment"), col("qi_nation"), col("class_size"),
+        when(col("m_bands") > 1,
+          expr("""(t_num * 1000) div
+                  (CAST(class_size AS DECIMAL(38,0)) * n_total * (m_bands - 1))"""))
+          .as("t_milli"))
+      .withColumn("over_t", col("t_milli") > 200L)
+      .orderBy(col("qi_segment"), col("qi_nation"))
+  }
+
+  private val tClosenessReportSql: String =
+    """WITH cust AS (
+      |  SELECT c_mktsegment AS qi_segment, c_nationkey AS qi_nation,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+      |  FROM customer WHERE c_acctbal IS NOT NULL
+      |), gb AS (
+      |  SELECT band, CAST(COUNT(*) AS BIGINT) AS g_cnt FROM cust GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(g_cnt) AS BIGINT) AS n_total,
+      |    CAST(COUNT(*) AS BIGINT) AS m_bands FROM gb
+      |), classes AS (
+      |  SELECT qi_segment, qi_nation, CAST(COUNT(*) AS BIGINT) AS class_size
+      |  FROM cust GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT qi_segment, qi_nation, band, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM cust GROUP BY 1, 2, 3
+      |), grid AS (
+      |  SELECT cl.qi_segment, cl.qi_nation, cl.class_size, g.band, g.g_cnt,
+      |    COALESCE(ce.cnt, 0) AS cnt
+      |  FROM classes cl CROSS JOIN gb g
+      |  LEFT JOIN cells ce ON ce.qi_segment = cl.qi_segment
+      |    AND ce.qi_nation = cl.qi_nation AND ce.band = g.band
+      |), runs AS (
+      |  SELECT qi_segment, qi_nation, class_size,
+      |    SUM(CAST(cnt AS HUGEINT) * tot.n_total -
+      |        CAST(g_cnt AS HUGEINT) * class_size)
+      |      OVER (PARTITION BY qi_segment, qi_nation ORDER BY band
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+      |    tot.n_total, tot.m_bands
+      |  FROM grid CROSS JOIN tot
+      |)
+      |SELECT qi_segment, qi_nation, class_size,
+      |  CAST(CASE WHEN m_bands > 1 THEN
+      |    (SUM(ABS(run)) * 1000) //
+      |    (CAST(class_size AS HUGEINT) * n_total * (m_bands - 1))
+      |  END AS BIGINT) AS t_milli,
+      |  CAST(CASE WHEN m_bands > 1 THEN
+      |    (SUM(ABS(run)) * 1000) //
+      |    (CAST(class_size AS HUGEINT) * n_total * (m_bands - 1))
+      |  END AS BIGINT) > 200 AS over_t
+      |FROM runs
+      |GROUP BY qi_segment, qi_nation, class_size, n_total, m_bands
+      |ORDER BY qi_segment, qi_nation""".stripMargin
+
   // ---- curriculum phases --------------------------------------------------
 
   /** Curriculum-learning phase assignment: corpus docs ranked by composite
@@ -966,6 +1068,7 @@ object FilterOps extends QueryModule {
     Q("dp_noisy_counts", dpNoisyCounts, Some(dpNoisyCountsSql)),
     Q("k_anonymity_report", kAnonymityReport, Some(kAnonymityReportSql)),
     Q("l_diversity_report", lDiversityReport, Some(lDiversityReportSql)),
+    Q("t_closeness_report", tClosenessReport, Some(tClosenessReportSql)),
     Q("corpus_topp_select", corpusToppSelect, Some(corpusToppSelectSql)),
     Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("repetition_score", repetitionScore, Some(repetitionScoreSql)),

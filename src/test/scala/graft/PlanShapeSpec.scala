@@ -147,6 +147,7 @@ class PlanShapeSpec extends SparkSpec {
       "roc_auc", "calibration_bins", // 1-row class-sum / min-max broadcasts
       "hard_negatives", // bounded 30-anchor broadcast (cosine_topk class)
       "mmr_diversify", // 1-row query + <=20-row pool/selected broadcasts
+      "t_closeness_report", // band-domain grid + 1-row (N, m) broadcasts
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
