@@ -31,6 +31,17 @@ case class MediaFeatures(
 /** A real PNG payload (encoded with javax.imageio on the executors). */
 case class PngRecord(doc_id: Long, png: Array[Byte])
 
+/** Perceptual average-hash of a REAL decoded image: 8×8 nearest-neighbor
+  * downsample thresholded at the integer mean, 64 bits split into two
+  * unsigned-32 halves so no value touches the long sign bit. */
+case class AHashRecord(
+    doc_id: Long,
+    width: Long,
+    height: Long,
+    mean_px: Long,
+    ahash_hi: Long,
+    ahash_lo: Long)
+
 /** REAL decoded-image features: produced by an actual `javax.imageio` PNG
   * decode on the executors ([[MultimodalOps.decodeImageBatch]]) —
   * dimensions and raster stats read from the decoded pixels, not from the
@@ -160,6 +171,108 @@ object MultimodalOps extends QueryModule {
 
   private def mediaDecodeReal(s: SparkSession, dir: String): DataFrame =
     decodeImageBatch(pngTable(s, dir)).toDF().orderBy(col("doc_id"))
+
+  /** Perceptual average-hash (aHash) over the REAL decoded PNGs: decode
+    * with `javax.imageio`, nearest-neighbor-sample an 8×8 grid
+    * (x = ⌊i·w/8⌋, y = ⌊j·h/8⌋), threshold each sample STRICTLY above the
+    * integer mean of the 64 samples, pack the 64 bits (k = j·8 + i) into
+    * two unsigned-32 longs. The decode and sampling run in the same
+    * batched mapPartitions as [[decodeImageBatch]] (payloads never leave
+    * their partition); the oracle replays the closed-form ramp — so the
+    * full encode→decode→downsample→threshold pipeline is hash-checked.
+    */
+  def ahashTable(pngs: Dataset[PngRecord]): Dataset[AHashRecord] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val samples = new Array[Long](64)
+        var sum = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val v = raster.getSample(i * w / 8, j * h / 8, 0).toLong
+            samples(j * 8 + i) = v
+            sum += v
+            i += 1
+          }
+          j += 1
+        }
+        val mean = sum / 64
+        var hi = 0L
+        var lo = 0L
+        var k = 0
+        while (k < 64) {
+          if (samples(k) > mean) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        AHashRecord(r.doc_id, w.toLong, h.toLong, mean, hi, lo)
+      }
+    }
+  }
+
+  private def imageAhash(s: SparkSession, dir: String): DataFrame =
+    ahashTable(pngTable(s, dir)).toDF().orderBy(col("doc_id"))
+
+  private val ahashCtes: String =
+    """g AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |  FROM documents
+      |), sm AS (
+      |  SELECT doc_id, w, h,
+      |    flatten(list_transform(generate_series(0, 7), j ->
+      |      list_transform(generate_series(0, 7), i ->
+      |        (doc_id * 31 + ((i * w) // 8) * 7 + ((j * h) // 8) * 13) % 256)))
+      |      AS sv
+      |  FROM g
+      |), mm AS (
+      |  SELECT doc_id, w, h, sv,
+      |    CAST(list_sum(sv) // 64 AS BIGINT) AS mean_px
+      |  FROM sm
+      |), ah AS (
+      |  SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |    mean_px,
+      |    CAST(COALESCE(list_sum(list_transform(generate_series(33, 64), k ->
+      |      CASE WHEN sv[k] > mean_px THEN (CAST(1 AS BIGINT) << (k - 33))
+      |           ELSE 0 END)), 0) AS BIGINT) AS ahash_hi,
+      |    CAST(COALESCE(list_sum(list_transform(generate_series(1, 32), k ->
+      |      CASE WHEN sv[k] > mean_px THEN (CAST(1 AS BIGINT) << (k - 1))
+      |           ELSE 0 END)), 0) AS BIGINT) AS ahash_lo
+      |  FROM mm
+      |)""".stripMargin
+
+  private val imageAhashSql: String =
+    s"""WITH $ahashCtes
+       |SELECT doc_id, width, height, mean_px, ahash_hi, ahash_lo
+       |FROM ah ORDER BY doc_id""".stripMargin
+
+  /** Perceptual-duplicate groups: documents whose decoded images share the
+    * EXACT 64-bit aHash (the "same image up to resize/re-encode" dedup
+    * key). One hash aggregate over the decoded table — no pair space at
+    * any scale; the banded-hamming relaxation for near-miss hashes is the
+    * simhash_pairs machinery applied to this column.
+    */
+  private def imageAhashDups(s: SparkSession, dir: String): DataFrame =
+    ahashTable(pngTable(s, dir)).toDF()
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("ahash_hi"), col("ahash_lo"))
+
+  private val imageAhashDupsSql: String =
+    s"""WITH $ahashCtes
+       |SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS rep_doc
+       |FROM ah GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY ahash_hi, ahash_lo""".stripMargin
 
   private val mediaDecodeRealSql =
     """WITH dims AS (
@@ -311,6 +424,8 @@ object MultimodalOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("media_decode_real", mediaDecodeReal, Some(mediaDecodeRealSql)),
+    Q("image_ahash", imageAhash, Some(imageAhashSql)),
+    Q("image_ahash_dups", imageAhashDups, Some(imageAhashDupsSql)),
     Q("payload_frame_dup", payloadFrameDup, Some(payloadFrameDupSql)),
     Q("multimodal_resize", mediaResize, Some(
       // COALESCE: DuckDB's array_to_string over an empty list yields NULL
