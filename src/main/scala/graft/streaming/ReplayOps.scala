@@ -408,6 +408,103 @@ object ReplayOps extends QueryModule {
       col("user_id"), col("view_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join
+    * (StreamJobs.streamStreamFullOuterJoin): both feeds' orphans surface
+    * null-padded once the watermark finalizes them. Sentinels to both
+    * streams, twice, as in [[leftJoinReplay]]. */
+  private def fullOuterJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val out = StreamJobs.streamStreamFullOuterJoin(lIn.toDF(), rIn.toDF(),
+      "1 hour", "0 seconds")
+    spark.catalog.dropTempView("replay_full_join")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_fjoin")
+    val prevParts = pinPartitions(spark)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_full_join").start()
+    try {
+      lIn.addData(evs.filter(_.value == "view").toSeq)
+      rIn.addData(evs.filter(_.value == "purchase").toSeq)
+      q.processAllAvailable()
+      val maxMs = evs.map(_.timestamp.getTime).max
+      Seq(3L, 6L).foreach { h =>
+        lIn.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
+        rIn.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
+        q.processAllAvailable()
+      }
+    } finally { StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts) }
+    QOps.ordered1(
+      spark.table("replay_full_join")
+        .filter(coalesce(col("l_key"), col("r_key")) >= 0)
+        .select(
+          coalesce(col("l_key"), col("r_key")).as("user_id"),
+          col("l_ts").cast("timestamp_ntz").as("view_ts"),
+          col("r_ts").cast("timestamp_ntz").as("purchase_ts")),
+      col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
+  /** CHAINED stateful operators (StreamJobs.dedupThenWindowCounts):
+    * watermarked dedup feeding a tumbling-window count in ONE query —
+    * replayed to completion, equals the batch DISTINCT-then-GROUP BY. */
+  private def dedupAggReplay(spark: SparkSession, dir: String): DataFrame = {
+    val evs = fixture(spark, dir)
+    val out = replay(spark, Seq(evs.toSeq), "replay_dedup_agg") { df =>
+      StreamJobs.dedupThenWindowCounts(df, "1 hour", "0 seconds")
+    }
+    QOps.ordered1(
+      out.filter(col("key") >= 0)
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("key").as("user_id"), col("n")),
+      col("window_start"), col("user_id"))
+  }
+
+  /** transformWithState rate limiter (StreamJobs.rateLimitPerKey): at most
+    * 3 events per user per 1-DAY event-time window (at this fixture's
+    * density the cap rejects ~14% of rows — a 10-minute window would admit
+    * everything and prove nothing), fed in TWO
+    * time-split batches so the admitted set proves the ValueState resumed
+    * across the batch boundary (a straddling window's count continues, not
+    * resets). TimeMode.None — no watermark, no sentinels; the memory sink
+    * holds exactly the admitted rows. transformWithState only runs on the
+    * RocksDB state store in Spark 4.1, so the provider is pinned for the
+    * query and restored after (ReplaySpec separately proves replay outputs
+    * are backend-independent). */
+  private def rateLimitReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2) // fixture is (ts, eid)-sorted
+    val in = MemoryStream[Ev]
+    val out = StreamJobs.rateLimitPerKey(in.toDF(), 3, 86400000000L)
+    spark.catalog.dropTempView("replay_rate_limit")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_rlim")
+    val prevParts = pinPartitions(spark)
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("replay_rate_limit").start()
+    try {
+      Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    } finally {
+      StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts)
+      prevProvider match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
+    QOps.ordered1(
+      spark.table("replay_rate_limit")
+        .select(col("key").as("user_id"), col("eid").as("event_id")),
+      col("user_id"), col("event_id"))
+  }
+
   /** Stream-static broadcast enrichment (StreamJobs.streamStaticEnrich):
     * the event stream left-joined to a bounded dim (user → tier, with a
     * deliberate coverage gap so the 'unknown' fallback path is exercised).
@@ -1151,6 +1248,32 @@ object ReplayOps extends QueryModule {
         |  ON p.user_id = v.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin)),
+    Q("streaming_full_join_replay", fullOuterJoinReplay, Some(
+      """SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+        |  v.ts AS view_ts, p.ts AS purchase_ts
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |FULL OUTER JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin)),
+    Q("streaming_dedup_agg_replay", dedupAggReplay, Some(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, event_type, ts FROM events
+        |)
+        |SELECT date_trunc('hour', ts) AS window_start, user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("streaming_rate_limit_replay", rateLimitReplay, Some(
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_id FROM r WHERE rn <= 3
+        |ORDER BY user_id, event_id""".stripMargin)),
     Q("streaming_enrich_replay", enrichReplay, Some(
       """SELECT user_id, event_type, ts,
         |  CASE WHEN user_id % 4 <> 3 THEN

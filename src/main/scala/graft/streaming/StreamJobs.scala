@@ -20,6 +20,45 @@ case class KafkaShaped(
     offset: Long,
     timestamp: java.sql.Timestamp)
 
+/** An admitted event from [[StreamJobs.rateLimitPerKey]]. Top-level so the
+  * generated Dataset deserializer can reach it (the [[ReplayOps.Ev]]
+  * lesson). */
+case class Admitted(key: Long, eid: Long, us: Long)
+
+/** The [[StreamJobs.rateLimitPerKey]] processor: per-key (window, count)
+  * in a single ValueState. Serializable — it ships to executors whole. */
+class RateLimitProcessor(maxPer: Int, windowUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), Admitted] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("win_count",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[Admitted] = {
+    // deterministic admission: order the batch's rows by event time then id
+    // (iterator order is task-dependent); window ids are then non-decreasing
+    val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+    var (w0, c0) = if (st.exists()) st.get() else (Long.MinValue, 0L)
+    val out = Array.newBuilder[Admitted]
+    sorted.foreach { case (k, eid, us) =>
+      val w = Math.floorDiv(us, windowUs)
+      if (w != w0) { w0 = w; c0 = 0L }
+      c0 += 1
+      if (c0 <= maxPer) out += Admitted(k, eid, us)
+    }
+    st.update((w0, c0))
+    out.result().iterator
+  }
+}
+
 /** Append-only "topic table" modeling a Kafka producer sink
   * (KafkaProducer.scala:8-11): parquet rows (topic, key, value, ts). */
 final class TopicTableSink(path: String) extends Serializable {
@@ -500,6 +539,72 @@ object StreamJobs {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"interval $window_"),
       "left_outer")
+  }
+
+  /** Stream-stream FULL OUTER interval join: both sides emit null-padded
+    * once the watermark guarantees no match can still arrive — the
+    * "reconcile two feeds and surface orphans on EITHER side" shape
+    * (payments vs ledger, views vs purchases). Same watermark + interval
+    * bounds as [[streamStreamLeftOuterJoin]]; Spark rejects the query
+    * without them, which is exactly the unbounded-state guard a 100 TB/day
+    * stream needs.
+    */
+  def streamStreamFullOuterJoin(left: DataFrame, right: DataFrame,
+      window_ : String, watermark: String): DataFrame = {
+    val l = left.withWatermark("timestamp", watermark)
+      .select(col("key").as("l_key"), col("value").as("l_value"),
+        col("timestamp").as("l_ts"))
+    val r = right.withWatermark("timestamp", watermark)
+      .select(col("key").as("r_key"), col("value").as("r_value"),
+        col("timestamp").as("r_ts"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $window_"),
+      "full_outer")
+  }
+
+  /** CHAINED stateful operators in one streaming query (Spark 3.4+): a
+    * watermarked cross-batch dedup feeding a tumbling-window count — the
+    * "dedupe the at-least-once feed, then aggregate it" pipeline that
+    * previously needed two queries with an intermediate topic. Both
+    * operators share one watermark; state is dedup keys + in-flight
+    * window counts, each watermark-bounded.
+    */
+  def dedupThenWindowCounts(input: DataFrame, window_ : String,
+      watermark: String): DataFrame =
+    input
+      .withWatermark("timestamp", watermark)
+      .dropDuplicates("key", "value", "timestamp")
+      .groupBy(window(col("timestamp"), window_), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("key"), col("n"))
+
+  /** Per-key event-time rate limiter on the `transformWithState` API
+    * (Spark 4's arbitrary-stateful-processing successor to
+    * mapGroupsWithState: typed state variables, TTL, timers): admit at
+    * most `maxPer` events per key per `windowUs`-microsecond event-time
+    * window, state = ONE (window, admitted-count) pair per key in a
+    * ValueState — O(keys), not O(events). Rows within a micro-batch are
+    * ordered (ts, eid) before admission so the decision is deterministic
+    * under any task/arrival order; windows are floor(us / windowUs), so a
+    * key's window ids are non-decreasing in that order and the sequential
+    * reset is exactly a per-(key, window) row_number — which is what the
+    * oracle replays. Requires the RocksDB state store provider (the only
+    * backend transformWithState supports in 4.1); callers pin it for the
+    * query and restore after.
+    */
+  def rateLimitPerKey(input: DataFrame, maxPer: Int, windowUs: Long): DataFrame = {
+    import input.sparkSession.implicits._
+    input
+      .select(col("key").cast("long"), col("eid").cast("long"),
+        col("us").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RateLimitProcessor(maxPer, windowUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
   }
 
   /** Stream-static enrichment join: the streaming side joined to a bounded

@@ -36,7 +36,13 @@ object StreamQuiet {
         // attaches a throwable; the CAUSE of a real abort still surfaces
         // from whatever logger reported it)
         "|Store broadcast broadcast_\\d+ fail" +
-        "|Data source write support MicroBatchWrite\\[epoch: \\d+.*abort")
+        "|Data source write support MicroBatchWrite\\[epoch: \\d+.*abort" +
+        // the v2 writer task's abort bracket and its completion-listener
+        // echo when the stop interrupts a state-store commit (seen with
+        // the RocksDB provider under transformWithState) — window-scoped,
+        // so a same-shaped error outside a quietStop still surfaces
+        "|Abort(ing|ed) commit for partition" +
+        "|Error in TaskCompletionListener")
 
     private def matches(msg: String, thrown: Throwable): Boolean = {
       val sb = new java.lang.StringBuilder

@@ -903,6 +903,37 @@ class StreamJobsSpec extends SparkSpec {
     assert(!benignTeardown(null, null))
   }
 
+  test("rateLimitPerKey (transformWithState): cap binds across batches, " +
+      "resets on a new window, keys are independent") {
+    import graft.streaming.ReplayOps.Ev
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      def ev(key: Long, eid: Long, us: Long) =
+        Ev(key, "v", new java.sql.Timestamp(us / 1000), eid, 0.0, us)
+      val q = StreamJobs.rateLimitPerKey(in.toDF(), 2, 1000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rlim_unit").start()
+      // window = us div 1000. Batch 1: key 1 fills window 0's quota of 2.
+      in.addData(ev(1, 1, 100), ev(1, 2, 200), ev(2, 10, 150))
+      q.processAllAvailable()
+      // Batch 2: key 1 window 0 is ALREADY full (state carried) -> reject
+      // eid 3; window 1 resets -> admit eid 4; key 2 still has quota.
+      in.addData(ev(1, 3, 400), ev(1, 4, 1500), ev(2, 11, 300))
+      q.processAllAvailable()
+      graft.streaming.StreamQuiet.quietStop(q)
+      val got = spark.sql("select key, eid from rlim_unit")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 1L), (1L, 2L), (2L, 10L), (1L, 4L), (2L, 11L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
   test("ForeachWriter lifecycle processes every record (O2 analog)") {
     val in = MemoryStream[KafkaShaped]
     val id = "t" + System.nanoTime()
