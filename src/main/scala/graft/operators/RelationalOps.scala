@@ -425,6 +425,108 @@ object RelationalOps extends QueryModule {
         |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0)
         |ORDER BY p_partkey""".stripMargin)
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — per-nation top-2
+    * suppliers by balance, the "top-k per outer row" SQL surface (Catalyst
+    * decorrelates the limit into a partitioned rank, the same physical
+    * plan the window formulation gets — declared, not hand-built). */
+  private def lateralTop2Suppliers(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "nation", "supplier")(
+      """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT s_suppkey, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        |ORDER BY n.n_name, t.s_suppkey""".stripMargin)
+
+  private val lateralTop2SuppliersSql: String =
+    """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT s_suppkey, s_acctbal FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+      |ORDER BY n.n_name, t.s_suppkey""".stripMargin
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — reachability to 3 hops
+    * from the seed part over the co-purchase edge list, as pure declarative
+    * SQL: the anchor is the seed, each recursion step joins the previous
+    * level's rows to the edges (level-synchronous by construction — the
+    * working table is exactly last iteration's rows in both engines), the
+    * final aggregate keeps MIN(dist). The imperative sibling is
+    * [[bfsHops]]; this is the same graph primitive expressed in the SQL
+    * surface, with the DISTINCT-per-level bound (≤ |V| rows per level)
+    * keeping the recursion linear, not path-enumerating.
+    */
+  private def recursiveReachability(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y =!= x),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
+      .createOrReplaceTempView("copurchase_edges")
+    s.sql(
+      """WITH RECURSIVE reach(node, dist) AS (
+        |  SELECT CAST((SELECT MIN(src) FROM copurchase_edges) AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst, r.dist + CAST(1 AS BIGINT)
+        |  FROM reach r JOIN copurchase_edges e ON r.node = e.src
+        |  WHERE r.dist < 3
+        |)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  private val recursiveReachabilitySql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey
+      |), reach(node, dist) AS (
+      |  SELECT (SELECT MIN(src) FROM edges), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT DISTINCT e.dst, r.dist + 1
+      |  FROM reach r JOIN edges e ON r.node = e.src
+      |  WHERE r.dist < 3
+      |)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  /** Spark 4 VARIANT ingestion of the semi-structured props column:
+    * try_parse_json → binary VARIANT → typed try_variant_get extraction,
+    * aggregated per event type. Functionally the get_json_object path
+    * ([[jsonPropsStats]]) — but VARIANT parses once into a binary form and
+    * every later field access is a cheap typed probe, the right shape when
+    * a 100 TB pipeline touches several fields of the same payload. */
+  private def variantPropsStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .withColumn("k",
+        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        count(col("k")).cast("long").as("n_with_k"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).cast("long").as("min_k"),
+        max(col("k")).cast("long").as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val variantPropsStatsSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+      |       AS BIGINT) AS n_with_k,
+      |  CAST(SUM(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+      |       AS BIGINT) AS sum_k,
+      |  CAST(MIN(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+      |       AS BIGINT) AS min_k,
+      |  CAST(MAX(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+      |       AS BIGINT) AS max_k
+      |FROM events WHERE event_type IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- window value/distribution functions --------------------------------
 
   /** Frame-addressed value functions + distribution: per-customer order
@@ -2412,6 +2514,9 @@ object RelationalOps extends QueryModule {
         |  FROM lineitem WHERE l_orderkey < 100
         |) UNPIVOT (cents FOR measure IN (quantity, extendedprice, discount, tax))
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+    Q("lateral_top2_suppliers", lateralTop2Suppliers, Some(lateralTop2SuppliersSql)),
+    Q("recursive_reachability", recursiveReachability, Some(recursiveReachabilitySql)),
+    Q("variant_props_stats", variantPropsStats, Some(variantPropsStatsSql)),
     Q("json_props_stats", jsonPropsStats, Some(
       """WITH j AS (
         |  SELECT event_type, TRY_CAST(CASE WHEN json_valid(props)
