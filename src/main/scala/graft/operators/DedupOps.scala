@@ -704,6 +704,75 @@ object DedupOps extends QueryModule {
       connectedComponents(minhashLshCore(s, dir).select(col("a_id"), col("b_id"))),
       col("doc_id"))
 
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round algorithm, vs the O(diameter) rounds of
+    * [[connectedComponents]]'s min-label fixpoint. On a 100 TB pair graph
+    * whose duplicate families chain (the common near-dup topology: A≈B≈C≈…),
+    * diameter can reach thousands while log₂(n) stays ~40 — this is the
+    * scale path, kept VALUE-IDENTICAL to the fixpoint (every node labeled
+    * with its component's min id; the oracle is the same recursive
+    * reachability the dedup_clusters query uses, and PipelineOpsSpec pins
+    * equality + the round advantage on an adversarial 64-chain).
+    *
+    * Each round is two (groupBy-min + equi-join + distinct) passes over the
+    * CURRENT edge set — which only shrinks toward the star forest — with
+    * lineage rebased per round (the kcore_peel lesson). Termination: the
+    * edge set reaching a fixpoint, detected with count + one-sided except
+    * (both bounded by the edge set itself).
+    */
+  private[graft] def ccAlternatingStar(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    var e = pairs
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().cache()
+    val allNodes = e.select(col("u")).unionAll(e.select(col("v").as("u")))
+      .distinct().cache()
+    var n = e.count()
+    var rounds = 0
+    var stable = n == 0L
+    while (!stable && rounds < maxRounds) {
+      // large-star: every neighbor LARGER than u links to u's min
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: orient (max, min); every neighbor (all smaller) and u
+      // itself link to the min of the closed neighborhood
+      val oriented = large
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val smin = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = oriented.join(smin, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val next = graft.QOps.rebase(small).cache()
+      val nNext = next.count()
+      stable = nNext == n && next.exceptAll(e).isEmpty
+      e.unpersist()
+      e = next
+      n = nNext
+      rounds += 1
+    }
+    // converged star forest: each non-center u carries one (u -> center)
+    // edge; centers (and isolated inputs) label themselves
+    val labels = allNodes
+      .join(e.groupBy(col("u")).agg(min(col("v")).as("lab")), Seq("u"), "left")
+      .select(col("u").as("doc_id"),
+        coalesce(col("lab"), col("u")).as("cluster"))
+    (labels, rounds)
+  }
+
+  /** The LSH near-dup clusters via the O(log n)-round alternating-star CC —
+    * same labels, same oracle as dedup_clusters (see [[ccAlternatingStar]]). */
+  private def ccAlternatingStarClusters(s: SparkSession, dir: String): DataFrame =
+    graft.QOps.ordered1(
+      ccAlternatingStar(minhashLshCore(s, dir).select(col("a_id"), col("b_id")))._1,
+      col("doc_id"))
+
   /** Duplicate-family size distribution — the dedup report a corpus owner
     * reads first ("how much of my corpus is 2-copies vs 100-copy pileups"):
     * cluster sizes from [[connectedComponents]] rolled into a (family_size,
@@ -1859,6 +1928,7 @@ object DedupOps extends QueryModule {
     Q("lsh_scurve_eval", lshScurveEval, Some(lshScurveEvalSql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("cc_alternating_star", ccAlternatingStarClusters, Some(dedupClustersSql)),
     Q("cluster_size_histogram", clusterSizeHistogram, Some(clusterSizeHistogramSql)),
     Q("source_dedup_matrix", sourceDedupMatrix, Some(sourceDedupMatrixSql)),
     Q("jaccard_histogram", jaccardHistogram, Some(jaccardHistogramSql)),

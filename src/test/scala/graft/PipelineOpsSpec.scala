@@ -510,6 +510,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fast === got)
   }
 
+  test("ccAlternatingStar equals the min-label fixpoint on an adversarial " +
+      "64-chain, in far fewer rounds than the diameter") {
+    // a path of diameter 64 (the chained near-dup topology), a triangle,
+    // and an isolated edge — min-label propagation needs ~64 rounds here;
+    // alternating star must converge logarithmically
+    val chain = (0 until 64).map(i => (100L + i, 101L + i))
+    val edges = (chain ++ Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("a_id", "b_id")
+    val (labels, rounds) = graft.operators.DedupOps.ccAlternatingStar(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    (100L to 164L).foreach(v => assert(got(v) === 100L, s"chain node $v"))
+    (20L to 22L).foreach(v => assert(got(v) === 20L))
+    assert(got(30L) === 30L && got(31L) === 30L)
+    assert(got.size === 70)
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+    // and identical to the fixpoint labeling
+    val fix = graft.operators.DedupOps.connectedComponents(edges, 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === fix)
+  }
+
   test("kmeans_trained centroids are a Lloyd fixpoint within the SQL unroll") {
     // Spark stops early at convergence while the oracle unrolls KM_ITERS
     // iterations; they agree only if the training REALLY converged (one
