@@ -35,3 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC pauses contaminated bench timings on the slower driver VM
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// The suite runs the FULL query catalog through two audit specs (cache
+// hygiene + plan shape) plus the hostile/replay programs in ONE forked JVM;
+// at ~300 catalog queries the 16g high-water started OOMing late suites
+// (first seen: PipelineOpsSpec aborting after CacheHygiene+PlanShape at
+// 302 queries). Tests are not bench-timed, so the bigger heap is free.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "28g")}"

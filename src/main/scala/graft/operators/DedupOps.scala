@@ -679,9 +679,16 @@ object DedupOps extends QueryModule {
       val nbr = und.join(
           lab.select(col("u").as("v"), col("lab").as("nb_lab")), "v")
         .groupBy(col("u")).agg(min(col("nb_lab")).as("nlab"))
-      val stepped = lab.join(nbr, Seq("u"), "left")
-        .select(col("u"), col("lab"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("new_lab"))
+      // rebase BEFORE caching: round i's plan references round i−1's twice
+      // (lab + nbr-from-lab), so without the lineage cut the LOGICAL plan —
+      // and every plan-string the listener bus renders — doubles per round:
+      // a diameter-64 chain built a 2^31-char (truncated) plan string and
+      // OOM'd the driver on heap while the DATA was 67 rows. Same class as
+      // kcore_peel's round-7 fix; the cache below still bounds recompute.
+      val stepped = graft.QOps.rebase(
+          lab.join(nbr, Seq("u"), "left")
+            .select(col("u"), col("lab"),
+              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("new_lab")))
         .cache()
       // one action materializes the iteration AND measures convergence
       changed = stepped.filter(col("new_lab") < col("lab")).count()
@@ -757,6 +764,9 @@ object DedupOps extends QueryModule {
       n = nNext
       rounds += 1
     }
+    // loud, not wrong: an unconverged edge set is not a star forest and the
+    // label join below would emit non-minimal labels
+    require(stable, s"ccAlternatingStar did not converge in $maxRounds rounds")
     // converged star forest: each non-center u carries one (u -> center)
     // edge; centers (and isolated inputs) label themselves
     val labels = allNodes

@@ -464,6 +464,10 @@ object RelationalOps extends QueryModule {
         transform(filter(col("ps"), y => y =!= x),
           y => struct(x.as("src"), y.as("dst")))))).as("p"))
       .select(col("p.src"), col("p.dst")).distinct()
+      // cached: the recursion references this view once per LEVEL (plus the
+      // anchor's scalar subquery) — uncached, every level re-derives the
+      // edge list from lineitem (measured 11.6 s -> ~2 s at bench SF)
+      .cache()
       .createOrReplaceTempView("copurchase_edges")
     s.sql(
       """WITH RECURSIVE reach(node, dist) AS (

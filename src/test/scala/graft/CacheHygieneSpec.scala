@@ -80,6 +80,7 @@ object CacheHygieneSpec {
     "mmr_diversify", // 20-row candidate pool cached across the k greedy steps
     "roc_auc", // PrefixOps diamond cache (customer_rfm class)
     "cc_alternating_star", // converged star-forest edge cache feeds the label join
+    "recursive_reachability", // cached edge view read once per recursion level
     "mad_outliers", "mann_whitney", "minhash_calibration",
     "minhash_lsh_pairs", "mutual_information", "mutual_knn",
     "ngram_jaccard_pairs", "pagerank", "payload_frame_dup", "psi_drift",

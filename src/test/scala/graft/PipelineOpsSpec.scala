@@ -490,20 +490,22 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents converges past diameter 3 (chain + forest)") {
-    // a diameter-6 path, a disjoint triangle, and an isolated edge: the
-    // fixed-K=3 unrolled form mislabeled exactly this path shape
-    val edges = Seq(
-      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+    // a diameter-16 path (long enough that the per-round lineage REBASE is
+    // load-bearing — unrebased, plan strings double per round and a long
+    // chain OOMs the driver), a disjoint triangle, and an isolated edge;
+    // the fixed-K=3 unrolled form mislabeled exactly this path shape
+    val edges = ((10 until 26).map(i => (i.toLong, i + 1L)) ++ Seq(
       (20L, 21L), (21L, 22L), (20L, 22L),
-      (30L, 31L)).toDF("a_id", "b_id")
+      (30L, 31L)).map { case (a, b) => (a + 90L, b + 90L) })
+      .toDF("a_id", "b_id")
     // smallGraphLimit = 0 forces the DISTRIBUTED fixpoint loop (the default
-    // would take the driver union-find fast path on 10 edges)
+    // would take the driver union-find fast path on these few edges)
     val got = graft.operators.DedupOps.connectedComponents(edges, 0L)
       .as[(Long, Long)].collect().toMap
-    (10L to 16L).foreach(v => assert(got(v) === 10L, s"chain node $v"))
-    (20L to 22L).foreach(v => assert(got(v) === 20L))
-    assert(got(30L) === 30L && got(31L) === 30L)
-    assert(got.size === 12)
+    (10L to 26L).foreach(v => assert(got(v) === 10L, s"chain node $v"))
+    (110L to 112L).foreach(v => assert(got(v) === 110L))
+    assert(got(120L) === 120L && got(121L) === 120L)
+    assert(got.size === 22)
     // and the fast path must produce the identical labeling
     val fast = graft.operators.DedupOps.connectedComponents(edges, 1000000L)
       .as[(Long, Long)].collect().toMap
@@ -525,8 +527,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(30L) === 30L && got(31L) === 30L)
     assert(got.size === 70)
     assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
-    // and identical to the fixpoint labeling
-    val fix = graft.operators.DedupOps.connectedComponents(edges, 0L)
+    // and identical to the exact union-find labeling (the diameter-6 test
+    // above already pins the distributed fixpoint against the same fast
+    // path; running the fixpoint's 64 rounds here would only re-prove that
+    // slowly)
+    val fix = graft.operators.DedupOps.connectedComponents(edges, 1000000L)
       .as[(Long, Long)].collect().toMap
     assert(got === fix)
   }
