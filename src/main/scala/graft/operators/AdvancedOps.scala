@@ -780,7 +780,92 @@ object AdvancedOps extends QueryModule {
        |FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Decision-stump training sweep — the distributed primitive under every
+    * tree learner: for 15 equi-width candidate thresholds over the
+    * centi-quantized `value`, the class counts and weighted Gini impurity
+    * of the (v ≤ t) split predicting `event_type = 'error'`. One pass:
+    * the 15-row threshold table broadcast against the scan (each row lands
+    * in every ≥-its-value candidate via the non-equi condition), one hash
+    * aggregate, exact ppm Gini on a DECIMAL(38,0) carrier (pos²·10⁶ wraps
+    * BIGINT past ~3e6 rows per side). The argmin row is the trained stump;
+    * emitting the whole sweep keeps the hash channel over every candidate.
+    * NULL values/types are excluded (no position on the threshold grid).
+    */
+  private def giniSplitSweep(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = events(s, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("vc"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("y"))
+    val mm = base.agg(min(col("vc")).as("lo"), max(col("vc")).as("hi"),
+      count(lit(1)).cast("long").as("n"), sum(col("y")).cast("long").as("pos"))
+    val cand = mm.select(explode(sequence(lit(1), lit(15))).as("i"),
+      col("lo"), col("hi"), col("n"), col("pos"))
+      .select(col("i").cast("long").as("i"),
+        expr("lo + ((hi - lo) * i) div 16").as("t_centi"),
+        col("n"), col("pos"))
+    // integral `div` throughout, never decimal `/`: Spark's decimal
+    // division ROUNDS half-up at the result scale while DuckDB's `//`
+    // truncates — a one-ulp class of hash mismatch
+    def giniExpr(p: String, q: String): String =
+      s"""CASE WHEN ($p) + ($q) > 0 THEN 1000000 -
+         |  (CAST($p AS DECIMAL(38,0)) * ($p) + CAST($q AS DECIMAL(38,0)) * ($q))
+         |    * 1000000 div
+         |  (CAST(($p) + ($q) AS DECIMAL(38,0)) * (($p) + ($q)))
+         |ELSE 0 END""".stripMargin
+    base.join(broadcast(cand), col("vc") <= col("t_centi"))
+      .groupBy(col("i"), col("t_centi"), col("n"), col("pos"))
+      .agg(count(lit(1)).cast("long").as("n_l"),
+        sum(col("y")).cast("long").as("pos_l"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("pos_r", col("pos") - col("pos_l"))
+      .withColumn("g_l", expr(giniExpr("pos_l", "n_l - pos_l")))
+      .withColumn("g_r", expr(giniExpr("pos_r", "n_r - pos_r")))
+      .select(col("i"), col("t_centi"), col("n_l"), col("pos_l"),
+        col("n_r"), col("pos_r"),
+        expr("""(CAST(n_l AS DECIMAL(38,0)) * g_l +
+                 CAST(n_r AS DECIMAL(38,0)) * g_r) div n""").as("gini_ppm"))
+      .orderBy(col("i"))
+  }
+
+  private val giniSplitSweepSql: String =
+    """WITH base AS (
+      |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), mm AS (
+      |  SELECT MIN(vc) AS lo, MAX(vc) AS hi, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM base
+      |), cand AS (
+      |  SELECT CAST(i AS BIGINT) AS i,
+      |    CAST(lo + ((hi - lo) * i) // 16 AS BIGINT) AS t_centi, n, pos
+      |  FROM mm, LATERAL (SELECT unnest(generate_series(1, 15)) AS i) g
+      |), agg AS (
+      |  SELECT c.i, c.t_centi, c.n, c.pos,
+      |    CAST(COUNT(*) AS BIGINT) AS n_l, CAST(SUM(b.y) AS BIGINT) AS pos_l
+      |  FROM base b JOIN cand c ON b.vc <= c.t_centi
+      |  GROUP BY 1, 2, 3, 4
+      |), g AS (
+      |  SELECT i, t_centi, n_l, pos_l, n - n_l AS n_r, pos - pos_l AS pos_r, n,
+      |    CASE WHEN n_l > 0 THEN 1000000 -
+      |      (CAST(pos_l AS HUGEINT) * pos_l +
+      |       CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l)) * 1000000 //
+      |      (CAST(n_l AS HUGEINT) * n_l) ELSE 0 END AS g_l,
+      |    CASE WHEN n - n_l > 0 THEN 1000000 -
+      |      (CAST(pos - pos_l AS HUGEINT) * (pos - pos_l) +
+      |       CAST((n - n_l) - (pos - pos_l) AS HUGEINT) *
+      |         ((n - n_l) - (pos - pos_l))) * 1000000 //
+      |      (CAST(n - n_l AS HUGEINT) * (n - n_l)) ELSE 0 END AS g_r
+      |  FROM agg
+      |)
+      |SELECT i, t_centi, n_l, pos_l, n_r, pos_r,
+      |  CAST((CAST(n_l AS HUGEINT) * g_l + CAST(n_r AS HUGEINT) * g_r) // n
+      |       AS BIGINT) AS gini_ppm
+      |FROM g ORDER BY i""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("gini_split_sweep", giniSplitSweep, Some(giniSplitSweepSql)),
     Q("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("data_quality_report", dataQualityReport, Some(dataQualityReportSql)),

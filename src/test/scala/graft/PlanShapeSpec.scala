@@ -148,6 +148,7 @@ class PlanShapeSpec extends SparkSpec {
       "hard_negatives", // bounded 30-anchor broadcast (cosine_topk class)
       "mmr_diversify", // 1-row query + <=20-row pool/selected broadcasts
       "t_closeness_report", // band-domain grid + 1-row (N, m) broadcasts
+      "gini_split_sweep", // 15-row threshold-candidate broadcast (range_join class)
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
