@@ -504,12 +504,24 @@ object RelationalOps extends QueryModule {
     * aggregated per event type. Functionally the get_json_object path
     * ([[jsonPropsStats]]) — but VARIANT parses once into a binary form and
     * every later field access is a cheap typed probe, the right shape when
-    * a 100 TB pipeline touches several fields of the same payload. */
+    * a 100 TB pipeline touches several fields of the same payload.
+    *
+    * Typed-probe semantics, pinned across both engines: only values whose
+    * JSON type IS integer count as k. Spark's variant cast would otherwise
+    * coerce (5.7 → 5 truncated, "31" → 31, true → 1) while DuckDB's
+    * TRY_CAST on the extracted string ROUNDS 5.7 → 6 — so the schema guard
+    * (`schema_of_variant = 'BIGINT'`; in-range JSON integers always probe
+    * as BIGINT, non-integers as DECIMAL, out-of-int64 as DECIMAL(>18,0))
+    * pairs with the oracle's `json_type IN ('BIGINT','UBIGINT')`. The
+    * contrast with [[jsonPropsStats]] (string coercion: "31" counts) is
+    * deliberate and fixture-tested. */
   private def variantPropsStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .filter(col("event_type").isNotNull)
+      .withColumn("kv", expr("try_variant_get(try_parse_json(props), '$.k')"))
       .withColumn("k",
-        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')"))
+        expr("CASE WHEN schema_of_variant(kv) = 'BIGINT'" +
+          " THEN try_variant_get(kv, '$', 'bigint') END"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         count(col("k")).cast("long").as("n_with_k"),
@@ -519,17 +531,20 @@ object RelationalOps extends QueryModule {
       .orderBy(col("event_type"))
 
   private val variantPropsStatsSql: String =
-    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(COUNT(try_cast(json_extract_string(props, '$.k') AS BIGINT))
-      |       AS BIGINT) AS n_with_k,
-      |  CAST(SUM(try_cast(json_extract_string(props, '$.k') AS BIGINT))
-      |       AS BIGINT) AS sum_k,
-      |  CAST(MIN(try_cast(json_extract_string(props, '$.k') AS BIGINT))
-      |       AS BIGINT) AS min_k,
-      |  CAST(MAX(try_cast(json_extract_string(props, '$.k') AS BIGINT))
-      |       AS BIGINT) AS max_k
-      |FROM events WHERE event_type IS NOT NULL
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(props)
+      |           AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+      |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |    END AS k
+      |  FROM events WHERE event_type IS NOT NULL
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- window value/distribution functions --------------------------------
 
@@ -2522,9 +2537,13 @@ object RelationalOps extends QueryModule {
     Q("recursive_reachability", recursiveReachability, Some(recursiveReachabilitySql)),
     Q("variant_props_stats", variantPropsStats, Some(variantPropsStatsSql)),
     Q("json_props_stats", jsonPropsStats, Some(
+      // the regexp pins DuckDB's TRY_CAST to Spark's string→bigint cast:
+      // DuckDB ROUNDS '5.7' → 6, Spark rejects non-integral strings → NULL
       """WITH j AS (
-        |  SELECT event_type, TRY_CAST(CASE WHEN json_valid(props)
-        |    THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+        |  SELECT event_type, CASE WHEN json_valid(props) AND regexp_matches(
+        |    json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+        |    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |  END AS k
         |  FROM events
         |)
         |SELECT event_type,

@@ -1753,6 +1753,11 @@ object SimilarityOps extends QueryModule {
       .orderBy(col("cosine").desc, col("c_id"))
     broadcast(q).join(c,
         col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+      // mirror the oracle's q.norm2 > 0 AND c.norm2 > 0: zero-quantized-norm
+      // vectors yield NULL cosine but would still take row_number ranks
+      // (DESC puts NULLs last, not out) and surface when an anchor has < 5
+      // valid different-label candidates
+      .filter(col("q_norm2") > 0 && col("c_norm2") > 0)
       .withColumn("cosine",
         cosineQ(dotQ(col("q_emb"), col("c_emb")), col("q_norm2"), col("c_norm2")))
       .withColumn("rk", row_number().over(w))

@@ -28,7 +28,9 @@ class HostileEmbeddingsSpec extends SparkSpec {
     "embedding_norm_outliers", "embedding_stats", "int8_quantization_error",
     "jl_projection",
     "kmeans_trained", "knn_classify", "label_centroids", "mutual_knn",
-    "pca_projection", "pq_ann_eval", "pq_quantization", "semantic_dedup")
+    "pca_projection", "pq_ann_eval", "pq_quantization", "semantic_dedup",
+    // round 9: classifier eval + contrastive/RAG rerank
+    "roc_auc", "calibration_bins", "hard_negatives", "mmr_diversify")
 
   test("every embeddings-backed query survives the hostile fixture, twice") {
     embQueries.foreach { name =>

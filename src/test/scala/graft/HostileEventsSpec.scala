@@ -72,7 +72,12 @@ class HostileEventsSpec extends SparkSpec {
     // round 8: the two reference mains, crash-restart, drift, float anomaly
     "streaming_summary_replay", "streaming_per_record_replay",
     "streaming_restart_replay", "streaming_drift_replay",
-    "streaming_anomaly_float_replay")
+    "streaming_anomaly_float_replay",
+    // round 9: gini sweep, VARIANT, full-outer join, chained dedup→agg,
+    // transformWithState rate limiter
+    "gini_split_sweep", "variant_props_stats",
+    "streaming_full_join_replay", "streaming_dedup_agg_replay",
+    "streaming_rate_limit_replay")
 
   test("every events-backed query survives the hostile fixture, twice") {
     eventQueries.foreach { name =>

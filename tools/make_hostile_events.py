@@ -83,6 +83,13 @@ HOSTILE = [
     # ±1e7 easily, but these rows land in every events group ---
     (25 * US,    9013, "purchase", 499.99,  '{"k": 26}'),
     (26 * US,    9013, "purchase", -499.99, '{"k": 27}'),
+    # --- typed-vs-coerced k (round 10): non-integer number, numeric string,
+    # bool. variant_props_stats (typed probe) must exclude all three;
+    # json_props_stats (string coercion) must accept ONLY the integral
+    # string "31" — and the DuckDB oracle must not round '5.7' to 6 ---
+    (27 * US,    9014, "click",    1.0,     '{"k": 5.7}'),
+    (28 * US,    9014, "click",    2.0,     '{"k": "31"}'),
+    (29 * US,    9014, "click",    3.0,     '{"k": true}'),
 ]
 
 
