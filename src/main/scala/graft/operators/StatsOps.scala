@@ -34,23 +34,39 @@ object StatsOps extends QueryModule {
     s"CAST($a AS HUGEINT) * CAST($b AS HUGEINT)"
 
   /** HLL approximate distinct (approx_count_distinct — Spark's
-    * HyperLogLog++). Sketch internals differ per engine, so no SQL oracle;
-    * sanity-bounded in ScalaTest against the exact count. Rows-only here.
+    * HyperLogLog++), in the HASH channel since round 10: the sketch's
+    * register layout is engine-private, so instead of the raw estimate the
+    * query emits the exact count plus the estimate's ±5 % error-band
+    * verdict as a boolean — `|est − exact| · 20 ≤ exact`, all-integer. The
+    * oracle computes the exact COUNT(DISTINCT) and asserts TRUE: for a
+    * fixed rsd the HLL++ estimate is deterministic, so a regression in the
+    * sketch (or a silent rsd change) flips the boolean and hash-fails. rsd
+    * 0.01 keeps the 5 % band ≈5σ wide — deterministic headroom, not luck.
     */
   private def hllDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("hll_within_5pct",
+        abs(col("approx_users") - col("exact_users")) * lit(20L)
+          <= col("exact_users"))
+      .select(col("event_type"), col("exact_users"), col("hll_within_5pct"))
       .orderBy(col("event_type"))
+
+  private val hllDistinctSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val KMV_K = 32
   private val TWO_52 = 4503599627370496.0 // 2^52, exactly representable
 
   /** KMV (k-minimum-values) approximate distinct count — the sketch whose
-    * math IS cross-engine exact, unlike HLL++ (`hll_distinct` stays
-    * rows-only because its register layout is engine-private). The estimator
+    * math IS cross-engine exact, unlike HLL++ (`hll_distinct` hash-checks
+    * an error BAND because its register layout is engine-private). The estimator
     * is (k-1)/u_k with u_k the k-th smallest md5-derived hash mapped to
     * (0,1]; every quantity here is integer or an exact IEEE division, so
     * DuckDB reproduces the estimate bit-for-bit.
@@ -2978,7 +2994,7 @@ object StatsOps extends QueryModule {
     Q("mutual_information", mutualInformation, Some(mutualInformationSql)),
     Q("emd_pairwise", emdPairwise, Some(emdPairwiseSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
-    Q("hll_distinct", hllDistinct, None),
+    Q("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("kmv_distinct_agg", kmvDistinctAgg, Some(kmvDistinctAggSql)),
     Q("kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),

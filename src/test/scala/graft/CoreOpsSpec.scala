@@ -46,13 +46,14 @@ class CoreOpsSpec extends SparkSpec {
     assert(perKey === total)
   }
 
-  test("hll approx distinct is within 10% of exact (sketch sanity)") {
+  test("hll approx distinct is within the 5% band on every group") {
+    // the band boolean IS the query's hash-channel contract (the oracle
+    // emits literal TRUE); pin it Spark-side too
     val rows = SparkEntry.queries("hll_distinct")(spark, sf001)
-      .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
+      .select($"exact_users", $"hll_within_5pct").as[(Long, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.10).toLong),
-        s"approx=$approx exact=$exact")
+    rows.foreach { case (exact, ok) =>
+      assert(ok, s"HLL estimate left the 5% band at exact=$exact")
     }
   }
 
