@@ -505,6 +505,117 @@ object ReplayOps extends QueryModule {
       col("user_id"), col("event_id"))
   }
 
+  /** Pin the RocksDB state store provider (the only backend
+    * transformWithState runs on in Spark 4.1) around `body`, restoring the
+    * session's previous provider after. */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  /** Map [[StreamJobs.sessionizeTws]] output (key, startUs, lastUs, n) onto
+    * the batch session oracle's shape (user_id, session_start,
+    * session_end = last + gap, n), sentinel key filtered. */
+  private def twsSessionShape(df: DataFrame): DataFrame =
+    QOps.ordered1(
+      df.filter(col("key") >= 0).select(
+        col("key").as("user_id"),
+        timestamp_micros(col("startUs")).cast("timestamp_ntz")
+          .as("session_start"),
+        (timestamp_micros(col("lastUs")) + expr("INTERVAL 30 MINUTES"))
+          .cast("timestamp_ntz").as("session_end"),
+        col("n")),
+      col("user_id"), col("session_start"))
+
+  /** transformWithState EVENT-TIME-TIMER sessionizer
+    * (StreamJobs.sessionizeTws — TimeMode.EventTime, per-key timers on the
+    * RocksDB provider): 30-minute-gap sessions close when the watermark
+    * passes last + gap. Two time-split batches prove the open-session
+    * ValueState resumes across the batch boundary; two watermark sentinels
+    * (+3 h / +6 h past the data, the restartReplay pattern) then fire every
+    * remaining timer — timers only run inside batches, and pinPartitions
+    * disables no-data batches, so the second sentinel batch executes with
+    * the first sentinel's watermark. Oracle: the UNCHANGED batch session
+    * SQL — the timer path is correct iff the hash doesn't move. */
+  private def twsSessionReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[Ev]
+    val out = StreamJobs.sessionizeTws(in.toDF(), 1800000000L, "0 seconds")
+    spark.catalog.dropTempView("replay_tws_session")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_twss")
+    val prevParts = pinPartitions(spark)
+    withRocksDb(spark) {
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName("replay_tws_session").start()
+      try {
+        Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+        val maxMs = evs.map(_.timestamp.getTime).max
+        Seq(3L, 6L).foreach { h =>
+          in.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
+          q.processAllAvailable()
+        }
+      } finally {
+        StreamQuiet.quietStop(q); rmTree(ckpt)
+        restorePartitions(spark, prevParts)
+      }
+    }
+    twsSessionShape(spark.table("replay_tws_session"))
+  }
+
+  /** Crash-restart replay of the transformWithState sessionizer ON THE
+    * ROCKSDB PROVIDER: batch 1 under q1, q1 stops, q2 resumes from the SAME
+    * checkpoint (RocksDB state + registered TIMERS + file-sink commit log
+    * recovered), batch 2 and the sentinels run under q2, and the durable
+    * parquet sink is read back. Sessions straddling the restart only merge
+    * if q2 restored q1's ValueState; sessions whose keys never reappear
+    * after the restart only emit if q1's registered timers survived into
+    * q2 — both defects are a hash mismatch against the unchanged batch
+    * session oracle. Complements streaming_restart_replay (HDFS-backed
+    * session_window aggregation) with Spark 4's stateful API + backend. */
+  private def twsRestartReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    withTempDir("graft_replay_twsr") { root =>
+      val prevParts = pinPartitions(spark)
+      try {
+        withRocksDb(spark) {
+          val in = MemoryStream[Ev]
+          val pipe = StreamJobs.sessionizeTws(in.toDF(), 1800000000L,
+            "0 seconds")
+          def start() = pipe.writeStream.outputMode("append")
+            .option("checkpointLocation", root + "/ckpt")
+            .option("path", root + "/out")
+            .format("parquet").start()
+          val q1 = start()
+          try { in.addData(b1.toSeq); q1.processAllAvailable() }
+          finally StreamQuiet.quietStop(q1)
+          val q2 = start() // SAME checkpoint, SAME sink: resume, not rebuild
+          try {
+            in.addData(b2.toSeq); q2.processAllAvailable()
+            val maxMs = evs.map(_.timestamp.getTime).max
+            Seq(3L, 6L).foreach { h =>
+              in.addData(Ev(-1L, "s", ts(maxMs + h * 3600 * 1000)))
+              q2.processAllAvailable()
+            }
+          } finally StreamQuiet.quietStop(q2)
+          materialize(twsSessionShape(spark.read.parquet(root + "/out")))
+        }
+      } finally restorePartitions(spark, prevParts)
+    }
+  }
+
   /** Stream-static broadcast enrichment (StreamJobs.streamStaticEnrich):
     * the event stream left-joined to a bounded dim (user → tier, with a
     * deliberate coverage gap so the 'unknown' fallback path is exercised).
@@ -1274,6 +1385,10 @@ object ReplayOps extends QueryModule {
         |)
         |SELECT user_id, event_id FROM r WHERE rn <= 3
         |ORDER BY user_id, event_id""".stripMargin)),
+    // transformWithState event-time timers: same oracle as the session
+    // replays — the timer path is correct iff the hash doesn't move
+    Q("streaming_tws_session_replay", twsSessionReplay, Some(sessionSql)),
+    Q("streaming_tws_restart_replay", twsRestartReplay, Some(sessionSql)),
     Q("streaming_enrich_replay", enrichReplay, Some(
       """SELECT user_id, event_type, ts,
         |  CASE WHEN user_id % 4 <> 3 THEN

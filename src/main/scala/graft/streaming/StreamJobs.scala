@@ -59,6 +59,85 @@ class RateLimitProcessor(maxPer: Int, windowUs: Long)
   }
 }
 
+/** A closed session from [[StreamJobs.sessionizeTws]]. Top-level for the
+  * Dataset deserializer, like [[Admitted]]. */
+case class ClosedSession(key: Long, startUs: Long, lastUs: Long, n: Long)
+
+/** The [[StreamJobs.sessionizeTws]] processor: event-time-timer
+  * sessionization on transformWithState — the API's flagship shape (state
+  * variables + EVENT-TIME timers, the part mapGroupsWithState's
+  * EventTimeTimeout did with opaque per-key juggling). Per key, ONE open
+  * session (start_us, last_us, n) in a ValueState; rows are folded in
+  * (ts, eid) order so a gap ≥ `gapUs` INSIDE a batch closes the session
+  * inline (deterministic under any task/arrival order), and the
+  * cross-batch close is an event-time timer at last + gap: when the
+  * WATERMARK passes it, [[handleExpiredTimer]] emits the session and
+  * clears the state. Timer hygiene: each batch deletes the key's previous
+  * timer before registering the new one, and the expiry guard ignores any
+  * stale timer that survived (fires are at-least-once across restarts).
+  * Timers are ms-granularity while event time is µs, so the expiry is
+  * CEIL(last+gap in ms) — a timer can then only fire once every row that
+  * could still MERGE (ts < last+gap, under a 0-delay watermark) has
+  * arrived; anything later starts a new session by the gap rule anyway.
+  */
+class TwsSessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, java.sql.Timestamp), ClosedSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues,
+    TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  private def expiryMs(lastUs: Long): Long =
+    Math.floorDiv(lastUs + gapUs + 999L, 1000L)
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("open_session",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    // (key, eid, us, ts): order by event time then id — iterator order is
+    // task-dependent, the session walk must not be
+    val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+    val out = Array.newBuilder[ClosedSession]
+    var open = if (st.exists()) Some(st.get()) else None
+    open.foreach { case (_, last, _) => getHandle.deleteTimer(expiryMs(last)) }
+    sorted.foreach { case (k, _, us, _) =>
+      open match {
+        case Some((start, last, n)) if us - last < gapUs =>
+          open = Some((start, math.max(last, us), n + 1))
+        case Some((start, last, n)) => // gap ≥ threshold: close inline
+          out += ClosedSession(k, start, last, n)
+          open = Some((us, us, 1L))
+        case None =>
+          open = Some((us, us, 1L))
+      }
+    }
+    open.foreach { case s @ (_, last, _) =>
+      st.update(s); getHandle.registerTimer(expiryMs(last))
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    if (st.exists()) {
+      val (start, last, n) = st.get()
+      // stale-timer guard: only the expiry the CURRENT state implies closes
+      if (expiryMs(last) == expiredTimerInfo.getExpiryTimeInMs) {
+        st.clear()
+        return Iterator.single(ClosedSession(key, start, last, n))
+      }
+    }
+    Iterator.empty
+  }
+}
+
 /** Append-only "topic table" modeling a Kafka producer sink
   * (KafkaProducer.scala:8-11): parquet rows (topic, key, value, ts). */
 final class TopicTableSink(path: String) extends Serializable {
@@ -603,6 +682,31 @@ object StreamJobs {
       .groupByKey(_._1)
       .transformWithState(new RateLimitProcessor(maxPer, windowUs),
         org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+  }
+
+  /** Event-time sessionization on `transformWithState`
+    * (TimeMode.EventTime + per-key timers — see [[TwsSessionProcessor]]):
+    * sessions close when the WATERMARK passes last-event + gap, so state is
+    * one (start, last, n) triple per key with a live session — O(active
+    * keys), bounded by the watermark exactly as the built-in
+    * session_window aggregation is. Input needs `key`, `eid` and a
+    * `timestamp` column the watermark rides on. Requires the RocksDB state
+    * store provider (the only transformWithState backend in 4.1). */
+  def sessionizeTws(input: DataFrame, gapUs: Long,
+      watermark: String): DataFrame = {
+    import input.sparkSession.implicits._
+    input
+      // the event-time column must survive into the stateful operator —
+      // EventTime mode filters late rows against it and rides the watermark
+      .select(col("key").cast("long"), col("eid").cast("long"),
+        unix_micros(col("timestamp")).as("us"), col("timestamp"))
+      .withWatermark("timestamp", watermark)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TwsSessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF()
   }

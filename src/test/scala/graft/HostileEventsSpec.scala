@@ -77,7 +77,9 @@ class HostileEventsSpec extends SparkSpec {
     // transformWithState rate limiter
     "gini_split_sweep", "variant_props_stats",
     "streaming_full_join_replay", "streaming_dedup_agg_replay",
-    "streaming_rate_limit_replay")
+    "streaming_rate_limit_replay",
+    // round 10: transformWithState event-time timers + RocksDB restart
+    "streaming_tws_session_replay", "streaming_tws_restart_replay")
 
   test("every events-backed query survives the hostile fixture, twice") {
     eventQueries.foreach { name =>
