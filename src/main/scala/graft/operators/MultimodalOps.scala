@@ -274,6 +274,63 @@ object MultimodalOps extends QueryModule {
        |FROM ah GROUP BY 1, 2 HAVING COUNT(*) >= 2
        |ORDER BY ahash_hi, ahash_lo""".stripMargin
 
+  /** Perceptual NEAR-duplicates: aHash pairs within hamming ≤ 3 — the
+    * "same image up to a few flipped threshold bits" relaxation exact-hash
+    * grouping ([[imageAhashDups]]) cannot see. Candidate generation is the
+    * simhash_pairs banded-LSH shape applied to the 64-bit aHash: 4 bands
+    * of 16 bits, docs exploded to (band_idx, band_val) rows, candidates
+    * from the band EQUI-join — by pigeonhole any pair within hamming ≤ 3
+    * agrees exactly on ≥ 1 of the 4 bands, so banding is LOSSLESS here and
+    * the pair space never materializes (at corpus scale only same-band
+    * docs meet; PlanShapeSpec pins the equi-join). Exact 64-bit hamming
+    * filters the candidates; DISTINCT collapses multi-band matches. */
+  private def imageAhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    // cache: one decode pass feeds both sides of the band self-join
+    val ah = ahashTable(pngTable(s, dir)).toDF()
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")).cache()
+    val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array(
+        col("ahash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)),
+        col("ahash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    graft.QOps.ordered1(
+      bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          (bit_count(col("x.ahash_hi").bitwiseXOR(col("y.ahash_hi"))) +
+            bit_count(col("x.ahash_lo").bitwiseXOR(col("y.ahash_lo"))))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct(),
+      col("a_id"), col("b_id"))
+  }
+
+  private val imageAhashNearDupsSql: String =
+    s"""WITH $ahashCtes,
+       |bands AS (
+       |  SELECT doc_id, ahash_hi, ahash_lo, b.band_idx,
+       |    CASE b.band_idx
+       |      WHEN 0 THEN ahash_lo & 65535
+       |      WHEN 1 THEN (ahash_lo >> 16) & 65535
+       |      WHEN 2 THEN ahash_hi & 65535
+       |      ELSE (ahash_hi >> 16) & 65535 END AS band_val
+       |  FROM ah CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b
+       |)
+       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |  CAST(bit_count(xor(x.ahash_hi, y.ahash_hi)) +
+       |       bit_count(xor(x.ahash_lo, y.ahash_lo)) AS BIGINT) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       | AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.ahash_hi, y.ahash_hi)) +
+       |      bit_count(xor(x.ahash_lo, y.ahash_lo)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
   private val mediaDecodeRealSql =
     """WITH dims AS (
       |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
@@ -426,6 +483,7 @@ object MultimodalOps extends QueryModule {
     Q("media_decode_real", mediaDecodeReal, Some(mediaDecodeRealSql)),
     Q("image_ahash", imageAhash, Some(imageAhashSql)),
     Q("image_ahash_dups", imageAhashDups, Some(imageAhashDupsSql)),
+    Q("image_ahash_near_dups", imageAhashNearDups, Some(imageAhashNearDupsSql)),
     Q("payload_frame_dup", payloadFrameDup, Some(payloadFrameDupSql)),
     Q("multimodal_resize", mediaResize, Some(
       // COALESCE: DuckDB's array_to_string over an empty list yields NULL

@@ -87,6 +87,7 @@ object CacheHygieneSpec {
     "q15_top_supplier", "quantile_normalize", "recsys_ndcg_eval",
     "recsys_precision_eval", "rrf_fusion", "segmented_trend",
     "semantic_dedup", "session_overlap_pairs", "shingle_novelty",
+    "image_ahash_near_dups", // cached decode/ahash table on both band-join sides (simhash_pairs class)
     "simhash_pairs", "sorted_neighborhood", "source_dedup_matrix",
     "spearman_corr", "supplier_pareto", "token_budget_waterfill", // ranked per-source table read by binding agg + final projection
     "triangle_count", "vocab_growth",

@@ -170,6 +170,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("image_ahash_near_dups blocks candidates through the band equi-join, " +
+      "never all-pairs") {
+    val p = plan("image_ahash_near_dups")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "banded candidate generation degraded to an all-pairs join")
+  }
+
   test("asof_join_exec plans the custom sorted-merge as-of operator") {
     val p = plan("asof_join_exec")
     assert(p.contains("AsOfJoin"), p)
