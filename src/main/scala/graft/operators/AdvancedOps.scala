@@ -791,42 +791,60 @@ object AdvancedOps extends QueryModule {
     * emitting the whole sweep keeps the hash channel over every candidate.
     * NULL values/types are excluded (no position on the threshold grid).
     */
-  private def giniSplitSweep(s: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val base = events(s, dir)
+  // integral `div` throughout, never decimal `/`: Spark's decimal
+  // division ROUNDS half-up at the result scale while DuckDB's `//`
+  // truncates — a one-ulp class of hash mismatch
+  private def giniExpr(p: String, q: String): String =
+    s"""CASE WHEN ($p) + ($q) > 0 THEN 1000000 -
+       |  (CAST($p AS DECIMAL(38,0)) * ($p) + CAST($q AS DECIMAL(38,0)) * ($q))
+       |    * 1000000 div
+       |  (CAST(($p) + ($q) AS DECIMAL(38,0)) * (($p) + ($q)))
+       |ELSE 0 END""".stripMargin
+
+  /** The events rows as (vc, y): centi-quantized `value`, label
+    * `event_type = 'error'`. Shared by the stump and depth-2 sweeps. */
+  private def stumpBase(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(round(col("value") * 100).cast("long").as("vc"),
         when(col("event_type") === "error", 1L).otherwise(0L).as("y"))
-    val mm = base.agg(min(col("vc")).as("lo"), max(col("vc")).as("hi"),
-      count(lit(1)).cast("long").as("n"), sum(col("y")).cast("long").as("pos"))
-    val cand = mm.select(explode(sequence(lit(1), lit(15))).as("i"),
+
+  /** One threshold sweep per node over a node-tagged (node, vc, y) set:
+    * 15 equi-width candidates on each node's own [lo, hi], class counts
+    * and exact ppm Gini of each (vc ≤ t) split. The candidate table is at
+    * most 15·|nodes| rows, broadcast against one scan of the tagged set
+    * (equi on node + the non-equi threshold lands as a BroadcastHashJoin
+    * residual, ≤15× bounded amplification). */
+  private def nodeSweep(tagged: DataFrame): DataFrame = {
+    val mm = tagged.groupBy(col("node"))
+      .agg(min(col("vc")).as("lo"), max(col("vc")).as("hi"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("pos"))
+    val cand = mm.select(col("node").as("cnode"),
+      explode(sequence(lit(1), lit(15))).as("i"),
       col("lo"), col("hi"), col("n"), col("pos"))
-      .select(col("i").cast("long").as("i"),
+      .select(col("cnode"), col("i").cast("long").as("i"),
         expr("lo + ((hi - lo) * i) div 16").as("t_centi"),
         col("n"), col("pos"))
-    // integral `div` throughout, never decimal `/`: Spark's decimal
-    // division ROUNDS half-up at the result scale while DuckDB's `//`
-    // truncates — a one-ulp class of hash mismatch
-    def giniExpr(p: String, q: String): String =
-      s"""CASE WHEN ($p) + ($q) > 0 THEN 1000000 -
-         |  (CAST($p AS DECIMAL(38,0)) * ($p) + CAST($q AS DECIMAL(38,0)) * ($q))
-         |    * 1000000 div
-         |  (CAST(($p) + ($q) AS DECIMAL(38,0)) * (($p) + ($q)))
-         |ELSE 0 END""".stripMargin
-    base.join(broadcast(cand), col("vc") <= col("t_centi"))
-      .groupBy(col("i"), col("t_centi"), col("n"), col("pos"))
+    tagged.join(broadcast(cand),
+        col("node") === col("cnode") && col("vc") <= col("t_centi"))
+      .groupBy(col("node"), col("i"), col("t_centi"), col("n"), col("pos"))
       .agg(count(lit(1)).cast("long").as("n_l"),
         sum(col("y")).cast("long").as("pos_l"))
       .withColumn("n_r", col("n") - col("n_l"))
       .withColumn("pos_r", col("pos") - col("pos_l"))
       .withColumn("g_l", expr(giniExpr("pos_l", "n_l - pos_l")))
       .withColumn("g_r", expr(giniExpr("pos_r", "n_r - pos_r")))
-      .select(col("i"), col("t_centi"), col("n_l"), col("pos_l"),
-        col("n_r"), col("pos_r"),
+      .select(col("node"), col("i"), col("t_centi"), col("n_l"),
+        col("pos_l"), col("n_r"), col("pos_r"),
         expr("""(CAST(n_l AS DECIMAL(38,0)) * g_l +
                  CAST(n_r AS DECIMAL(38,0)) * g_r) div n""").as("gini_ppm"))
-      .orderBy(col("i"))
   }
+
+  private def giniSplitSweep(s: SparkSession, dir: String): DataFrame =
+    nodeSweep(stumpBase(s, dir).withColumn("node", lit("root")))
+      .drop("node")
+      .orderBy(col("i"))
 
   private val giniSplitSweepSql: String =
     """WITH base AS (
@@ -864,8 +882,97 @@ object AdvancedOps extends QueryModule {
       |       AS BIGINT) AS gini_ppm
       |FROM g ORDER BY i""".stripMargin
 
+  /** Depth-2 decision-tree training sweep — the canonical next step past
+    * the stump, and the shape every level-synchronous distributed tree
+    * learner repeats: (1) the root's 15-threshold sweep, (2) argmin by
+    * (gini_ppm, i) picks the trained root split t0 (a 1-row broadcast —
+    * `min(struct(...))` here, `ORDER BY ... LIMIT 1` in the oracle; `i` is
+    * unique so the tie-break is total), (3) every row is tagged L/R by
+    * t0 and BOTH child nodes sweep their own 15 candidates in ONE extra
+    * pass (the candidate table carries the node key, so the broadcast
+    * non-equi join stays ≤15× amplification regardless of node count —
+    * exactly how a depth-d learner does 2^d nodes per level in one scan).
+    * Output = the root sweep plus both child sweeps, node-keyed; the
+    * argmin row per node is the trained tree. All-integer ppm Gini on
+    * DECIMAL(38,0) carriers, as [[giniSplitSweep]]. A child with no rows
+    * contributes no sweep rows (both engines agree: empty GROUP BY group).
+    * The (vc, y) projection is cached across the three passes — two longs
+    * per row, the standard columnar-feature residency a tree learner keeps.
+    */
+  private def treeDepth2Sweep(s: SparkSession, dir: String): DataFrame = {
+    val base = stumpBase(s, dir).cache()
+    val rootSweep = nodeSweep(base.withColumn("node", lit("root")))
+    val t0 = rootSweep
+      .agg(min(struct(col("gini_ppm"), col("i"), col("t_centi"))).as("m"))
+      .select(col("m.t_centi").as("t0"))
+    val tagged = base.crossJoin(broadcast(t0))
+      .withColumn("node", when(col("vc") <= col("t0"), "L").otherwise("R"))
+      .select(col("node"), col("vc"), col("y"))
+    rootSweep.unionByName(nodeSweep(tagged))
+      .orderBy(col("node"), col("i"))
+  }
+
+  private val treeDepth2SweepSql: String = {
+    // the per-node sweep, as a SQL template over a (node, vc, y) CTE
+    def sweepSql(src: String): String =
+      s"""  SELECT c.node, c.i, c.t_centi, c.n, c.pos,
+         |    CAST(COUNT(*) AS BIGINT) AS n_l, CAST(SUM(b.y) AS BIGINT) AS pos_l
+         |  FROM $src b JOIN (
+         |    SELECT node, CAST(i AS BIGINT) AS i,
+         |      CAST(lo + ((hi - lo) * i) // 16 AS BIGINT) AS t_centi, n, pos
+         |    FROM (
+         |      SELECT node, MIN(vc) AS lo, MAX(vc) AS hi,
+         |        CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+         |      FROM $src GROUP BY node
+         |    ) mm, LATERAL (SELECT unnest(generate_series(1, 15)) AS i) g
+         |  ) c ON b.node = c.node AND b.vc <= c.t_centi
+         |  GROUP BY 1, 2, 3, 4, 5""".stripMargin
+    def giniSql(src: String): String =
+      s"""  SELECT node, i, t_centi, n_l, pos_l,
+         |    n - n_l AS n_r, pos - pos_l AS pos_r, n,
+         |    CASE WHEN n_l > 0 THEN 1000000 -
+         |      (CAST(pos_l AS HUGEINT) * pos_l +
+         |       CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l)) * 1000000 //
+         |      (CAST(n_l AS HUGEINT) * n_l) ELSE 0 END AS g_l,
+         |    CASE WHEN n - n_l > 0 THEN 1000000 -
+         |      (CAST(pos - pos_l AS HUGEINT) * (pos - pos_l) +
+         |       CAST((n - n_l) - (pos - pos_l) AS HUGEINT) *
+         |         ((n - n_l) - (pos - pos_l))) * 1000000 //
+         |      (CAST(n - n_l AS HUGEINT) * (n - n_l)) ELSE 0 END AS g_r
+         |  FROM ($src)""".stripMargin
+    val finalCols =
+      """node, i, t_centi, n_l, pos_l, n_r, pos_r,
+        |  CAST((CAST(n_l AS HUGEINT) * g_l + CAST(n_r AS HUGEINT) * g_r) // n
+        |       AS BIGINT) AS gini_ppm""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+       |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+       |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+       |), t1 AS (
+       |  SELECT 'root' AS node, vc, y FROM base
+       |), sweep1 AS (
+       |  SELECT $finalCols
+       |  FROM (
+       |${giniSql(sweepSql("t1"))}
+       |  )
+       |), root_pick AS (
+       |  SELECT t_centi AS t0 FROM sweep1 ORDER BY gini_ppm, i LIMIT 1
+       |), t2 AS (
+       |  SELECT CASE WHEN vc <= t0 THEN 'L' ELSE 'R' END AS node, vc, y
+       |  FROM base, root_pick
+       |), sweep2 AS (
+       |  SELECT $finalCols
+       |  FROM (
+       |${giniSql(sweepSql("t2"))}
+       |  )
+       |)
+       |SELECT * FROM sweep1 UNION ALL SELECT * FROM sweep2
+       |ORDER BY node, i""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("gini_split_sweep", giniSplitSweep, Some(giniSplitSweepSql)),
+    Q("tree_depth2_sweep", treeDepth2Sweep, Some(treeDepth2SweepSql)),
     Q("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("data_quality_report", dataQualityReport, Some(dataQualityReportSql)),

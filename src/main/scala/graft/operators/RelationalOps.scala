@@ -546,6 +546,69 @@ object RelationalOps extends QueryModule {
       |  CAST(MAX(k) AS BIGINT) AS max_k
       |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Heterogeneous-schema VARIANT audit — the per-event-type field
+    * inventory a real semi-structured props column needs before anyone
+    * writes typed extractions against it: every top-level key, its JSON
+    * type class, and how often it occurs. Spark side is the Spark-4 VARIANT
+    * path end-to-end: `try_parse_json` once → `variant_explode` LATERAL
+    * over the object fields → `schema_of_variant` per value; one hash
+    * aggregate after the generator, no per-key re-parse. Contrast with
+    * [[variantPropsStats]], which probes a single known path.
+    *
+    * Type classes are pinned across engines (Spark `schema_of_variant` vs
+    * DuckDB `json_type(props, path)`): int (BIGINT/UBIGINT), num (DOUBLE
+    * and decimal-typed JSON numbers), str, bool, obj, arr, null. One pinned
+    * asymmetry, documented out of contract: integer literals OUTSIDE int64
+    * probe as DECIMAL(p,0) on Spark ('num') but UBIGINT in DuckDB for
+    * [2^63, 2^64) ('int') — fixtures contain none (hostile fixture sweeps
+    * str/num/bool/nested-obj/malformed/NULL). Non-object and malformed
+    * props rows are excluded on both sides (try_parse_json → NULL; the
+    * oracle guards json_keys' argument, since DuckDB's JSON laterals ABORT
+    * on malformed input if filtered only in WHERE).
+    */
+  private def variantFieldInventory(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), expr("try_parse_json(props)").as("v"))
+      .filter(expr("schema_of_variant(v) LIKE 'OBJECT%'"))
+      .createOrReplaceTempView("variant_inv_src")
+    s.sql(
+      """WITH f AS (
+        |  SELECT event_type, f.key AS key, schema_of_variant(f.value) AS st
+        |  FROM variant_inv_src, LATERAL variant_explode(v) AS f
+        |)
+        |SELECT event_type, key,
+        |  CASE WHEN st = 'BIGINT' THEN 'int'
+        |       WHEN st = 'DOUBLE' OR st LIKE 'DECIMAL%' THEN 'num'
+        |       WHEN st = 'STRING' THEN 'str'
+        |       WHEN st = 'BOOLEAN' THEN 'bool'
+        |       WHEN st LIKE 'OBJECT%' THEN 'obj'
+        |       WHEN st LIKE 'ARRAY%' THEN 'arr'
+        |       WHEN st = 'VOID' THEN 'null'
+        |       ELSE 'other' END AS type_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM f GROUP BY event_type, key, type_class
+        |ORDER BY event_type, key, type_class""".stripMargin)
+  }
+
+  private val variantFieldInventorySql: String =
+    """WITH f AS (
+      |  SELECT e.event_type, u.key AS key,
+      |    json_type(e.props, '$."' || u.key || '"') AS jt
+      |  FROM events e, UNNEST(json_keys(
+      |    CASE WHEN json_valid(e.props) AND json_type(e.props) = 'OBJECT'
+      |         THEN e.props END)) AS u(key)
+      |  WHERE e.event_type IS NOT NULL
+      |)
+      |SELECT event_type, key,
+      |  CASE jt WHEN 'BIGINT' THEN 'int' WHEN 'UBIGINT' THEN 'int'
+      |    WHEN 'DOUBLE' THEN 'num' WHEN 'VARCHAR' THEN 'str'
+      |    WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'obj'
+      |    WHEN 'ARRAY' THEN 'arr' WHEN 'NULL' THEN 'null'
+      |    ELSE 'other' END AS type_class,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ---- window value/distribution functions --------------------------------
 
   /** Frame-addressed value functions + distribution: per-customer order
@@ -2536,6 +2599,8 @@ object RelationalOps extends QueryModule {
     Q("lateral_top2_suppliers", lateralTop2Suppliers, Some(lateralTop2SuppliersSql)),
     Q("recursive_reachability", recursiveReachability, Some(recursiveReachabilitySql)),
     Q("variant_props_stats", variantPropsStats, Some(variantPropsStatsSql)),
+    Q("variant_field_inventory", variantFieldInventory,
+      Some(variantFieldInventorySql)),
     Q("json_props_stats", jsonPropsStats, Some(
       // the regexp pins DuckDB's TRY_CAST to Spark's string→bigint cast:
       // DuckDB ROUNDS '5.7' → 6, Spark rejects non-integral strings → NULL

@@ -2057,8 +2057,102 @@ object SimilarityOps extends QueryModule {
        |       // COUNT(*) AS BIGINT) AS brier_micro2
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Matryoshka (truncated-dimension) retrieval eval: overlap@10 between
+    * the FULL 64-d cosine top-10 and the top-10 ranked by only the first
+    * [[MRL_DIMS]] dimensions — the question every MRL-style embedding
+    * deployment answers before serving a cheaper prefix ("how much ranking
+    * quality do the first 16 dims carry?"). Both rankings use the
+    * broadcast-anchors × partitioned-candidate-scan shape of [[cosineTopk]]
+    * (no shuffle of the candidate side; per-anchor top-k windows); the
+    * eval is a 200-row join. Prefix cosine = quantized prefix dot over
+    * prefix norms (a `slice` feeding the same codegen dot_q kernel). NULL
+    * cosines (zero full OR prefix quantized norm — hostile fixture) are
+    * filtered BEFORE ranking on both engines, so rank k is the k-th VALID
+    * neighbor; an anchor whose prefix is all-zero simply has overlap 0
+    * (left join from the full ranking).
+    */
+  private val MRL_DIMS = 16
+
+  private def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    def pre(c: Column): Column = slice(c, 1, MRL_DIMS)
+    val e = emb(s, dir)
+      .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
+      .withColumn("pnorm2", dotQ(pre(col("embedding")), pre(col("embedding"))))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"), col("pnorm2").as("q_pnorm2"))
+      .filter(col("q_id") < 20)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm2").as("c_norm2"), col("pnorm2").as("c_pnorm2"))
+    val pairs = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    def top10(withCos: DataFrame): DataFrame = withCos
+      .filter(col("cosine").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"))
+    val full = top10(pairs.withColumn("cosine",
+      cosineQ(dotQ(col("q_emb"), col("c_emb")),
+        col("q_norm2"), col("c_norm2"))))
+    val prefix = top10(pairs.withColumn("cosine",
+      cosineQ(dotQ(pre(col("q_emb")), pre(col("c_emb"))),
+        col("q_pnorm2"), col("c_pnorm2"))))
+      .withColumn("hit", lit(1L))
+    full.join(prefix, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_overlap"))
+      .withColumn("overlap",
+        col("n_overlap").cast("double") / col("k").cast("double"))
+      .orderBy(col("q_id"))
+  }
+
+  private def matryoshkaRecallSql: String = {
+    def preDotSql(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, $MRL_DIMS),
+         |    i -> CAST(ROUND(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e16)
+         |              AS BIGINT))) AS BIGINT)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotQSql("embedding", "embedding")} AS norm2,
+       |         ${preDotSql("embedding", "embedding")} AS pnorm2
+       |  FROM embeddings
+       |), fullr AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(${dotQSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |               / (sqrt(CAST(q.norm2 AS DOUBLE))
+       |                  * sqrt(CAST(c.norm2 AS DOUBLE))) DESC,
+       |             c.vec_id) AS rk
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 20 AND q.norm2 > 0 AND c.norm2 > 0)
+       |  WHERE rk <= 10
+       |), prefixr AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(${preDotSql("q.embedding", "c.embedding")} AS DOUBLE)
+       |               / (sqrt(CAST(q.pnorm2 AS DOUBLE))
+       |                  * sqrt(CAST(c.pnorm2 AS DOUBLE))) DESC,
+       |             c.vec_id) AS rk
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 20 AND q.pnorm2 > 0 AND c.pnorm2 > 0)
+       |  WHERE rk <= 10
+       |)
+       |SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap,
+       |  CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS overlap
+       |FROM fullr f LEFT JOIN prefixr p ON f.q_id = p.q_id AND f.c_id = p.c_id
+       |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("roc_auc", rocAuc, Some(rocAucSql)),
+    Q("matryoshka_recall", matryoshkaRecall, Some(matryoshkaRecallSql)),
     Q("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Q("mmr_diversify", mmrDiversify, Some(mmrDiversifySql)),
     Q("calibration_bins", calibrationBins, Some(calibrationBinsSql)),

@@ -61,6 +61,102 @@ object StatsOps extends QueryModule {
       |  TRUE AS hll_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Approximate-quantile sketch in the hash channel — the quantile twin of
+    * [[hllDistinct]]'s error-band contract. `approx_percentile` (Spark's
+    * Greenwald-Khanna summary, accuracy 10 000) is engine-private, so the
+    * query emits, per (event_type, quantile), the EXACT type-1 quantile of
+    * the centi-quantized value plus a boolean asserting the sketch result's
+    * RANK INTERVAL sits within the GK guarantee: the returned value (with
+    * duplicates on the centi grid) occupies ranks [cum−cnt+1, cum], and
+    * the target rank q_ppm·n must fall within ε-band distance of that
+    * interval (ε = 1/accuracy of n, doubled for merge headroom, +1 row →
+    * band = 200·n + 10⁶ in ppm units).
+    * All-integer, and — key to hashability — TRUE under ANY partition merge
+    * order, because ε-boundedness is the sketch's invariant, not a value
+    * pin. The oracle computes the exact quantile and asserts TRUE.
+    *
+    * rank(approx) is a lookup, not a second scan shape: approx_percentile
+    * returns an actual data value, so its cumulative rank comes from the
+    * same per-(type, vc) distribution table the exact quantile is read
+    * from (cached; two consumers). The distribution table is
+    * bounded-domain (centi-grid), so the cum window is the
+    * exact_percentiles/mad_outliers class, never a raw-row sort. The
+    * exact-rank inequality `cum·10⁶ ≥ q_ppm·n` replaces ceil(q·n) — no
+    * float boundary to disagree on.
+    */
+  private def approxQuantilesBand(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.t(s, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val dist = base.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .cache()
+    val qppm = Seq(250000L, 500000L, 750000L, 950000L)
+    import s.implicits._
+    val qtab = qppm.toDF("q_ppm")
+    val exacts = dist.crossJoin(broadcast(qtab))
+      .groupBy(col("event_type"), col("q_ppm"))
+      .agg(max(col("n")).as("n"),
+        min(when(d38(col("cum")) * lit(1000000L) >= col("q_ppm") * d38(col("n")),
+          col("vc"))).as("exact_q"))
+    val approx = base.groupBy(col("event_type"))
+      .agg(percentile_approx(col("vc"),
+        array(qppm.map(q => lit(q / 1e6)): _*), lit(10000)).as("aps"))
+      .select(col("event_type"),
+        explode(arrays_zip(
+          array(qppm.map(lit(_)): _*).as("q_ppm"), col("aps").as("ap"))).as("z"))
+      .select(col("event_type"), col("z.q_ppm").as("q_ppm"), col("z.ap").as("ap"))
+    val lookup = dist.select(col("event_type").as("r_event_type"),
+      col("vc"), col("cum"), col("cnt"))
+    val ranked = approx.join(lookup,
+        col("event_type") === col("r_event_type") && col("ap") === col("vc"))
+      .select(col("event_type"), col("q_ppm"),
+        (col("cum") - col("cnt") + lit(1L)).as("rk_lo"), col("cum").as("rk_hi"))
+    // a tied value OCCUPIES the rank interval [cum−cnt+1, cum]; the GK
+    // guarantee is that the interval comes within ε·n of the target rank,
+    // so the check is interval-distance, not |max-rank − target|
+    exacts.join(ranked, Seq("event_type", "q_ppm"))
+      .select(col("event_type"), col("q_ppm"), col("n"), col("exact_q"),
+        (col("q_ppm") * d38(col("n"))
+            >= d38(col("rk_lo")) * lit(1000000L)
+              - (d38(col("n")) * lit(200L) + lit(1000000L))
+          && col("q_ppm") * d38(col("n"))
+            <= d38(col("rk_hi")) * lit(1000000L)
+              + (d38(col("n")) * lit(200L) + lit(1000000L))).as("gk_band_ok"))
+      .orderBy(col("event_type"), col("q_ppm"))
+  }
+
+  private val approxQuantilesBandSql: String =
+    """WITH base AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), dist AS (
+      |  SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM base GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, vc,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM dist
+      |), qs AS (
+      |  SELECT CAST(unnest([250000, 500000, 750000, 950000]) AS BIGINT)
+      |    AS q_ppm
+      |)
+      |SELECT c.event_type, q.q_ppm, MAX(c.n) AS n,
+      |  MIN(CASE WHEN CAST(c.cum AS HUGEINT) * 1000000
+      |                >= q.q_ppm * CAST(c.n AS HUGEINT)
+      |           THEN c.vc END) AS exact_q,
+      |  TRUE AS gk_band_ok
+      |FROM cum c CROSS JOIN qs q
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val KMV_K = 32
   private val TWO_52 = 4503599627370496.0 // 2^52, exactly representable
 
@@ -2995,6 +3091,7 @@ object StatsOps extends QueryModule {
     Q("emd_pairwise", emdPairwise, Some(emdPairwiseSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    Q("approx_quantiles_band", approxQuantilesBand, Some(approxQuantilesBandSql)),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("kmv_distinct_agg", kmvDistinctAgg, Some(kmvDistinctAggSql)),
     Q("kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),

@@ -505,6 +505,40 @@ object ReplayOps extends QueryModule {
       col("user_id"), col("event_id"))
   }
 
+  /** transformWithState COMPOSITE-state replay ([[StreamJobs.trailStatsTws]]
+    * — ListState trailing buffer + MapState per-type counts + a 1-hour TTL
+    * on the map): the fixture in two (ts, eid)-split batches, so both
+    * variables must survive a batch boundary for the per-row running rank
+    * and trailing-max features to hash-match the batch window oracle. */
+  private def trailStatsReplay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = fixture(spark, dir)
+    val (b1, b2) = evs.splitAt(evs.length / 2) // fixture is (ts, eid)-sorted
+    val in = MemoryStream[Ev]
+    val out = StreamJobs.trailStatsTws(in.toDF(), 3)
+    spark.catalog.dropTempView("replay_tws_trail")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_trail")
+    val prevParts = pinPartitions(spark)
+    withRocksDb(spark) {
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName("replay_tws_trail").start()
+      try {
+        Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      } finally {
+        StreamQuiet.quietStop(q); rmTree(ckpt)
+        restorePartitions(spark, prevParts)
+      }
+    }
+    QOps.ordered1(
+      spark.table("replay_tws_trail")
+        .select(col("key").as("user_id"), col("eid").as("event_id"),
+          col("typeRank").as("type_rank"),
+          col("trailMaxCents").as("trail_max_cents")),
+      col("user_id"), col("event_id"))
+  }
+
   /** Pin the RocksDB state store provider (the only backend
     * transformWithState runs on in Spark 4.1) around `body`, restoring the
     * session's previous provider after. */
@@ -1389,6 +1423,16 @@ object ReplayOps extends QueryModule {
     // replays — the timer path is correct iff the hash doesn't move
     Q("streaming_tws_session_replay", twsSessionReplay, Some(sessionSql)),
     Q("streaming_tws_restart_replay", twsRestartReplay, Some(sessionSql)),
+    // transformWithState composite state (ListState trail + MapState
+    // counts + TTL): per-row rank/trailing-max = two batch windows
+    Q("streaming_tws_trail_replay", trailStatsReplay, Some(
+      """SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |       ORDER BY ts, event_id) AS BIGINT) AS type_rank,
+        |  MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail_max_cents
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
     Q("streaming_enrich_replay", enrichReplay, Some(
       """SELECT user_id, event_type, ts,
         |  CASE WHEN user_id % 4 <> 3 THEN

@@ -138,6 +138,76 @@ class TwsSessionProcessor(gapUs: Long)
   }
 }
 
+/** One enriched row from [[StreamJobs.trailStatsTws]]. Top-level for the
+  * Dataset deserializer, like [[Admitted]]. */
+case class TrailOut(key: Long, eid: Long, typeRank: Long,
+    trailMaxCents: Option[Long])
+
+/** The [[StreamJobs.trailStatsTws]] processor — the transformWithState
+  * composite-state surface ([[TwsSessionProcessor]] covers ValueState +
+  * event-time timers; this covers the other two variable kinds plus TTL):
+  *
+  *  - `ListState[Long]` "trail": the key's last ≤ `trailN` centi-quantized
+  *    values in event-time order — the bounded trailing buffer every
+  *    per-entity feature pipeline keeps (prior-behavior features without
+  *    O(history) state). Each row is emitted with the max of the buffer
+  *    BEFORE itself, i.e. a cross-batch `ROWS BETWEEN trailN PRECEDING AND
+  *    1 PRECEDING` window the oracle replays exactly.
+  *  - `MapState[String, Long]` "type_counts": per-event-type running
+  *    counts under ONE key's state — the composite-key layout that makes a
+  *    map variable different from a wider ValueState (point lookups and
+  *    per-entry expiry instead of whole-blob rewrites). Each row is
+  *    emitted with its type's running rank = a per-(key, type) row_number.
+  *  - The map carries a 1-hour [[TTLConfig]] — exercising the TTL storage
+  *    path (per-entry expiration metadata in RocksDB). TTL expiry is
+  *    PROCESSING-time and hence unreplayable by design; a replay lasts
+  *    seconds, so nothing expires and the hash channel stays deterministic
+  *    (the TTL plumbing, not an eviction schedule, is what's under test).
+  *
+  * Rows are folded in (us, eid) order (iterator order is task-dependent);
+  * values are centi-quantized with round-half-away-from-zero to match both
+  * engines' ROUND (the repo-wide pin — Math.round would round -12.5 UP).
+  */
+class TwsTrailProcessor(trailN: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long, Long, Long), TrailOut] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, TimerValues,
+    TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var trail: ListState[Long] = _
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: streaming.TimeMode): Unit = {
+    trail = getHandle.getListState[Long]("trail", Encoders.scalaLong,
+      TTLConfig.NONE)
+    counts = getHandle.getMapState[String, Long]("type_counts",
+      Encoders.STRING, Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofHours(1)))
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, String, Long, Long, Long)],
+      timerValues: TimerValues): Iterator[TrailOut] = {
+    val sorted = rows.toArray.sortBy(r => (r._4, r._3))
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    if (trail.exists()) trail.get().foreach(buf += _)
+    val out = Array.newBuilder[TrailOut]
+    sorted.foreach { case (k, etype, eid, _, cents) =>
+      val rank =
+        (if (counts.containsKey(etype)) counts.getValue(etype) else 0L) + 1L
+      counts.updateValue(etype, rank)
+      out += TrailOut(k, eid, rank,
+        if (buf.isEmpty) None else Some(buf.max))
+      buf += cents
+      if (buf.length > trailN) buf.remove(0)
+    }
+    trail.put(buf.toArray)
+    out.result().iterator
+  }
+}
+
 /** Append-only "topic table" modeling a Kafka producer sink
   * (KafkaProducer.scala:8-11): parquet rows (topic, key, value, ts). */
 final class TopicTableSink(path: String) extends Serializable {
@@ -682,6 +752,28 @@ object StreamJobs {
       .groupByKey(_._1)
       .transformWithState(new RateLimitProcessor(maxPer, windowUs),
         org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+  }
+
+  /** Per-key trailing-window feature enrichment on `transformWithState`
+    * composite state (ListState trailing buffer + MapState per-type counts
+    * + TTL — see [[TwsTrailProcessor]]). Emits one row per input row with
+    * its type's running rank and the max of the key's previous ≤ `trailN`
+    * centi-values. Requires the RocksDB state store provider. */
+  def trailStatsTws(input: DataFrame, trailN: Int): DataFrame = {
+    import input.sparkSession.implicits._
+    input
+      .select(col("key").cast("long"), col("value").cast("string"),
+        col("eid").cast("long"), col("us").cast("long"),
+        round(col("dval") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long, Long, Long)]
+      .groupByKey(_._1)
+      // ProcessingTime, not None: TTL'd state is only assignable in
+      // processing-time mode (the expiry clock IS processing time). The
+      // processor registers no timers, so outputs stay batch-deterministic.
+      .transformWithState(new TwsTrailProcessor(trailN),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF()
   }

@@ -80,6 +80,8 @@ object CacheHygieneSpec {
     "mmr_diversify", // 20-row candidate pool cached across the k greedy steps
     "roc_auc", // PrefixOps diamond cache (customer_rfm class)
     "cc_alternating_star", // converged star-forest edge cache feeds the label join
+    "tree_depth2_sweep", // (vc, y) feature projection read by the root sweep, the argmin pick, and both child sweeps
+    "approx_quantiles_band", // (type, vc) distribution table read by the exact-quantile agg AND the sketch-rank lookup
     "recursive_reachability", // cached edge view read once per recursion level
     "mad_outliers", "mann_whitney", "minhash_calibration",
     "minhash_lsh_pairs", "mutual_information", "mutual_knn",

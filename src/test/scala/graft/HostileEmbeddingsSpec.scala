@@ -30,7 +30,9 @@ class HostileEmbeddingsSpec extends SparkSpec {
     "kmeans_trained", "knn_classify", "label_centroids", "mutual_knn",
     "pca_projection", "pq_ann_eval", "pq_quantization", "semantic_dedup",
     // round 9: classifier eval + contrastive/RAG rerank
-    "roc_auc", "calibration_bins", "hard_negatives", "mmr_diversify")
+    "roc_auc", "calibration_bins", "hard_negatives", "mmr_diversify",
+    // round 10: truncated-dimension retrieval eval
+    "matryoshka_recall")
 
   test("every embeddings-backed query survives the hostile fixture, twice") {
     embQueries.foreach { name =>

@@ -78,8 +78,11 @@ class HostileEventsSpec extends SparkSpec {
     "gini_split_sweep", "variant_props_stats",
     "streaming_full_join_replay", "streaming_dedup_agg_replay",
     "streaming_rate_limit_replay",
-    // round 10: transformWithState event-time timers + RocksDB restart
-    "streaming_tws_session_replay", "streaming_tws_restart_replay")
+    // round 10: transformWithState event-time timers + RocksDB restart,
+    // VARIANT field inventory, depth-2 tree sweep
+    "streaming_tws_session_replay", "streaming_tws_restart_replay",
+    "variant_field_inventory", "tree_depth2_sweep", "approx_quantiles_band",
+    "streaming_tws_trail_replay")
 
   test("every events-backed query survives the hostile fixture, twice") {
     eventQueries.foreach { name =>

@@ -103,6 +103,7 @@ class PlanShapeSpec extends SparkSpec {
       "cluster_topterms", // k-row centroid + 1-row cell-count broadcasts
       "mutual_information", // 1-row boundary/total broadcasts (psi shape)
       "cosine_topk", "cosine_topk_fast", "knn_classify", "mutual_knn",
+      "matryoshka_recall", // bounded 20-anchor broadcast (cosine_topk class)
       "bigram_lm_score",
       "kn_bigram_score", // 1-row distinct-bigram-total broadcast (bigram_lm_score class)
       "tf_idf",
@@ -128,6 +129,7 @@ class PlanShapeSpec extends SparkSpec {
       "emd_pairwise", // |types|-row broadcast to densify the value grid
       "percent_of_parent", // 1-row grand-total broadcast
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
+      "approx_quantiles_band", // 4-row quantile-grid broadcast over the bounded-domain distribution table
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
       "ann_recall_eval", // composes ann_ivf + cosine_topk (both allowlisted)
       "zorder_pruning_eval", // 1-row min/max stats broadcast
@@ -149,6 +151,7 @@ class PlanShapeSpec extends SparkSpec {
       "mmr_diversify", // 1-row query + <=20-row pool/selected broadcasts
       "t_closeness_report", // band-domain grid + 1-row (N, m) broadcasts
       "gini_split_sweep", // 15-row threshold-candidate broadcast (range_join class)
+      "tree_depth2_sweep", // 1-row trained-root-split broadcast; the node sweeps themselves are equi BHJs
       "lift_by_decile", // 1-row global-rate broadcast over the 10-row deciles
       "jaro_winkler_pairs", // distinct-name domain (~64 rows) broadcast pair join
       "shapley_attribution", // 16-row coalition grid × 4-row channel broadcasts
