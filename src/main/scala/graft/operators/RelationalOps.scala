@@ -546,6 +546,31 @@ object RelationalOps extends QueryModule {
       |  CAST(MAX(k) AS BIGINT) AS max_k
       |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL pipe syntax (Spark 4's `|>` operators — FROM … |> WHERE … |>
+    * EXTEND … |> AGGREGATE … |> ORDER BY): the linear query form reading
+    * top-to-bottom in dataflow order. Same logical plan as the nested
+    * formulation the oracle runs (Catalyst parses pipes into the ordinary
+    * operators, so plan shape and performance are identical) — the query
+    * pins that equivalence through the hash channel. Cents-quantized sum
+    * keeps the aggregate exact on both engines. */
+  private def pipeSyntaxAgg(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "lineitem")(
+      """FROM lineitem
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        ||> EXTEND CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents
+        ||> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  private val pipeSyntaxAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Heterogeneous-schema VARIANT audit — the per-event-type field
     * inventory a real semi-structured props column needs before anyone
     * writes typed extractions against it: every top-level key, its JSON
@@ -2601,6 +2626,7 @@ object RelationalOps extends QueryModule {
     Q("variant_props_stats", variantPropsStats, Some(variantPropsStatsSql)),
     Q("variant_field_inventory", variantFieldInventory,
       Some(variantFieldInventorySql)),
+    Q("pipe_syntax_agg", pipeSyntaxAgg, Some(pipeSyntaxAggSql)),
     Q("json_props_stats", jsonPropsStats, Some(
       // the regexp pins DuckDB's TRY_CAST to Spark's string→bigint cast:
       // DuckDB ROUNDS '5.7' → 6, Spark rejects non-integral strings → NULL

@@ -41,6 +41,7 @@ class HostileRelationalSpec extends SparkSpec {
     "l_diversity_report", "label_propagation", "link_prediction_cn",
     "merge_upsert",
     "monthly_revenue_mom", "not_in_heavy_parts", "pagerank",
+    "pipe_syntax_agg",
     "percent_of_parent", "pii_scrub", "q10_returned_items",
     "q11_important_stock", "q12_shipmode_priority", "q13_order_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_cnt",
