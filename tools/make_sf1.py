@@ -168,7 +168,18 @@ def main():
         "props": pa.array([f'{{"k": {k}}}' for k in ks]),
     }))
 
-    # --- documents: sf0.1 vocabulary + empirical unigram weights ---
+    # --- documents: sf0.1 vocabulary, TOPIC-MIXTURE unigram weights ---
+    # The driver's corpus is a flat unigram draw over a 31-word vocab. At
+    # 5k docs that is merely unrealistic; at 50k it is degenerate for the
+    # near-dup family: every long doc's SimHash converges to the same
+    # majority pattern (measured: 146.4M hamming<=10 pairs at a flat-draw
+    # sf1 — a synthetic near-clique whose OUTPUT is quadratic, which no
+    # plan can produce in sub-quadratic time). Real corpora are topical,
+    # so sf1 docs each draw from a 3-topic mixture over 256 topics (each
+    # topic boosts a random ~1/5 of the vocab 30x). Lengths, vocabulary,
+    # language/source mixes and the planted dup density still mirror
+    # sf0.1; only the word CO-OCCURRENCE structure gains the topical
+    # diversity the dedup family needs to behave like production data.
     texts01 = [r[0] for r in duckdb.sql(
         f"SELECT text FROM '{SF01}/documents.parquet'").fetchall()]
     freq = collections.Counter(w for t in texts01 for w in t.split())
@@ -179,13 +190,26 @@ def main():
     langs = np.array(["en", "zh", "fr", "es", "de"])
     lang_p = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
     target = rng.integers(44, 578, n_docs)
+    n_topics = 256
+    boost = np.ones((n_topics, len(vocab)))
+    for t in range(n_topics):
+        sel = rng.choice(len(vocab), size=max(2, len(vocab) // 5),
+                         replace=False)
+        boost[t, sel] = 30.0
+    topic_p = boost * w_probs
+    topic_p /= topic_p.sum(axis=1, keepdims=True)
+    doc_topics = rng.integers(0, n_topics, (n_docs, 3))
+    doc_mix = rng.dirichlet(np.ones(3), n_docs)
     texts = []
     for i in range(n_docs):
+        p = (doc_mix[i][:, None] * topic_p[doc_topics[i]]).sum(axis=0)
         words, ln = [], -1
         while ln < target[i]:
-            w = vocab[rng.choice(len(vocab), p=w_probs)]
-            words.append(w)
-            ln += len(w) + 1
+            for w in vocab[rng.choice(len(vocab), size=24, p=p)]:
+                words.append(w)
+                ln += len(w) + 1
+                if ln >= target[i]:
+                    break
         texts.append(" ".join(words))
     # dedup-family seeding: ~0.16% exact duplicates + a few near-dups
     # (one word substituted), matching sf0.1's measured dup density
