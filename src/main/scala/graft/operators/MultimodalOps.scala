@@ -274,21 +274,39 @@ object MultimodalOps extends QueryModule {
        |FROM ah GROUP BY 1, 2 HAVING COUNT(*) >= 2
        |ORDER BY ahash_hi, ahash_lo""".stripMargin
 
-  /** Perceptual NEAR-duplicates: aHash pairs within hamming ≤ 3 — the
-    * "same image up to a few flipped threshold bits" relaxation exact-hash
-    * grouping ([[imageAhashDups]]) cannot see. Candidate generation is the
-    * simhash_pairs banded-LSH shape applied to the 64-bit aHash: 4 bands
-    * of 16 bits, docs exploded to (band_idx, band_val) rows, candidates
-    * from the band EQUI-join — by pigeonhole any pair within hamming ≤ 3
-    * agrees exactly on ≥ 1 of the 4 bands, so banding is LOSSLESS here and
-    * the pair space never materializes (at corpus scale only same-band
-    * docs meet; PlanShapeSpec pins the equi-join). Exact 64-bit hamming
-    * filters the candidates; DISTINCT collapses multi-band matches. */
+  /** Perceptual NEAR-duplicates: aHash-GROUP pairs within hamming ≤ 3 —
+    * the "same image up to a few flipped threshold bits" relaxation
+    * exact-hash grouping ([[imageAhashDups]]) cannot see. Candidate
+    * generation is the simhash_pairs banded-LSH shape applied to the
+    * 64-bit aHash: 4 bands of 16 bits over the DISTINCT-hash group table,
+    * candidates from the band EQUI-join — by pigeonhole any pair within
+    * hamming ≤ 3 agrees exactly on ≥ 1 of the 4 bands, so banding is
+    * LOSSLESS and the pair space never materializes (PlanShapeSpec pins
+    * the equi-join). Exact 64-bit hamming filters the candidates;
+    * DISTINCT collapses multi-band matches. Emitting hash GROUPS
+    * (rep_doc, n_docs per side) rather than doc pairs keeps the output
+    * linear in distinct hashes on duplicate-heavy corpora — doc pairs are
+    * the groups' cross products, quadratic in group size and never needed
+    * materialized by downstream clustering. */
   private def imageAhashNearDups(s: SparkSession, dir: String): DataFrame = {
-    // cache: one decode pass feeds both sides of the band self-join
+    // GROUP-level near-dup pairs, not doc-level: duplicate-heavy corpora
+    // make doc pairs quadratic in group size (the native sf1.0 run
+    // measured 360M band candidates over 50k docs / 1 861 distinct
+    // hashes — a heap OOM as doc pairs, a 1 861-row self-join as hash
+    // groups). One hash aggregate collapses docs to (hash, n_docs,
+    // rep_doc); the banded-hamming join runs over DISTINCT hashes only,
+    // and each emitted row carries both groups' sizes — the doc-level
+    // pair set is exactly the n_a×n_b cross products downstream CC/dedup
+    // never needs materialized. Equal hashes are [[imageAhashDups]]'s
+    // domain; this emits hamming 1..3 between different hashes.
+    // cache: one decode+group pass feeds both sides of the band self-join
     val ah = ahashTable(pngTable(s, dir)).toDF()
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")).cache()
-    val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("rep_doc"))
+      .cache()
+    val bands = ah.select(col("rep_doc"), col("n_docs"),
+      col("ahash_hi"), col("ahash_lo"),
       posexplode(array(
         col("ahash_lo").bitwiseAND(lit(65535L)),
         shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)),
@@ -300,36 +318,43 @@ object MultimodalOps extends QueryModule {
       bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
             col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            col("x.rep_doc") < col("y.rep_doc"))
+        .select(col("x.rep_doc").as("rep_a"), col("y.rep_doc").as("rep_b"),
+          col("x.n_docs").as("n_a"), col("y.n_docs").as("n_b"),
           (bit_count(col("x.ahash_hi").bitwiseXOR(col("y.ahash_hi"))) +
             bit_count(col("x.ahash_lo").bitwiseXOR(col("y.ahash_lo"))))
             .cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct(),
-      col("a_id"), col("b_id"))
+      col("rep_a"), col("rep_b"))
   }
 
   private val imageAhashNearDupsSql: String =
     s"""WITH $ahashCtes,
+       |grp AS (
+       |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    MIN(doc_id) AS rep_doc
+       |  FROM ah GROUP BY 1, 2
+       |),
        |bands AS (
-       |  SELECT doc_id, ahash_hi, ahash_lo, b.band_idx,
+       |  SELECT rep_doc, n_docs, ahash_hi, ahash_lo, b.band_idx,
        |    CASE b.band_idx
        |      WHEN 0 THEN ahash_lo & 65535
        |      WHEN 1 THEN (ahash_lo >> 16) & 65535
        |      WHEN 2 THEN ahash_hi & 65535
        |      ELSE (ahash_hi >> 16) & 65535 END AS band_val
-       |  FROM ah CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b
+       |  FROM grp CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b
        |)
-       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |SELECT DISTINCT x.rep_doc AS rep_a, y.rep_doc AS rep_b,
+       |  x.n_docs AS n_a, y.n_docs AS n_b,
        |  CAST(bit_count(xor(x.ahash_hi, y.ahash_hi)) +
        |       bit_count(xor(x.ahash_lo, y.ahash_lo)) AS BIGINT) AS hamming
        |FROM bands x JOIN bands y
        |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-       | AND x.doc_id < y.doc_id
+       | AND x.rep_doc < y.rep_doc
        |WHERE bit_count(xor(x.ahash_hi, y.ahash_hi)) +
        |      bit_count(xor(x.ahash_lo, y.ahash_lo)) <= 3
-       |ORDER BY a_id, b_id""".stripMargin
+       |ORDER BY rep_a, rep_b""".stripMargin
 
   private val mediaDecodeRealSql =
     """WITH dims AS (
