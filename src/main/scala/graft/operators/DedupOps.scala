@@ -82,29 +82,95 @@ object DedupOps extends QueryModule {
 
   // ---- n-gram Jaccard -----------------------------------------------------
 
-  /** Exact shingle-Jaccard near-dup pairs (≥ 0.3). The shingle equi-join is
-    * the blocking step: only docs sharing ≥1 shingle are ever paired. */
+  /** Document-frequency cap for the exact-pair candidate generators: a
+    * shingle with df > DF_CAP never generates candidate pairs. This is what
+    * bounds candidate volume LINEARLY: Σ_{df≤K} df² ≤ K·Σ df = K × (total
+    * shingle occurrences), so a 10× corpus costs ≤ 10× — the uncapped
+    * inverted-index self-join's Σ df² is quadratic wherever boilerplate
+    * shingles have df ∝ n (measured 49–66× at 10× data in round 10).
+    * Completeness bound (identical in both engines, so the oracle replays
+    * it): a qualifying pair is missed iff every shingle its prefixes share
+    * has df > DF_CAP — i.e. the pair overlaps ONLY in stop-shingles.
+    * Identical-text duplicates are re-added losslessly via the md5 channel
+    * ([[sameTextPairs]]); near-dups of heavily-boilerplated text are the
+    * LSH family's job (minhash_lsh_pairs scales by design). At the bench
+    * SFs (max df 7 at sf0.01, 25 at sf0.1) the cap is inactive — results
+    * are byte-identical to the uncapped round-10 contract; at native sf1.0
+    * it keeps 115/120 jaccard pairs (the 5 misses share only df>64
+    * shingles) while cutting candidate mass 25×. */
+  private val DF_CAP = 64L
+
+  /** Per-doc rarity-sorted distinct shingle-hash arrays: (doc_id, ta =
+    * hashes in global (df, h) rarity order, sz). The shared spine of the
+    * exact-pair family — prefixes slice from the front (rarest first),
+    * verification intersects the full arrays. Caller caches. */
+  private def rarityArr(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = shingles(s, dir).select(col("doc_id"), h64(col("sh")).as("h"))
+      .distinct()
+    val dfreq = base.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val arr = base.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
+        x => x.getField("h")).as("ta"))
+      .withColumn("sz", size(col("ta")).cast("long"))
+    (arr, dfreq)
+  }
+
+  /** Identical-text doc pairs via one md5 group — the lossless channel that
+    * keeps exact duplicates in the pair results regardless of the df-cap
+    * (an exact-dup family's shingles all have df ≥ family size). Output is
+    * bounded by the true duplicate mass, which any doc-pair contract pays. */
+  private def sameTextPairs(s: SparkSession, dir: String): DataFrame = {
+    val grp = docs(s, dir).select(md5(col("text")).as("fp"), col("doc_id"))
+    grp.as("x").join(grp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+  }
+
+  private def sameTextPairsSql: String =
+    """SELECT x.doc_id AS a_id, y.doc_id AS b_id
+      |FROM (SELECT md5(text) fp, doc_id FROM documents) x
+      |JOIN (SELECT md5(text) fp, doc_id FROM documents) y
+      |  ON x.fp = y.fp AND x.doc_id < y.doc_id""".stripMargin
+
+  /** Exact shingle-Jaccard near-dup pairs (≥ 0.3), candidate-bounded: the
+    * rarity-prefix filter (lossless — J ≥ τ forces the rarest
+    * s − ⌈τs⌉ + 1 shingles of each side to intersect) composed with the
+    * [[DF_CAP]] stop-shingle cap (the linear-candidate bound) and the
+    * lossless md5 identical-text channel. Verification is the exact
+    * array intersection over full rarity arrays, so every emitted pair
+    * carries its true inter/jaccard — the cap only prunes candidate
+    * GENERATION. Round 10 measured the uncapped inverted-index form at
+    * 49× cost for 10× data; this form's candidate mass is ≤ DF_CAP ×
+    * shingle occurrences by construction. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = a.join(b, "sh")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
+    val (arrRaw, dfreq) = rarityArr(s, dir)
+    val arr = arrRaw.cache() // feeds the prefix explode AND both verify sides
+    // prefix length s − ⌈3s/10⌉ + 1 (τ = 0.3); df-cap via semi-join shape
+    val pre = arr.select(col("doc_id"), col("sz"),
+      explode(expr("slice(ta, 1, CAST(sz - ((3 * sz + 9) div 10) + 1 AS INT))"))
+        .as("h"))
+      .join(dfreq.filter(col("df") <= DF_CAP).select(col("h")), "h")
+    val candP = pre.as("a").join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          lit(10L) * least(col("a.sz"), col("b.sz")) >=
+            lit(3L) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val cand = candP.union(sameTextPairs(s, dir)).distinct()
+    val ver = cand
+      .join(arr.select(col("doc_id").as("a_id"), col("ta").as("taa"),
+        col("sz").as("na")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("ta").as("tab"),
+        col("sz").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("taa"), col("tab"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
     // ordered1, not orderBy: a global sort's range-partitioning sampling
-    // pass would re-execute the expensive shingle self-join for a
-    // few-dozen-row output
-    graft.QOps.ordered1(
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.3)
-        .select(col("a_id"), col("b_id"), col("inter"), col("jaccard")),
-      col("a_id"), col("b_id"))
+    // pass would re-execute the banded self-join for a few-dozen-row output
+    graft.QOps.ordered1(ver, col("a_id"), col("b_id"))
   }
 
   // ---- MinHash + LSH ------------------------------------------------------
@@ -296,7 +362,7 @@ object DedupOps extends QueryModule {
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -353,16 +419,33 @@ object DedupOps extends QueryModule {
     * decile midpoint. `blocking_quality` is the single-threshold summary;
     * this is the full curve you read before changing the band geometry
     * (is the knee where the dedup threshold needs it?). Truth = ALL pairs
-    * with Jaccard > 0 (complete via the blocked shingle equi-join); a
+    * with Jaccard > 0 among a deterministic doc SAMPLE (complete via the
+    * blocked shingle equi-join on the sampled side): the sample keeps
+    * n/S ≈ [[SCURVE_TARGET]] docs via md5(doc_id) mod S = 0 with
+    * S = max(1, n div target), computed identically in both engines — at
+    * sf0.01 S = 1 (the full exact truth), at any scale the truth join
+    * stays constant-bounded (round 10 measured the unsampled truth at 20×
+    * cost for 10× data; an S-curve is a per-decile statistic, and a
+    * hash-sample of docs induces an unbiased pair sample). The LSH
+    * candidate side stays FULL — it is the machinery under eval. A
     * 10-row decile spine keeps empty deciles visible (n_true = 0,
     * caught_milli NULL in both engines). All columns exact integers.
     */
+  private val SCURVE_TARGET = 2000L
+
   private def lshScurveEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val truth = sh.select(col("doc_id").as("a_id"), col("sh"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+    val sRow = docs(s, dir).agg(count(lit(1)).as("nd"))
+      .select(greatest(lit(1L), expr(s"nd div $SCURVE_TARGET")).as("samp"))
+    val shT = sh.crossJoin(broadcast(sRow))
+      .filter(pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), col("samp")) === 0L)
+      .select(col("doc_id"), col("sh"))
+    val truth = shT.select(col("doc_id").as("a_id"), col("sh"))
+      .join(shT.select(col("doc_id").as("b_id"), col("sh")), "sh")
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -406,16 +489,22 @@ object DedupOps extends QueryModule {
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
-       |truth AS (
+       |samp AS (
+       |  SELECT GREATEST(1, COUNT(*) // $SCURVE_TARGET) AS samp FROM documents
+       |), sht AS (
+       |  SELECT s.doc_id, s.sh FROM sh s CROSS JOIN samp
+       |  WHERE CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))
+       |             AS BIGINT) % samp = 0
+       |), truth AS (
        |  SELECT i.a_id, i.b_id,
        |    LEAST(9, (i.inter * 1000) // (sa.n_sh + sb.n_sh - i.inter) // 100)
        |      AS decile
        |  FROM (
        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |           CAST(COUNT(*) AS BIGINT) AS inter
-       |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |    FROM sht a JOIN sht b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |    GROUP BY 1, 2
        |  ) i
        |  JOIN sizes sa ON sa.doc_id = i.a_id
@@ -471,14 +560,14 @@ object DedupOps extends QueryModule {
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sig AS ($minhashSigSql),
+    s"""WITH sig AS MATERIALIZED ($minhashSigSql),
        |bands AS (
        |  $bandSelects
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |), sh AS ($shinglesSql),
+       |), sh AS MATERIALIZED ($shinglesSql),
        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
@@ -567,14 +656,14 @@ object DedupOps extends QueryModule {
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sig AS ($minhashSigSql),
+    s"""WITH sig AS MATERIALIZED ($minhashSigSql),
        |bands AS (
        |  $bandSelects
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
        |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
-       |), sh AS ($shinglesSql),
+       |), sh AS MATERIALIZED ($shinglesSql),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.new_id, c.old_id, COUNT(*) AS inter
@@ -916,14 +1005,14 @@ object DedupOps extends QueryModule {
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sig AS ($minhashSigSql),
+    s"""WITH sig AS MATERIALIZED ($minhashSigSql),
        |bands AS (
        |  $bandSelects
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |), sh AS ($shinglesSql),
+       |), sh AS MATERIALIZED ($shinglesSql),
        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
@@ -979,7 +1068,7 @@ object DedupOps extends QueryModule {
     * diameter (the old unrolled-K oracle could only ever agree with an
     * equally-unrolled Spark plan). */
   private def dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  SELECT a_id, b_id FROM ($minhashLshSql)
        |), und AS (
        |  SELECT a_id AS u, b_id AS v FROM pairs
@@ -998,14 +1087,14 @@ object DedupOps extends QueryModule {
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sig AS ($minhashSigSql),
+    s"""WITH sig AS MATERIALIZED ($minhashSigSql),
        |bands AS (
        |  $bandSelects
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |), sh AS ($shinglesSql),
+       |), sh AS MATERIALIZED ($shinglesSql),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.a_id, c.b_id, COUNT(*) AS inter
@@ -1190,7 +1279,11 @@ object DedupOps extends QueryModule {
     * Scale posture: candidate volume is Σ df² over PREFIX occurrences only
     * — at τ=0.6 each doc exposes 40% of its shingles, the rarest ones, so
     * high-df shingles (the df² bombs of the full inverted-index join)
-    * never pair unless a doc is tiny. Sets travel as 64-bit hashes, not
+    * rarely pair — and since round 11 never pair: the [[DF_CAP]] stop-
+    * shingle cap bounds candidates linearly even on a small-vocabulary
+    * corpus where prefix-df itself grows with n (round 10 measured 41× at
+    * 10× data without the cap), with the md5 identical-text channel
+    * keeping exact duplicates lossless. Sets travel as 64-bit hashes, not
     * strings (same h64 both engines, so the oracle replays exactly).
     * DedupOps' PipelineOpsSpec test proves completeness against the
     * quadratic definition at sf0.001.
@@ -1199,27 +1292,22 @@ object DedupOps extends QueryModule {
   private val PPJ_TAU_DEN = 5L
 
   private def jaccardPrefixCore(s: SparkSession, dir: String): DataFrame = {
-    val base = shingles(s, dir).select(col("doc_id"), h64(col("sh")).as("h"))
-      .distinct()
-    val dfreq = base.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc shingle-hash array in global (df, h) rarity order; cached —
     // feeds the prefix explode AND the pair verify (Q caching contract)
-    val arr = base.join(dfreq, "h")
-      .groupBy(col("doc_id"))
-      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))),
-        x => x.getField("h")).as("ta"))
-      .withColumn("sz", size(col("ta")).cast("long"))
-      .cache()
+    val (arrRaw, dfreq) = rarityArr(s, dir)
+    val arr = arrRaw.cache()
     // prefix length s − ⌈τs⌉ + 1 with ⌈3s/5⌉ = (3s+4) div 5 (s ≥ 0)
     val pre = arr.select(col("doc_id"), col("sz"),
       explode(expr(
         s"slice(ta, 1, CAST(sz - (($PPJ_TAU_NUM * sz + ${PPJ_TAU_DEN - 1}) div $PPJ_TAU_DEN) + 1 AS INT))"))
         .as("h"))
+      .join(dfreq.filter(col("df") <= DF_CAP).select(col("h")), "h")
     val cand = pre.as("a").join(pre.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           lit(PPJ_TAU_DEN) * least(col("a.sz"), col("b.sz")) >=
             lit(PPJ_TAU_NUM) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .union(sameTextPairs(s, dir))
       .distinct()
     val ver = cand
       .join(arr.select(col("doc_id").as("a_id"), col("ta").as("taa"),
@@ -1239,25 +1327,31 @@ object DedupOps extends QueryModule {
     graft.QOps.ordered1(jaccardPrefixCore(s, dir), col("a_id"), col("b_id"))
 
   private def jaccardPrefixJoinSql: String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
        |base AS (
        |  SELECT DISTINCT doc_id, ${h64Sql("sh")} AS h FROM sh
        |), dfreq AS (
        |  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM base GROUP BY 1
-       |), arr AS (
+       |), arr AS MATERIALIZED (
        |  SELECT doc_id, list(h ORDER BY df, h) AS ta,
        |    CAST(COUNT(*) AS BIGINT) AS sz
        |  FROM base JOIN dfreq USING (h) GROUP BY doc_id
        |), pre AS (
-       |  SELECT doc_id, sz,
-       |    unnest(list_slice(ta, 1,
-       |      sz - (($PPJ_TAU_NUM * sz + ${PPJ_TAU_DEN - 1}) // $PPJ_TAU_DEN) + 1)) AS h
-       |  FROM arr
+       |  SELECT p.doc_id, p.sz, p.h
+       |  FROM (SELECT doc_id, sz,
+       |          unnest(list_slice(ta, 1,
+       |            sz - (($PPJ_TAU_NUM * sz + ${PPJ_TAU_DEN - 1}) // $PPJ_TAU_DEN) + 1)) AS h
+       |        FROM arr) p
+       |  JOIN dfreq USING (h) WHERE df <= $DF_CAP
        |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM pre a JOIN pre b
-       |    ON a.h = b.h AND a.doc_id < b.doc_id
-       |   AND $PPJ_TAU_DEN * LEAST(a.sz, b.sz) >= $PPJ_TAU_NUM * GREATEST(a.sz, b.sz)
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |    FROM pre a JOIN pre b
+       |      ON a.h = b.h AND a.doc_id < b.doc_id
+       |     AND $PPJ_TAU_DEN * LEAST(a.sz, b.sz) >= $PPJ_TAU_NUM * GREATEST(a.sz, b.sz)
+       |    UNION ALL
+       |    $sameTextPairsSql
+       |  )
        |), ver AS (
        |  SELECT a_id, b_id,
        |    CAST(len(list_intersect(x.ta, y.ta)) AS BIGINT) AS inter,
@@ -1312,7 +1406,7 @@ object DedupOps extends QueryModule {
   }
 
   private def clusteringAgreementSql: String =
-    s"""WITH RECURSIVE lshp AS (
+    s"""WITH RECURSIVE lshp AS MATERIALIZED (
        |  SELECT a_id, b_id FROM ($minhashLshSql)
        |), undA(u, v) AS (
        |  SELECT a_id, b_id FROM lshp UNION ALL SELECT b_id, a_id FROM lshp
@@ -1322,7 +1416,7 @@ object DedupOps extends QueryModule {
        |  SELECT undA.u, reachA.lab FROM undA JOIN reachA ON reachA.u = undA.v
        |), labA AS (
        |  SELECT u AS doc_id, MIN(lab) AS la FROM reachA GROUP BY u
-       |), ppj AS (
+       |), ppj AS MATERIALIZED (
        |  SELECT a_id, b_id FROM ($jaccardPrefixJoinSql)
        |), undB(u, v) AS (
        |  SELECT a_id, b_id FROM ppj UNION ALL SELECT b_id, a_id FROM ppj
@@ -1489,45 +1583,89 @@ object DedupOps extends QueryModule {
   /** Asymmetric shingle containment |A∩B|/|A| ≥ 0.8: doc A is (nearly) a
     * sub-document of B — the quote/boilerplate/subsumption case symmetric
     * Jaccard misses by design (a 10-shingle doc fully inside a 500-shingle
-    * doc has Jaccard 0.02 but containment 1.0). Same blocking as
-    * ngram_jaccard_pairs — pairs exist only through the shingle equi-join —
-    * but kept in BOTH orders, since containment of A in B and B in A
-    * differ. At 100 TB the pair space is still Σ df(shingle)², never n².
-    */
+    * doc has Jaccard 0.02 but containment 1.0). Kept in BOTH orders, since
+    * containment of A in B and B in A differ.
+    *
+    * Candidate generation is the containment variant of the rarity-prefix
+    * filter: containment ≥ τ means at most ⌊(1−τ)·|A|⌋ of A's shingles
+    * miss B, so the INNER side exposes only its ⌊|A|/5⌋ + 1 rarest
+    * shingles (lossless) while the outer side exposes all — both capped at
+    * [[DF_CAP]] (the linear bound; miss model documented there), with the
+    * md5 identical-text channel re-adding exact duplicates. A 5·|B| ≥ 4·|A|
+    * size filter prunes inside the join (containment ≥ 0.8 forces
+    * |B| ≥ ⌈0.8·|A|⌉). Verification intersects full rarity arrays, so
+    * emitted rows carry the true containment. Round 10 measured the
+    * uncapped inverted-index form at 66× cost for 10× data. */
   private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("inner_id"), col("sh"))
-    val b = sh.select(col("doc_id").as("outer_id"), col("sh"))
-    val inter = a.join(b, "sh")
-      .filter(col("inner_id") =!= col("outer_id"))
-      .groupBy(col("inner_id"), col("outer_id"))
-      .agg(count(lit(1)).as("inter"))
-    graft.QOps.ordered1(
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "inner_id")
-          .withColumnRenamed("n_sh", "n_inner"), "inner_id")
-        .withColumn("containment",
-          col("inter").cast("double") / col("n_inner"))
-        .filter(col("containment") >= 0.8)
-        .select(col("inner_id"), col("outer_id"), col("n_inner"),
-          col("inter"), col("containment")),
-      col("inner_id"), col("outer_id"))
+    val (arrRaw, dfreq) = rarityArr(s, dir)
+    val arr = arrRaw.cache()
+    val capped = dfreq.filter(col("df") <= DF_CAP).select(col("h"))
+    // inner prefix: rarest ⌊sz/5⌋+1 hashes (lossless at τ = 0.8)
+    val preI = arr.select(col("doc_id"), col("sz"),
+      explode(expr("slice(ta, 1, CAST(sz div 5 + 1 AS INT))")).as("h"))
+      .join(capped, "h")
+    val full = arr.select(col("doc_id"), col("sz"), explode(col("ta")).as("h"))
+      .join(capped, "h")
+    val candP = preI.as("a").join(full.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+          lit(5L) * col("b.sz") >= lit(4L) * col("a.sz"))
+      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+    val dup = sameTextPairs(s, dir)
+    val candG = dup.select(col("a_id").as("inner_id"), col("b_id").as("outer_id"))
+      .union(dup.select(col("b_id").as("inner_id"), col("a_id").as("outer_id")))
+    val cand = candP.union(candG).distinct()
+    val ver = cand
+      .join(arr.select(col("doc_id").as("inner_id"), col("ta").as("taa"),
+        col("sz").as("n_inner")), "inner_id")
+      .join(arr.select(col("doc_id").as("outer_id"), col("ta").as("tab")),
+        "outer_id")
+      .withColumn("inter",
+        size(array_intersect(col("taa"), col("tab"))).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_inner"))
+      .filter(col("containment") >= 0.8)
+      .select(col("inner_id"), col("outer_id"), col("n_inner"),
+        col("inter"), col("containment"))
+    graft.QOps.ordered1(ver, col("inner_id"), col("outer_id"))
   }
 
   private def containmentPairsSql: String =
-    s"""WITH sh AS ($shinglesSql),
-       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
-       |         CAST(COUNT(*) AS BIGINT) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-       |  GROUP BY 1, 2
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
+       |base AS (SELECT DISTINCT doc_id, ${h64Sql("sh")} AS h FROM sh),
+       |dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM base GROUP BY 1),
+       |arr AS MATERIALIZED (
+       |  SELECT doc_id, list(h ORDER BY df, h) AS ta,
+       |    CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM base JOIN dfreq USING (h) GROUP BY doc_id
+       |), capped AS (SELECT h FROM dfreq WHERE df <= $DF_CAP),
+       |prei AS (
+       |  SELECT p.doc_id, p.sz, p.h
+       |  FROM (SELECT doc_id, sz,
+       |          unnest(list_slice(ta, 1, CAST(sz // 5 + 1 AS INT))) AS h
+       |        FROM arr) p
+       |  JOIN capped USING (h)
+       |), fullx AS (
+       |  SELECT p.doc_id, p.sz, p.h
+       |  FROM (SELECT doc_id, sz, unnest(ta) AS h FROM arr) p
+       |  JOIN capped USING (h)
+       |), dup AS ($sameTextPairsSql),
+       |cand AS (
+       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+       |  FROM prei a JOIN fullx b
+       |    ON a.h = b.h AND a.doc_id <> b.doc_id AND 5 * b.sz >= 4 * a.sz
+       |  UNION
+       |  SELECT a_id, b_id FROM dup
+       |  UNION
+       |  SELECT b_id, a_id FROM dup
+       |), ver AS (
+       |  SELECT inner_id, outer_id, x.sz AS n_inner,
+       |    CAST(len(list_intersect(x.ta, y.ta)) AS BIGINT) AS inter
+       |  FROM cand JOIN arr x ON x.doc_id = inner_id
+       |  JOIN arr y ON y.doc_id = outer_id
        |)
-       |SELECT i.inner_id, i.outer_id, s.n_sh AS n_inner, i.inter,
-       |       i.inter * 1.0 / s.n_sh AS containment
-       |FROM inter i JOIN sizes s ON s.doc_id = i.inner_id
-       |WHERE i.inter * 1.0 / s.n_sh >= 0.8
+       |SELECT inner_id, outer_id, n_inner, inter,
+       |       inter * 1.0 / n_inner AS containment
+       |FROM ver WHERE inter * 1.0 / n_inner >= 0.8
        |ORDER BY inner_id, outer_id""".stripMargin
 
   // ---- Fellegi-Sunter record-linkage scoring ------------------------------
@@ -1917,19 +2055,37 @@ object DedupOps extends QueryModule {
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
     Q("ngram_jaccard_pairs", ngramJaccard, Some(
-      s"""WITH sh AS ($shinglesSql),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
+      s"""WITH sh AS MATERIALIZED ($shinglesSql),
+         |base AS (SELECT DISTINCT doc_id, ${h64Sql("sh")} AS h FROM sh),
+         |dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM base GROUP BY 1),
+         |arr AS MATERIALIZED (
+         |  SELECT doc_id, list(h ORDER BY df, h) AS ta,
+         |    CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM base JOIN dfreq USING (h) GROUP BY doc_id
+         |), pre AS (
+         |  SELECT p.doc_id, p.sz, p.h
+         |  FROM (SELECT doc_id, sz,
+         |          unnest(list_slice(ta, 1,
+         |            CAST(sz - ((3 * sz + 9) // 10) + 1 AS INT))) AS h
+         |        FROM arr) p
+         |  JOIN dfreq USING (h) WHERE df <= $DF_CAP
+         |), cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pre a JOIN pre b
+         |    ON a.h = b.h AND a.doc_id < b.doc_id
+         |   AND 10 * LEAST(a.sz, b.sz) >= 3 * GREATEST(a.sz, b.sz)
+         |  UNION
+         |  $sameTextPairsSql
+         |), ver AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(x.ta, y.ta)) AS BIGINT) AS inter,
+         |    x.sz AS na, y.sz AS nb
+         |  FROM cand JOIN arr x ON x.doc_id = a_id JOIN arr y ON y.doc_id = b_id
          |)
-         |SELECT i.a_id, i.b_id, i.inter,
-         |       i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON sa.doc_id = i.a_id
-         |JOIN sizes sb ON sb.doc_id = i.b_id
-         |WHERE i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) >= 0.3
+         |SELECT a_id, b_id, inter,
+         |       inter * 1.0 / (na + nb - inter) AS jaccard
+         |FROM ver
+         |WHERE inter * 1.0 / (na + nb - inter) >= 0.3
          |ORDER BY a_id, b_id""".stripMargin)),
     Q("minhash_signatures", minhashSig, Some(minhashSigSql + "\nORDER BY doc_id")),
     Q("minhash_lsh_pairs", minhashLsh, Some(minhashLshSql)),

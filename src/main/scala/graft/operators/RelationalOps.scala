@@ -586,7 +586,15 @@ object RelationalOps extends QueryModule {
     * asymmetry, documented out of contract: integer literals OUTSIDE int64
     * probe as DECIMAL(p,0) on Spark ('num') but UBIGINT in DuckDB for
     * [2^63, 2^64) ('int') — fixtures contain none (hostile fixture sweeps
-    * str/num/bool/nested-obj/malformed/NULL). Non-object and malformed
+    * str/num/bool/nested-obj/malformed/NULL). Second pinned asymmetry,
+    * same status: a JSON object with DUPLICATE top-level keys
+    * ({"k":1,"k":2}) is rejected by Spark's try_parse_json (row excluded,
+    * like malformed input) but accepted by DuckDB's json_valid/json_keys
+    * (last-key-wins, row counted) — RFC 8259 leaves the choice open.
+    * Fixtures contain no duplicate-key rows; a corpus that has them needs
+    * the dup-key rows filtered oracle-side
+    * (len(json_keys(props)) = len(list_distinct(json_keys(props)))) to
+    * keep the contract exact. Non-object and malformed
     * props rows are excluded on both sides (try_parse_json → NULL; the
     * oracle guards json_keys' argument, since DuckDB's JSON laterals ABORT
     * on malformed input if filtered only in WHERE).
@@ -2555,15 +2563,29 @@ object RelationalOps extends QueryModule {
         |)
         |ORDER BY cents, p_partkey""".stripMargin)),
     Q("frequent_triples", frequentTriples, Some(
+      // index-expansion form, mirroring the engine's sorted-set HOFs: the
+      // old 3-way self-join on l_orderkey ground for 60+ minutes in DuckDB
+      // at sf1.0 (quadratic join-then-filter intermediates); expanding each
+      // order's sorted brand set to its C(k,3) triples directly is the
+      // Σ C(k,3) ≈ 2×|orders| row plan both engines want — 2.4 s at sf1.0,
+      // byte-identical result
       """WITH ob AS (
         |  SELECT DISTINCT l_orderkey, p_brand
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), sets AS (
+        |  SELECT l_orderkey, list(p_brand ORDER BY p_brand) AS bs
+        |  FROM ob GROUP BY 1
+        |), tr AS (
+        |  SELECT unnest(flatten(flatten(
+        |    list_transform(generate_series(1, len(bs) - 2), i ->
+        |      list_transform(generate_series(i + 1, len(bs) - 1), j ->
+        |        list_transform(generate_series(j + 1, len(bs)), k ->
+        |          struct_pack(b1 := bs[i], b2 := bs[j], b3 := bs[k]))))))) AS t
+        |  FROM sets
         |)
-        |SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+        |SELECT t.b1 AS b1, t.b2 AS b2, t.b3 AS b3,
         |       CAST(COUNT(*) AS BIGINT) AS support
-        |FROM ob a
-        |JOIN ob b ON b.l_orderkey = a.l_orderkey AND b.p_brand > a.p_brand
-        |JOIN ob c ON c.l_orderkey = a.l_orderkey AND c.p_brand > b.p_brand
+        |FROM tr
         |GROUP BY 1, 2, 3
         |HAVING COUNT(*) >= 10
         |ORDER BY support DESC, b1, b2, b3 LIMIT 20""".stripMargin)),

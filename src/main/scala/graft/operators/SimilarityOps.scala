@@ -104,34 +104,85 @@ object SimilarityOps extends QueryModule {
     * each (lsh_band_keys): a pair is a candidate iff it collides in ≥1 band,
     * formed by an equi-join on (band, key) — the quadratic pair space never
     * materializes and the plan is a shuffle equi-join, not a
-    * BroadcastNestedLoop. Candidates that collide in several bands are kept
-    * only at their FIRST matching band (a local array filter over the
-    * earlier-band keys both sides already carry) — no global DISTINCT
-    * shuffle. Survivors get the exact quantized cosine and the threshold.
+    * BroadcastNestedLoop. Multi-band collisions dedup through a narrow
+    * DISTINCT on the id pair (see the inline note). Survivors get the
+    * exact quantized cosine and the threshold.
     *
-    * Recall: deterministic given the fixed md5 planes. At t=0.4 on this
-    * synthetic corpus (random 64-d vectors; match prob per plane ≈ 0.63 at
-    * the threshold — an adversarially LOW threshold for sign-LSH), 20×3
-    * bands give every qualifying sf0.01 pair ≥2 matching bands (oracle
-    * hash-matches the exact all-pairs SQL); at sf0.1 recall is 916/920. A
-    * production near-dup threshold (≥0.7, plane match prob ≥0.75) makes the
-    * same machinery effectively exact with fewer bands.
+    * Scale truth (measured at sf1.0): at the adversarially low t=0.4 on
+    * ISOTROPIC random embeddings the RESULT ITSELF is Θ(n²) — P(cos ≥ 0.4)
+    * is a scale-free constant (~3·10⁻⁴), so 10× vectors = ~100× qualifying
+    * pairs (920 → ~66k underlying; the S-curve emits ~60%). No plan emits
+    * quadratic output in linear time; what the banding guarantees is
+    * candidates within a CONSTANT of that output mass (~500× here, the
+    * 1/P(cos ≥ 0.4 | band collision) odds at this geometry). On real
+    * near-dup corpora — clustered embeddings, production thresholds ≥0.7 —
+    * qualifying mass is linear in the dup mass and the same machinery is
+    * linear end-to-end.
+    *
+    * Band geometry (round 11): [[ND_BANDS]] bands × ADAPTIVE rows.
+    * Round 10's 20×3 geometry measured 32× cost at 10× data — 3 sign bits
+    * give 8 distinct keys per band, so every band partitions the corpus
+    * into ≤8 buckets and candidates ≈ 20·n²/8 stay quadratic. The fix is
+    * the one production LSH actually uses: rows-per-band GROWS WITH THE
+    * CORPUS — rows = 8 + ⌊log₂(n / 2000)⌋ (capped at 24), so the
+    * random-pair collision rate 2^(−rows) halves with every doubling of n
+    * and candidate volume ≈ bands · n² · 2^(−rows) ∝ n stays LINEAR (up
+    * to the ⌊⌋ stairstep's 2×). n reaches the driver as a single count
+    * (the pagerank precedent) and the oracle computes the identical rows
+    * from COUNT(*) via an exact integer ladder — no float log whose
+    * power-of-two edge could disagree.
+    *
+    * The price is the S-curve: at-threshold recall 1−(1−p^rows)^bands with
+    * p = 1 − θ/π falls as rows grow, i.e. the catch knee drifts toward
+    * higher similarity as the corpus grows — at n = 2000 (rows 8) recall
+    * at the adversarially LOW t=0.4 (p≈0.63) is ~0.46, at n = 20k
+    * (rows 11) ~0.14 at 0.4 but ~0.40 at 0.6; identical in both engines,
+    * since the oracle replays the banding. That drift is the honest
+    * contract: on isotropic embeddings P(cos ≥ 0.4) is a scale-free
+    * constant, so the t=0.4 RESULT SET is itself Θ(n²) and any fixed
+    * geometry must either emit it (quadratic wall, round 10's defect) or
+    * concede at-threshold recall. On real clustered near-dup corpora the
+    * dup mass sits far above the knee (cos ≥ 0.8 → p ≥ 0.80, caught at
+    * ≥0.97 through rows 14) where the adaptive geometry stays effectively
+    * exact AND linear.
     */
-  private val ND_BANDS = 20
-  private val ND_ROWS = 3
+  private val ND_BANDS = 24
+  private val ND_ROWS_BASE = 8
+  private val ND_ROWS_MAX = 24
+  private val ND_REF = 2000L
+
+  /** rows-per-band for an n-vector corpus: 8 + ⌊log₂(n/2000)⌋, in [8, 24]. */
+  private def ndRows(n: Long): Int = {
+    val m = n / ND_REF
+    if (m < 1L) ND_ROWS_BASE
+    else math.min(ND_ROWS_MAX,
+      ND_ROWS_BASE + (63 - java.lang.Long.numberOfLeadingZeros(m)))
+  }
+
+  /** DuckDB mirror of [[ndRows]]: exact integer threshold ladder (a float
+    * LOG2 could round 2^k∓ulp across the ⌊⌋ boundary differently than the
+    * JVM's integer bit scan). */
+  private def ndRowsSqlLadder: String = {
+    val steps = (16 to 1 by -1)
+      .map(k => s"WHEN m >= ${1L << k} THEN ${math.min(ND_ROWS_MAX, ND_ROWS_BASE + k)}")
+      .mkString(" ")
+    s"(SELECT CAST(CASE $steps ELSE $ND_ROWS_BASE END AS BIGINT) AS nrows" +
+      s" FROM (SELECT COUNT(*) // $ND_REF AS m FROM embeddings))"
+  }
 
   private def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    val rows = ndRows(emb(s, dir).count()) // one long to the driver
     // fat columns (embedding, norm) computed ONCE and kept out of the
     // candidate-generation shuffle: the exploded (band, key) rows carry only
-    // the id + the 20-long band-key array needed for first-band dedup. At
-    // corpus scale this is the difference between shuffling the embeddings
+    // the id + the band-key array needed for first-band dedup. At corpus
+    // scale this is the difference between shuffling the embeddings
     // ND_BANDS times and shuffling them once per verify side.
     val e = emb(s, dir)
       .repartition(col("vec_id")) // single-file scan → parallelize the kernels
       .withColumn("norm2", dotQ(col("embedding"), col("embedding")))
       .withColumn("bands",
-        call_function("lsh_band_keys", col("embedding"), lit(ND_BANDS), lit(ND_ROWS)))
+        call_function("lsh_band_keys", col("embedding"), lit(ND_BANDS), lit(rows)))
       .cache()
     def side(p: String): DataFrame =
       e.select(col("vec_id").as(s"${p}_id"), col("bands").as(s"${p}_bands"))
@@ -164,7 +215,7 @@ object SimilarityOps extends QueryModule {
     * at bench scale.
     */
   private def cosineNearDupSql: String = {
-    val planeRows = (0 until ND_BANDS * ND_ROWS).map { j =>
+    val planeRows = (0 until ND_BANDS * ND_ROWS_MAX).map { j =>
       val ws = (0 until DIM).map(i => planeWeight(j, i)).mkString(", ")
       s"($j, [$ws])"
     }.mkString(",\n    ")
@@ -174,18 +225,21 @@ object SimilarityOps extends QueryModule {
        |         list_transform(generate_series(1, $DIM),
        |           i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS q
        |  FROM embeddings
-       |), planes AS (
+       |), nr AS $ndRowsSqlLadder,
+       |planes AS (
        |  SELECT * FROM (VALUES
        |    $planeRows) AS t(j, w)
        |), bits AS (
-       |  SELECT e.vec_id, p.j,
+       |  SELECT e.vec_id, p.j, nr.nrows,
        |         CASE WHEN CAST(list_sum(list_transform(generate_series(1, $DIM),
        |           i -> e.q[i] * p.w[i])) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
-       |  FROM e CROSS JOIN planes p
+       |  FROM e CROSS JOIN planes p CROSS JOIN nr
+       |  WHERE p.j < $ND_BANDS * nr.nrows
        |), bands AS (
-       |  SELECT vec_id, j // $ND_ROWS AS band,
-       |         CAST(SUM(bit * (1 << (${ND_ROWS - 1} - (j % $ND_ROWS)))) AS BIGINT) AS key
-       |  FROM bits GROUP BY 1, 2
+       |  SELECT vec_id, j // nrows AS band,
+       |         CAST(SUM(bit * (1 << CAST(nrows - 1 - (j % nrows) AS INT)))
+       |              AS BIGINT) AS key
+       |  FROM bits GROUP BY 1, 2, nrows
        |), cand AS (
        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
        |  FROM bands x JOIN bands y

@@ -466,10 +466,26 @@ object StatsOps extends QueryModule {
       |FROM m ORDER BY event_type""".stripMargin
 
   /** Edit-distance near-dup over the FULL corpus: levenshtein over 24-char
-    * prefixes of same-length-band doc pairs (same integer DP definition in
-    * both engines). The length band is the blocking step: pairs only form
-    * inside a band (an equi-join), so the pair space is Σ band² instead of
-    * n² — the banding that keeps this linear-ish at 100× scale.
+    * prefixes of doc pairs sharing a COMPOUND blocking key (same integer DP
+    * definition in both engines).
+    *
+    * Blocking (round 11): length band `length div 50` × one of
+    * [[LEV_BANDS]] ALIGNED 6-char chunks of the folded prefix (chunk i =
+    * chars 6i+1..6i+6). Round 10 measured the length-band-only form at 71×
+    * cost for 10× data — `length div 50` has O(1) distinct values whose
+    * populations grow with n, so Σ band² ≈ n²/#bands is quadratic. The
+    * compound key splits every length band by prefix CONTENT, so block
+    * populations track chunk diversity (which grows with corpus size on
+    * natural text) instead of n. Miss model (replayed identically by the
+    * oracle): a pair is found iff ≥1 aligned chunk matches exactly —
+    * guaranteed for identical prefixes and for substitution-only pairs
+    * with edits confined to ≤3 chunks (pigeonhole); indel-shifted and
+    * edit-scattered pairs in the loose dist∈[4,12] tail trade off for
+    * linear candidates (measured 67% of the old tail retained at both
+    * sf0.01 and sf1.0 — the S-curve contract the LSH families already
+    * carry). Zero-length prefixes never pair (the empty chunk key is
+    * excluded — it is the one degenerate bucket whose population scales
+    * with n).
     *
     * Non-ASCII codepoints are folded to a fixed '?' placeholder before the
     * DP: Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES,
@@ -478,6 +494,9 @@ object StatsOps extends QueryModule {
     * oracle). After folding, char length == byte length in both engines and
     * the distance is exact; distinct non-ASCII chars comparing equal is the
     * documented approximation. */
+  private val LEV_BANDS = 4
+  private val LEV_CHUNK = 6
+
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
     val d = Tables.t(s, dir, "documents")
@@ -485,20 +504,54 @@ object StatsOps extends QueryModule {
         regexp_replace(substring(col("text"), 1, 24), "[^\\x00-\\x7F]", "?")
           .as("prefix"),
         expr("length(text) div 50").cast("long").as("len_band"))
-    val a = d.select(col("doc_id").as("a_id"), col("prefix").as("a_p"), col("len_band"))
-    val b = d.select(col("doc_id").as("b_id"), col("prefix").as("b_p"), col("len_band"))
-    a.join(b, Seq("len_band"))
-      .filter(col("a_id") < col("b_id"))
+    val sides = d.select(col("doc_id"), col("prefix"), col("len_band"),
+      posexplode(array((0 until LEV_BANDS).map(i =>
+        substring(col("prefix"), 1 + i * LEV_CHUNK, LEV_CHUNK)): _*))
+        .as(Seq("bp", "key")))
+      .filter(col("key") =!= "")
+    val cand = sides.as("a").join(sides.as("b"),
+        col("a.len_band") === col("b.len_band") && col("a.bp") === col("b.bp") &&
+          col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.prefix").as("a_p"), col("b.prefix").as("b_p"))
+      .distinct()
+    cand
       // bit-parallel Myers DP (graft.functions.LevenshteinBP): the whole DP
       // column lives in one machine word, ~10× fewer ops than the cell DP
       // on these 24-char ASCII prefixes; values identical to levenshtein(),
-      // so the oracle SQL is unchanged
+      // so the oracle verifies with plain levenshtein()
       .select(col("a_id"), col("b_id"),
         expr("levenshtein_bp(a_p, b_p)").cast("long").as("dist"))
       .filter(col("dist") <= 12)
       // tiny output, banded self-join child → ordered1, not orderBy
       .transform(graft.QOps.ordered1(_, col("a_id"), col("b_id")))
   }
+
+  /** DuckDB mirror of the chunk banding, shared by the oracle. */
+  private def levenshteinPairsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         regexp_replace(substr(text, 1, 24), '[^\\x00-\\x7F]', '?', 'g')
+       |           AS prefix,
+       |         CAST(length(text) // 50 AS BIGINT) AS len_band
+       |  FROM documents
+       |), bands AS (
+       |  SELECT doc_id, prefix, len_band, i AS bp,
+       |         substr(prefix, 1 + $LEV_CHUNK * i, $LEV_CHUNK) AS key
+       |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, ${LEV_BANDS - 1})) AS i)
+       |  WHERE substr(prefix, 1 + $LEV_CHUNK * i, $LEV_CHUNK) <> ''
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         a.prefix AS a_p, b.prefix AS b_p
+       |  FROM bands a JOIN bands b
+       |    ON a.len_band = b.len_band AND a.bp = b.bp AND a.key = b.key
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT a_id, b_id,
+       |       CAST(levenshtein(a_p, b_p) AS BIGINT) AS dist
+       |FROM cand
+       |WHERE levenshtein(a_p, b_p) <= 12
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Ordered list aggregation: sort_array(collect_list) — deterministic
     * regardless of arrival order (the only safe way to emit arrays from a
@@ -3217,19 +3270,7 @@ object StatsOps extends QueryModule {
         |       * sqrt(CAST(CAST(${dmul("n", "syy")} - ${dmul("sy", "sy")} AS STRING) AS DOUBLE)))
         |    AS corr_xy
         |FROM m ORDER BY event_type""".stripMargin)),
-    Q("levenshtein_pairs", levenshteinPairs, Some(
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         regexp_replace(substr(text, 1, 24), '[^\x00-\x7F]', '?', 'g')
-        |           AS prefix,
-        |         CAST(length(text) // 50 AS BIGINT) AS len_band
-        |  FROM documents
-        |)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
-        |FROM d a JOIN d b ON a.len_band = b.len_band AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.prefix, b.prefix) <= 12
-        |ORDER BY a_id, b_id""".stripMargin)),
+    Q("levenshtein_pairs", levenshteinPairs, Some(levenshteinPairsSql)),
     Q("collect_sorted", collectSorted, Some(
       """SELECT user_id,
         |  array_to_string(list_sort(list(event_type)), '|') AS types,

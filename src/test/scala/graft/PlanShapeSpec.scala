@@ -131,6 +131,7 @@ class PlanShapeSpec extends SparkSpec {
       "cms_heavy_hitters", // 1-row CMS sketch array broadcast over 20 candidates
       "approx_quantiles_band", // 4-row quantile-grid broadcast over the bounded-domain distribution table
       "kmv_set_ops", // |types|-row domain self-paired under a < predicate
+      "lsh_scurve_eval", // 1-row adaptive sample-modulus broadcast (truth side)
       "ann_recall_eval", // composes ann_ivf + cosine_topk (both allowlisted)
       "zorder_pruning_eval", // 1-row min/max stats broadcast
       "chi2_independence", // R×C marginal grid: two ≤|levels|-row broadcasts

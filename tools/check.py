@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
 """Dev-only self-check mimicking the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [queryName ...]
 
 Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over views named
 after the testdata tables, sorts columns by name and rows by all columns,
-and reports per-query value equality. NOT part of the shipped library.
+and reports per-query value equality. Optional trailing query names filter
+the sweep (the dev loop, and tools/oracle_sweep.py's per-query subprocess
+mode). DUCKDB_MEM_CAP caps DuckDB memory (default: DuckDB's own default).
+NOT part of the shipped library.
 """
 import json, sys, math
 import duckdb
@@ -62,7 +65,15 @@ def main():
         # register what exists so subset verifies work
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    if os.environ.get("DUCKDB_MEM_CAP"):
+        con.execute("SET memory_limit='%s'" % os.environ["DUCKDB_MEM_CAP"])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3:])
+    if only:
+        missing = only - set(oracle)
+        if missing:
+            sys.exit(f"unknown queries: {sorted(missing)}")
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
