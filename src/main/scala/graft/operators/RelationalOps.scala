@@ -1086,7 +1086,7 @@ object RelationalOps extends QueryModule {
     // dst-only membership per round mirrors the Spark loop exactly; see
     // the monotonicity argument in the operator scaladoc
     val rounds = (1 to KCORE_ROUNDS).map { i =>
-      s"""s$i AS (
+      s"""s$i AS MATERIALIZED (
          |  SELECT src AS node FROM e
          |  WHERE dst IN (SELECT node FROM s${i - 1})
          |  GROUP BY src HAVING COUNT(*) >= $KCORE_K
@@ -1099,9 +1099,9 @@ object RelationalOps extends QueryModule {
        |  FROM li a JOIN li b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
        |  GROUP BY 1, 2
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT src, dst FROM pairs WHERE w >= 2
-       |), s0 AS (
+       |), s0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS node FROM e
        |), $rounds
        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg

@@ -1029,38 +1029,57 @@ object TimeWindowOps extends QueryModule {
 
   /** Interval self-overlap: for every session, how many sessions of OTHER
     * users overlap it in time — the concurrency-attribution / contention
-    * primitive. The pair generator is a banded equi-join: both sides explode
-    * to 1-hour buckets, join on the bucket (a key-partitioned shuffle, never
-    * interval × interval), the exact overlap predicate filters inside the
-    * bucket, and each qualifying pair counts exactly ONCE at the bucket
-    * containing the overlap start (= max of the two starts — an instant both
-    * sessions occupy, so both sides generated that bucket). Sessions with no
-    * overlap survive via the left join back onto the session list.
+    * primitive.
+    *
+    * NO pair generator at all (round 11): overlap COUNTS are rank
+    * arithmetic, not pair enumeration. For half-open spans,
+    * overlaps(i) = #{j : s_j < e_i} − #{j : e_j ≤ s_i} counts every span
+    * intersecting i (including i itself: the two terms classify every
+    * other span as started-before-my-end minus already-ended-at-my-start).
+    * Same-user sessions are gap-disjoint by construction, so the own-user
+    * term is exactly the self row and n_overlap = A − B − 1. Both ranks
+    * come from PrefixOps two-level prefix sums over the merged
+    * point/query list — two key-partitioned exchanges of 2·|sessions|
+    * rows, no single-reducer window, no join whose cardinality grows with
+    * CONCURRENCY. The round-10 banded pair join was correct but its
+    * candidate volume is Σ_bucket (active sessions)², i.e. quadratic in
+    * overlap density — 10× users over the same time span measured 33× the
+    * cost (scale_ratio gate); the rank form is sort-linear and
+    * byte-identical in output. Tie semantics are pinned by the merge
+    * order: at equal timestamps, end-points sort before start-queries
+    * (e_j ≤ s_i counts as ended) and end-queries before start-points
+    * (s_j < e_i stays strict) — exactly the old sa < eb ∧ sb < ea
+    * predicate.
     */
   private def sessionOverlapPairs(s: SparkSession, dir: String): DataFrame = {
-    // cached: drives both explode sides and the final join-back (the Q
+    // cached: drives both prefix passes and the final join-back (the Q
     // per-query caching contract — the sweep clears between queries)
     val sess = sessionSpans(s, dir).cache()
-    val occ = sess.select(col("user_id"), col("s_us"), col("e_us"),
-      explode(sequence(
-        expr(s"s_us div $OverlapBucketUs"),
-        expr(s"(e_us - 1) div $OverlapBucketUs"))).as("bucket"))
-    val a = occ.select(col("user_id").as("ua"), col("s_us").as("sa"),
-      col("e_us").as("ea"), col("bucket"))
-    val b = occ.select(col("user_id").as("ub"), col("s_us").as("sb"),
-      col("e_us").as("eb"), col("bucket"))
-    val cnt = a.join(b, Seq("bucket"))
-      .filter(col("ua") =!= col("ub") &&
-        col("sa") < col("eb") && col("sb") < col("ea") &&
-        expr(s"greatest(sa, sb) div $OverlapBucketUs") === col("bucket"))
-      .groupBy(col("ua"), col("sa"))
-      .agg(count(lit(1)).as("n_overlap"))
-    sess.join(cnt,
-        sess("user_id") === cnt("ua") && sess("s_us") === cnt("sa"), "left")
+    // one prefix pass: running count of POINT rows (c=1) at each QUERY row
+    // (c=0), ordered by (v, k) so the tie direction encodes </≤
+    def pass(pointV: org.apache.spark.sql.Column, pointK: Long,
+        queryV: org.apache.spark.sql.Column, queryK: Long,
+        out: String): DataFrame = {
+      val pts = sess.select(pointV.as("v"), lit(pointK).as("k"),
+        lit(1L).as("c"), lit(-1L).as("qu"), lit(-1L).as("qs"))
+      val qs = sess.select(queryV.as("v"), lit(queryK).as("k"),
+        lit(0L).as("c"), col("user_id").as("qu"), col("s_us").as("qs"))
+      PrefixOps.withGlobalPrefix(pts.unionAll(qs), col("v"),
+          Seq(col("v"), col("k"), col("qu"), col("qs")), sums = Seq("c"))
+        .filter(col("c") === 0L)
+        .select(col("qu").as("user_id"), col("qs").as("s_us"),
+          col("g_run_c").as(out))
+    }
+    // A: #starts strictly before my end (starts sort AFTER queries at ties)
+    val aCnt = pass(col("s_us"), 1L, col("e_us"), 0L, "a_cnt")
+    // B: #ends at-or-before my start (ends sort BEFORE queries at ties)
+    val bCnt = pass(col("e_us"), 0L, col("s_us"), 1L, "b_cnt")
+    sess.join(aCnt, Seq("user_id", "s_us"))
+      .join(bCnt, Seq("user_id", "s_us"))
       .select(
         col("user_id"),
         timestamp_micros(col("s_us")).cast("timestamp_ntz").as("session_start"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        (col("a_cnt") - col("b_cnt") - lit(1L)).as("n_overlap"))
       .orderBy(col("user_id"), col("session_start"))
   }
 

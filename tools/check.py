@@ -56,8 +56,10 @@ def main():
     import os
     # spill to /tmp with a hard cap: an accidentally-quadratic oracle over a
     # scaled fixture once filled the DISK with 44 GB of spill under the
-    # repo's cwd (.tmp/) -- fail the one query loudly instead
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # repo's cwd (.tmp/) -- fail the one query loudly instead. Per-pid dir:
+    # concurrent check.py processes (tools/oracle_sweep.py) sharing one
+    # spill dir delete each other's temp files mid-query (IOException)
+    con.execute("SET temp_directory='/tmp/duckdb_spill_%d'" % os.getpid())
     con.execute("SET max_temp_directory_size='%s'"
                 % os.environ.get("DUCKDB_TEMP_CAP", "16GiB"))
     for t in TABLES:
