@@ -164,7 +164,8 @@ class PlanShapeSpec extends SparkSpec {
       "shard_plan", // PrefixOps 1-row global-stats + offsets-table broadcasts (corpus_topp_select class)
       "blocking_quality", // 1-row metric crossjoins (n_truth × n_cand × n_caught × n_docs)
       "epoch_shuffle", "padding_waste_report", // PrefixOps 1-row stats + offsets broadcasts (shard_plan class)
-      "split_leakage_report") // 1-row metric crossjoins (blocking_quality class)
+      "split_leakage_report", // 1-row metric crossjoins (blocking_quality class)
+      "session_overlap_pairs") // PrefixOps ungrouped 1-row min/max broadcast ×2 (rank-arithmetic overlap counts)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
