@@ -1588,17 +1588,22 @@ object RelationalOps extends QueryModule {
   }
 
   /** The 2-round LPA CTE chain (li → edges → l0 → r1 → r2), shared by the
-    * label_propagation and modularity_score oracles. */
+    * label_propagation and modularity_score oracles. MATERIALIZED hints:
+    * DuckDB inlines CTEs by default, so `edges` (the co-purchase self-join,
+    * the expensive node) would be recomputed at every reference —
+    * modularity_score references it four times (e/deg/intra plus the LPA
+    * rounds) and blew the 16 GiB spill cap at native sf1.0; materializing
+    * li/edges and each LPA round keeps it to one spill-bounded build. */
   private val lpCtes: String =
-    """li AS (
+    """li AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
       |  WHERE a.l_partkey <> b.l_partkey
-      |), l0 AS (
+      |), l0 AS MATERIALIZED (
       |  SELECT DISTINCT src AS node, src AS lab FROM edges
-      |), r1 AS (
+      |), r1 AS MATERIALIZED (
       |  SELECT dst AS node, lab FROM (
       |    SELECT e.dst, l.lab, COUNT(*) AS c,
       |      ROW_NUMBER() OVER (PARTITION BY e.dst
@@ -1606,7 +1611,7 @@ object RelationalOps extends QueryModule {
       |    FROM edges e JOIN l0 l ON e.src = l.node
       |    GROUP BY e.dst, l.lab)
       |  WHERE rn = 1
-      |), r2 AS (
+      |), r2 AS MATERIALIZED (
       |  SELECT dst AS node, lab FROM (
       |    SELECT e.dst, l.lab, COUNT(*) AS c,
       |      ROW_NUMBER() OVER (PARTITION BY e.dst
