@@ -487,6 +487,19 @@ object StatsOps extends QueryModule {
     * excluded — it is the one degenerate bucket whose population scales
     * with n).
     *
+    * Stop-block cap (round 11b): blocks larger than [[LEV_BLOCK_CAP]] docs
+    * are dropped from candidate generation entirely — the same stop-shingle
+    * practice as containment_pairs' df cap. Without it, a chunk shared by a
+    * fixed-vocabulary corpus' boilerplate openers (e.g. every doc starting
+    * with the same 6 chars) forms a block whose population grows WITH n, so
+    * its block² term stays quadratic: the compound key alone still measured
+    * 15.4× at 10× data; with the cap, per-block work is ≤ CAP² and total
+    * candidates are ≤ (occurrences/CAP)·CAP² = linear. Miss model on top of
+    * the chunk pigeonhole: a pair is lost iff EVERY matching chunk sits in
+    * a >CAP block — i.e. both prefixes are boilerplate in all their shared
+    * chunks, exactly the uninformative-prefix pairs edit-distance blocking
+    * is meant to exclude. The oracle replays the identical cap.
+    *
     * Non-ASCII codepoints are folded to a fixed '?' placeholder before the
     * DP: Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES,
     * so multi-byte text diverges (found by the hostile fixtures — a unicode
@@ -496,6 +509,7 @@ object StatsOps extends QueryModule {
     * documented approximation. */
   private val LEV_BANDS = 4
   private val LEV_CHUNK = 6
+  private val LEV_BLOCK_CAP = 128
 
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
@@ -504,11 +518,19 @@ object StatsOps extends QueryModule {
         regexp_replace(substring(col("text"), 1, 24), "[^\\x00-\\x7F]", "?")
           .as("prefix"),
         expr("length(text) div 50").cast("long").as("len_band"))
-    val sides = d.select(col("doc_id"), col("prefix"), col("len_band"),
+    val exploded = d.select(col("doc_id"), col("prefix"), col("len_band"),
       posexplode(array((0 until LEV_BANDS).map(i =>
         substring(col("prefix"), 1 + i * LEV_CHUNK, LEV_CHUNK)): _*))
         .as(Seq("bp", "key")))
       .filter(col("key") =!= "")
+    // stop-block cap: keep only blocks small enough that block² is bounded
+    // (the keep list is grouped on the join key, so this is one extra
+    // key-partitioned agg + equi-join — no new shuffle shape)
+    val keep = exploded.groupBy(col("len_band"), col("bp"), col("key"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= LEV_BLOCK_CAP)
+      .drop("_bn")
+    val sides = exploded.join(keep, Seq("len_band", "bp", "key"))
     val cand = sides.as("a").join(sides.as("b"),
         col("a.len_band") === col("b.len_band") && col("a.bp") === col("b.bp") &&
           col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
@@ -540,10 +562,17 @@ object StatsOps extends QueryModule {
        |         substr(prefix, 1 + $LEV_CHUNK * i, $LEV_CHUNK) AS key
        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, ${LEV_BANDS - 1})) AS i)
        |  WHERE substr(prefix, 1 + $LEV_CHUNK * i, $LEV_CHUNK) <> ''
+       |), keep AS (
+       |  SELECT len_band, bp, key FROM bands
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) <= $LEV_BLOCK_CAP
+       |), kept AS (
+       |  SELECT b.* FROM bands b
+       |  JOIN keep k ON b.len_band = k.len_band AND b.bp = k.bp
+       |             AND b.key = k.key
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |         a.prefix AS a_p, b.prefix AS b_p
-       |  FROM bands a JOIN bands b
+       |  FROM kept a JOIN kept b
        |    ON a.len_band = b.len_band AND a.bp = b.bp AND a.key = b.key
        |   AND a.doc_id < b.doc_id
        |)
