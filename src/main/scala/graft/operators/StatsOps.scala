@@ -494,7 +494,13 @@ object StatsOps extends QueryModule {
     * with the same 6 chars) forms a block whose population grows WITH n, so
     * its block² term stays quadratic: the compound key alone still measured
     * 15.4× at 10× data; with the cap, per-block work is ≤ CAP² and total
-    * candidates are ≤ (occurrences/CAP)·CAP² = linear. Miss model on top of
+    * candidates are ≤ (occurrences/CAP)·CAP² = CAP·occurrences, linear.
+    * CAP=32 sits below the gate SFs' largest block (31 docs at sf0.1), so
+    * the capped query is byte-identical there, and caps the measured sf1
+    * candidate volume at 520k vs 2.67M uncapped (measured block census,
+    * round 11); the remaining 10×-window growth is sub-cap blocks filling
+    * toward saturation on the fixed-vocabulary corpus — past it, every
+    * block is cap-bound and candidates scale with occurrences alone. Miss model on top of
     * the chunk pigeonhole: a pair is lost iff EVERY matching chunk sits in
     * a >CAP block — i.e. both prefixes are boilerplate in all their shared
     * chunks, exactly the uninformative-prefix pairs edit-distance blocking
@@ -509,7 +515,7 @@ object StatsOps extends QueryModule {
     * documented approximation. */
   private val LEV_BANDS = 4
   private val LEV_CHUNK = 6
-  private val LEV_BLOCK_CAP = 128
+  private val LEV_BLOCK_CAP = 32
 
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
