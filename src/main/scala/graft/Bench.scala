@@ -90,6 +90,11 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1)
+    // per-query attempt counts: >2 means the stall canary fired and forced
+    // retries — recorded in the JSON so an inflated sweep is diagnosable
+    // from the artifact alone (round-11 driver bench ran 38% hot with
+    // nothing in the record saying which windows were dirty)
+    val attemptsByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = sorted.map { case (name, fn) =>
       // drop caches left by previous queries (some operators cache reused
       // subtrees internally); keep the cache warm between this query's own
@@ -108,6 +113,7 @@ object Bench {
         best = math.min(best, t)
         if (c < 5.0 * canaryFloor + 0.2) cleanRuns += 1
       }
+      attemptsByQuery(name) = attempts
       name -> best
     }
     // End-of-sweep outlier re-measure: a multi-minute VM throttle window can
@@ -118,8 +124,10 @@ object Bench {
     val sortedBests = results.map(_._2).sorted
     val median = sortedBests(sortedBests.length / 2)
     val floor = math.max(2.0, 10.0 * median)
+    val remeasuredNames = scala.collection.mutable.SortedSet[String]()
     val remeasured = results.map { case (name, best) =>
       if (best > floor) {
+        remeasuredNames += name
         spark.catalog.clearCache()
         val t = math.min(timeOnce(name, SparkEntry.queries(name)),
           timeOnce(name, SparkEntry.queries(name)))
@@ -130,8 +138,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = remeasured.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // self-describing sweep metadata (round 12): canary floor, which
+    // queries needed stall retries (attempts > 2), which got the
+    // end-of-sweep outlier re-measure, and the replay scratch root —
+    // enough to diagnose an inflated window from the artifact alone
+    val retried = attemptsByQuery.filter(_._2 > 2)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val remeasJson = remeasuredNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val scratch = graft.streaming.ReplayOps.scratchRoot
+    val meta =
+      s""""canary_floor_sec":${math.rint(canaryFloor * 1e4) / 1e4},""" +
+      s""""stall_retries":$retried,"remeasured":$remeasJson,""" +
+      s""""replay_scratch_root":"$scratch""""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$meta,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>

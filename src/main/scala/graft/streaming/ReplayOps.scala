@@ -143,6 +143,11 @@ object ReplayOps extends QueryModule {
     chosen
   }
 
+  /** The replay scratch root as recorded in bench artifacts: tmpfs vs disk
+    * timings are not comparable, so Bench embeds this in its JSON. */
+  def scratchRoot: String =
+    tmpRoot.map(_.toString).getOrElse(System.getProperty("java.io.tmpdir"))
+
   /** createTempDirectory on the replay scratch root ([[tmpRoot]]). */
   private def mkTempDir(prefix: String): java.nio.file.Path =
     tmpRoot match {

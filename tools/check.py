@@ -10,8 +10,21 @@ and reports per-query value equality. Optional trailing query names filter
 the sweep (the dev loop, and tools/oracle_sweep.py's per-query subprocess
 mode). DUCKDB_MEM_CAP caps DuckDB memory (default: DuckDB's own default).
 NOT part of the shipped library.
+
+Fast path (round 12): outputs past CHECK_FAST_MIN_ROWS (default 200k)
+compare as multisets INSIDE DuckDB — symmetric EXCEPT ALL, vectorized —
+instead of the pandas sort + pure-Python cell loop, which at the native-sf1
+6M-row window outputs spent ~2 min/query in Python and would be ~20 min at
+sf10. Engagement conditions keep "fast OK => slow OK": identical sorted
+column names AND identical per-column DuckDB types (no implicit casts, so
+no precision-losing coercion can mask a real diff; dtype parity is already
+enforced catalog-wide by tools/dtype_audit.py). DuckDB set-op semantics
+match cells_equal: NULL groups with NULL, NaN with NaN, -0.0 == 0.0. On a
+fast-path mismatch the differing rows are sampled from both EXCEPT
+directions for the diagnostic. CHECK_FAST_MIN_ROWS=0 forces the fast path;
+setting it huge forces the legacy pandas path.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -50,10 +63,49 @@ def cells_equal(a, b):
     return a == b
 
 
+def q(ident):
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def fast_compare(con, name, sql, n_rows):
+    """Multiset-compare engine parquet vs oracle SQL inside DuckDB.
+
+    Returns (handled, ok, detail): handled=False -> caller must use the
+    pandas path (schema mismatch risk of implicit casts, or describe
+    failure). Row counts are compared by the caller beforehand.
+    """
+    con.execute(f"CREATE OR REPLACE TEMP VIEW __ora AS {sql}")
+    eng_desc = con.execute(f"DESCRIBE SELECT * FROM __eng").fetchall()
+    ora_desc = con.execute(f"DESCRIBE SELECT * FROM __ora").fetchall()
+    eng_t = sorted((r[0], r[1]) for r in eng_desc)
+    ora_t = sorted((r[0], r[1]) for r in ora_desc)
+    if [c for c, _ in eng_t] != [c for c, _ in ora_t]:
+        return True, False, ("columns %s vs %s"
+                             % ([c for c, _ in eng_t], [c for c, _ in ora_t]))
+    if eng_t != ora_t:
+        # same names, different types: implicit casts could hide a real
+        # diff (e.g. BIGINT vs DOUBLE) -- use the exact pandas path
+        return False, False, None
+    cols = ", ".join(q(c) for c, _ in eng_t)
+    diff = (f"(SELECT {cols} FROM __eng EXCEPT ALL SELECT {cols} FROM __ora)"
+            f" UNION ALL "
+            f"(SELECT {cols} FROM __ora EXCEPT ALL SELECT {cols} FROM __eng)")
+    n_diff = con.execute(f"SELECT COUNT(*) FROM ({diff})").fetchone()[0]
+    if n_diff == 0:
+        return True, True, f"({n_rows} rows, fast)"
+    samp = con.execute(
+        f"SELECT * FROM (SELECT {cols} FROM __eng EXCEPT ALL "
+        f"SELECT {cols} FROM __ora) LIMIT 2").fetchall()
+    samp2 = con.execute(
+        f"SELECT * FROM (SELECT {cols} FROM __ora EXCEPT ALL "
+        f"SELECT {cols} FROM __eng) LIMIT 2").fetchall()
+    return True, False, (f"{n_diff} differing multiset rows; "
+                         f"spark-only={samp!r} duck-only={samp2!r}")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    import os
     # spill to /tmp with a hard cap: an accidentally-quadratic oracle over a
     # scaled fixture once filled the DISK with 44 GB of spill under the
     # repo's cwd (.tmp/) -- fail the one query loudly instead. Per-pid dir:
@@ -76,11 +128,26 @@ def main():
         if missing:
             sys.exit(f"unknown queries: {sorted(missing)}")
         oracle = {k: v for k, v in oracle.items() if k in only}
+    fast_min = int(os.environ.get("CHECK_FAST_MIN_ROWS", "200000"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_df = canon(con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            con.execute("CREATE OR REPLACE TEMP VIEW __eng AS "
+                        f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            n_eng = con.execute("SELECT COUNT(*) FROM __eng").fetchone()[0]
+            if n_eng >= fast_min:
+                handled, ok, detail = fast_compare(con, name, sql, n_eng)
+                if handled:
+                    # fast path checks the multiset directly; equal
+                    # multisets imply equal row counts
+                    if ok:
+                        print(f"OK   {name} {detail}")
+                        n_ok += 1
+                    else:
+                        print(f"FAIL {name}: {detail}")
+                        n_bad += 1
+                    continue
+            spark_df = canon(con.execute("SELECT * FROM __eng").df())
             duck_df = canon(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: read/exec error: {e}")
