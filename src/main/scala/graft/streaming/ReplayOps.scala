@@ -73,7 +73,32 @@ object ReplayOps extends QueryModule {
 
   private val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
 
-  private case class Pinned(parts: String, noData: Option[String])
+  /** Checkpoint I/O pins for the replay scope (round 12, measured via
+    * thread-sampling a bench replay):
+    *
+    *  - The default FileContext-based checkpoint manager renames every
+    *    finished checkpoint file through Hadoop's AbstractFileSystem, whose
+    *    local-FS rename calls `FileUtil.readLink` — a fork/exec of the
+    *    `readlink` SHELL COMMAND per file. A replay commits hundreds of
+    *    checkpoint files (offset/commit logs + state deltas × partitions ×
+    *    batches), so the fork storm dominated replay wall time on the
+    *    32-core sandbox. The FileSystem-based manager renames via
+    *    `File.renameTo` (atomic on POSIX local filesystems — exactly where
+    *    replays run; a production checkpoint on HDFS/S3 keeps the default).
+    *  - Spark 4.1's checkpoint file-checksum layer writes a second
+    *    `.crc`-style sidecar per checkpoint file through the same rename
+    *    path — doubling the fork count for scratch files that live seconds.
+    *
+    * Both are I/O-manager choices, not semantics: every replay output stays
+    * hash-checked against the batch oracle, and the crash-restart replays
+    * still resume from these checkpoints. */
+  private val CkptMgrKey = "spark.sql.streaming.checkpointFileManagerClass"
+  private val CkptMgrVal = "org.apache.spark.sql.execution.streaming." +
+    "checkpointing.FileSystemBasedCheckpointFileManager"
+  private val CkptSumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+  private case class Pinned(parts: String, noData: Option[String],
+      ckptMgr: Option[String], ckptSum: Option[String])
 
   /** Imperative form of [[withReplayPartitions]] for the replay fns that
     * interleave stream setup and drive: pin before `.start()`, restore in
@@ -90,17 +115,23 @@ object ReplayOps extends QueryModule {
     * hash-checks this catalog-wide). */
   private def pinPartitions(spark: SparkSession): Pinned = {
     val prev = Pinned(spark.conf.get("spark.sql.shuffle.partitions"),
-      spark.conf.getOption(NoDataKey))
+      spark.conf.getOption(NoDataKey),
+      spark.conf.getOption(CkptMgrKey), spark.conf.getOption(CkptSumKey))
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set(NoDataKey, "false")
+    spark.conf.set(CkptMgrKey, CkptMgrVal)
+    spark.conf.set(CkptSumKey, "false")
     prev
   }
   private def restorePartitions(spark: SparkSession, prev: Pinned): Unit = {
     spark.conf.set("spark.sql.shuffle.partitions", prev.parts)
-    prev.noData match {
-      case Some(v) => spark.conf.set(NoDataKey, v)
-      case None    => spark.conf.unset(NoDataKey)
+    def put(key: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(key, x)
+      case None    => spark.conf.unset(key)
     }
+    put(NoDataKey, prev.noData)
+    put(CkptMgrKey, prev.ckptMgr)
+    put(CkptSumKey, prev.ckptSum)
   }
 
   /** Recursive delete of a replay temp dir (checkpoint/state-store/sink
