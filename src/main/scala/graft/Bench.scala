@@ -156,11 +156,29 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
-    // The driver captures only a short stdout tail: the full per-query JSON
-    // (~3 KB at 69 queries) overflowed it every round, truncating the head
-    // and failing the parse. Keep the LAST stdout line compact — total only,
-    // well under any tail window; per-query detail lives in BENCH.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${remeasured.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 chars of stdout (measured:
+    // every BENCH_r*.json "tail" is exactly 2000 chars), and sbt appends a
+    // ~75-char "[success] ..." line after ours. The full per-query JSON
+    // (~8 KB at 312 queries) would truncate the line's HEAD and fail the
+    // parse — that is what happened in early rounds at 69 queries / 3 KB.
+    // Round-12 verdict item 1 asks for driver-visible per-query timings, so
+    // emit as many entries as fit a hard character budget, HEAVIEST first:
+    // the slow queries carry all the perf signal (the median query is
+    // ~0.05 s, pure noise round-over-round), and the budget keeps the line
+    // + sbt suffix safely inside the 2000-char tail. Full map: BENCH.json.
+    val stdoutBudget = 1550 // chars for the queries map body
+    val topEntries = {
+      val b = new StringBuilder
+      var used = 0
+      remeasured.sortBy(-_._2).iterator.takeWhile { case (k, v) =>
+        val e = s""""$k":${math.rint(v * 1000) / 1000}"""
+        val ok = used + e.length + 1 <= stdoutBudget
+        if (ok) { if (used > 0) b.append(','); b.append(e); used += e.length + 1 }
+        ok
+      }.size
+      b.toString
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${remeasured.size},"n_failed":${failed.size},"queries":{$topEntries},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,25 @@ object ProfileJobs {
     org.apache.spark.sql.graft.RowNumberTopKRewrite.install(spark)
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     @volatile var enabled = false
+    // streaming replays: per-micro-batch duration breakdown (the engine
+    // publishes queryPlanning / walCommit / addBatch / getBatch / state
+    // commit times per batch — exactly the fixed-overhead attribution the
+    // [job] lines cannot see because much of it is driver-side)
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = if (enabled) {
+        val p = e.progress
+        import scala.jdk.CollectionConverters._
+        val dur = p.durationMs.asScala.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s"$k=$v" }.mkString(" ")
+        val st = p.stateOperators.map(s =>
+          s"${s.operatorName}:commit=${s.commitTimeMs}ms rows=${s.numRowsTotal}")
+          .mkString(" ")
+        println(s"[batch] ${p.name} #${p.batchId} rows=${p.numInputRows} $dur | $st")
+      }
+    })
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = if (enabled) {
         val desc = Option(js.properties)

@@ -141,27 +141,114 @@ object RelationalOps extends QueryModule {
     * differing in quantity would make prev_qty/running_qty engine-arbitrary.
     * Appending the measure itself makes determinism structural rather than
     * dependent on the current data's key uniqueness. */
-  private def windowRunningSupplier(s: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+  /** Hot-key gate for [[windowRunningSupplier]] (round 13, guide §2.5):
+    * a per-supplier window serializes each supplier through ONE task, so a
+    * hot supplier above this many rows makes that task the stage
+    * (SKEW_BENCH.json measured 3.53× wall on a 50%-hot supplier — the worst
+    * ratio in the catalog, and AQE skew handling applies only to joins,
+    * never windows). Above the gate the same three analytics run through
+    * the PrefixOps two-level prefix machinery (every stage parallel); below
+    * it the plain window is cheaper (the prefix form pays ~5 extra
+    * exchanges). The gate is a DATA-shape bound (rows serialized through
+    * one task), not a core-count constant — at any cluster size a >250k-row
+    * single-key sort is a straggler. Probe cost: one partial-aggregated
+    * count over the projection the query caches anyway. */
+  private val WRS_SINGLE_KEY_MAX = 250000L
+
+  /** The projection both window_running_supplier paths consume (cached:
+    * probe + analytics share one materialization). Package-private for the
+    * path-equality spec. */
+  private[graft] def wrsBase(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .select(
-        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_extendedprice"),
+        col("l_quantity"),
         // long-quantized running sum: exact, order-independent, ~10× faster
         // than a DECIMAL(38,6) running frame at 600k rows
-        (sum(round(col("l_quantity") * 1e6).cast("long"))
-          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double") / 1e6).as("running_qty"),
-        lag(col("l_quantity"), 1).over(ord).as("prev_qty"),
-        rank().over(Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc,
-          col("l_orderkey"), col("l_linenumber"))).as("qty_rank"))
-      // same tie-break tail as the window: the checker canonicalizes row
-      // order before hashing, but leaving the OUTPUT order engine-arbitrary
-      // for the duplicate (orderkey, linenumber) rows invites future
-      // order-sensitive consumers to inherit the ambiguity
+        round(col("l_quantity") * 1e6).cast("long").as("_q6"))
+      .cache()
+
+  private def windowRunningSupplier(s: SparkSession, dir: String): DataFrame = {
+    val base = wrsBase(s, dir)
+    val mRow = base.groupBy(col("l_suppkey")).count()
+      .agg(max(col("count"))).head()
+    val hot = !mRow.isNullAt(0) && mRow.getLong(0) > WRS_SINGLE_KEY_MAX
+    windowRunningSupplierBy(base, prefixPath = hot)
+  }
+
+  /** Both physical forms of window_running_supplier over the projected+
+    * cached `base` (package-private: PropertySpec asserts path equality on
+    * the hostile-skew fixture). Row-identical by construction:
+    *
+    *  - window path: the r10 formulation — one exchange on l_suppkey, two
+    *    window specs.
+    *  - prefix path: running_qty + the ship-order global rank from ONE
+    *    [[PrefixOps.withGlobalPrefix]] pass bucketed by shipdate;
+    *    LAG re-attached via a self-join on the UNIQUE (suppkey, g_rank)
+    *    (many-to-one, no row multiplication even for fully duplicate input
+    *    tuples); RANK() from a second pass bucketed by quantity using the
+    *    rank-of-first-peer identity rank(r) = min(row_number) over r's tie
+    *    group (ties sit on consecutive row_numbers, so the min is
+    *    deterministic even though the tie order itself is not), re-attached
+    *    by the tie-group key — a many-to-one join again.
+    */
+  private[graft] def windowRunningSupplierBy(base: DataFrame,
+      prefixPath: Boolean): DataFrame = {
+    val ordCols = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+    val out =
+      if (!prefixPath) {
+        val ord = Window.partitionBy(col("l_suppkey")).orderBy(ordCols: _*)
+        base.select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          (sum(col("_q6"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / 1e6).as("running_qty"),
+          lag(col("l_quantity"), 1).over(ord).as("prev_qty"),
+          rank().over(Window.partitionBy(col("l_suppkey"))
+            .orderBy(col("l_quantity").desc, col("l_orderkey"),
+              col("l_linenumber"))).as("qty_rank"),
+          col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+      } else {
+        val pre = PrefixOps.withGlobalPrefix(base,
+          // cast: fixture shipdates are TIMESTAMP_NTZ; same µs under the
+          // UTC session zone, and unix_micros needs TIMESTAMP
+          bucketBy = unix_micros(col("l_shipdate").cast("timestamp")),
+          order = ordCols, groupKeys = Seq("l_suppkey"), sums = Seq("_q6"))
+          .cache() // feeds both sides of the lag self-join
+        val prev = pre.select(col("l_suppkey").as("_p_sk"),
+          (col("g_rank") + lit(1L)).as("_p_rk"),
+          col("l_quantity").as("prev_qty"))
+        val withLag = pre.join(prev,
+          col("l_suppkey") === col("_p_sk") && col("g_rank") === col("_p_rk"),
+          "left").drop("_p_sk", "_p_rk")
+        val byQty = PrefixOps.withGlobalPrefix(base,
+          bucketBy = -col("_q6"), // monotone non-decreasing along qty DESC
+          order = Seq(col("l_quantity").desc, col("l_orderkey"),
+            col("l_linenumber")),
+          groupKeys = Seq("l_suppkey"))
+        val ranks = byQty.groupBy(col("l_suppkey"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber"))
+          .agg(min(col("g_rank")).cast("int").as("qty_rank"))
+        withLag
+          .join(ranks,
+            Seq("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            (col("g_run__q6").cast("double") / 1e6).as("running_qty"),
+            col("prev_qty"), col("qty_rank"),
+            col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+      }
+    // same tie-break tail as the window: the checker canonicalizes row
+    // order before hashing, but leaving the OUTPUT order engine-arbitrary
+    // for the duplicate (orderkey, linenumber) rows invites future
+    // order-sensitive consumers to inherit the ambiguity
+    out.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"), col("prev_qty"), col("qty_rank"),
+        col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"), col("prev_qty"), col("qty_rank"))
   }
 
   // ---- grouping sets / rollup / cube --------------------------------------

@@ -580,20 +580,14 @@ object ReplayOps extends QueryModule {
     spark.catalog.dropTempView("replay_rate_limit")
     val ckpt = mkTempDir("graft_replay_rlim")
     val prevParts = pinPartitions(spark)
-    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = out.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName("replay_rate_limit").start()
-    try {
-      Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
-    } finally {
-      StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts)
-      prevProvider match {
-        case Some(v) => spark.conf.set(ProviderKey, v)
-        case None    => spark.conf.unset(ProviderKey)
+    withRocksDb(spark) {
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName("replay_rate_limit").start()
+      try {
+        Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      } finally {
+        StreamQuiet.quietStop(q); rmTree(ckpt); restorePartitions(spark, prevParts)
       }
     }
     QOps.ordered1(
@@ -638,7 +632,11 @@ object ReplayOps extends QueryModule {
 
   /** Pin the RocksDB state store provider (the only backend
     * transformWithState runs on in Spark 4.1) around `body`, restoring the
-    * session's previous provider after. */
+    * session's previous provider after. (Round 13 measured RocksDB
+    * changelog-checkpointing and trackTotalNumberOfRows=false pins here:
+    * no win outside noise at replay state sizes — per-batch cost is the
+    * per-row store round-trips inside the processors, fixed in
+    * [[TwsTrailProcessor]], not the commit I/O. Left at defaults.) */
   private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(ProviderKey)
@@ -894,9 +892,14 @@ object ReplayOps extends QueryModule {
       val expected = evs.map(_.key).distinct.length.toLong
       in.addData(evs.map(toKafkaShaped).toSeq)
       val deadline = System.currentTimeMillis + 120000
+      // 25 ms poll, not 250: the count() probe is a local-table scan
+      // costing ~1 ms, and a coarse poll overshoots the completion instant
+      // by up to its full period — pure additive latency inside every
+      // Bench-timed run of this replay (guide §1: measure the computation,
+      // not the harness's sleep granularity)
       while (spark.table("replay_sessionize").count() < expected &&
           System.currentTimeMillis < deadline)
-        Thread.sleep(250)
+        Thread.sleep(25)
       // a wedged timeout path must fail HERE with a named cause, not
       // downstream as a confusing oracle hash mismatch on missing rows
       val got = spark.table("replay_sessionize").count()

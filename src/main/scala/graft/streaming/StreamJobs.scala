@@ -193,16 +193,26 @@ class TwsTrailProcessor(trailN: Int)
     val sorted = rows.toArray.sortBy(r => (r._4, r._3))
     val buf = scala.collection.mutable.ArrayBuffer[Long]()
     if (trail.exists()) trail.get().foreach(buf += _)
+    // Batch the MapState traffic (round 13, guide §4.5 applied to the state
+    // store): the original fold did containsKey + getValue + updateValue per
+    // ROW — three store round-trips (RocksDB JNI + encoder each) times 50k
+    // rows/batch dominated this operator's micro-batch (ProfileJobs: addBatch
+    // 2.5 s of a 2.8 s trigger). Read each type's count once at first touch,
+    // accumulate in a local map, write once per type after the fold. Per-row
+    // ranks and the final MapState content are identical; the map's TTL is
+    // processing-time and cannot fire inside a seconds-long batch either way.
+    val local = scala.collection.mutable.HashMap.empty[String, Long]
     val out = Array.newBuilder[TrailOut]
     sorted.foreach { case (k, etype, eid, _, cents) =>
-      val rank =
-        (if (counts.containsKey(etype)) counts.getValue(etype) else 0L) + 1L
-      counts.updateValue(etype, rank)
+      val rank = local.getOrElse(etype,
+        if (counts.containsKey(etype)) counts.getValue(etype) else 0L) + 1L
+      local(etype) = rank
       out += TrailOut(k, eid, rank,
         if (buf.isEmpty) None else Some(buf.max))
       buf += cents
       if (buf.length > trailN) buf.remove(0)
     }
+    local.foreach { case (etype, n) => counts.updateValue(etype, n) }
     trail.put(buf.toArray)
     out.result().iterator
   }
@@ -443,9 +453,6 @@ object StreamJobs {
             topicSink.append(
               Seq((outTopic, null: String, summary, batchTs))
                 .toDF("topic", "key", "value", "ts"))
-            kvSink.upsert(spark,
-              Seq((epochSec.toString, "cf1", "messages", summary, batchTs))
-                .toDF("rowkey", "cf", "qualifier", "cell_value", "ts"))
             // bulk table: distinct messages, rowkey = epochSec-key (O6 intent).
             // Cell ts is the BATCH time, not the surviving row's event time:
             // dropDuplicates keeps an arbitrary physical row, so a per-row ts
@@ -453,9 +460,22 @@ object StreamJobs {
             // (one key, several values) task-order dependent; stamping the
             // batch time pushes ties to the sink's cell_value tiebreak —
             // deterministic, and what the reference effectively did (puts
-            // stamped at write time ≈ batch wall clock)
+            // stamped at write time ≈ batch wall clock).
+            //
+            // ONE upsert per batch, not two (round 13, guide §2.4/§6): the
+            // summary cell and the bulk cells used to go through separate
+            // upsert() calls, i.e. two full read-merge-write cycles of the
+            // bucketed table per micro-batch. The sink's LWW merge is a fold
+            // over a total order (ts DESC, op ASC, cell_value DESC) — a
+            // commutative/associative/idempotent max per cell — so
+            // upsert(A); upsert(B) ≡ upsert(A ∪ B) exactly; rowkey spaces
+            // are disjoint anyway ("<sec>" vs "<sec>-<key>"). Halves the
+            // table-merge jobs per batch; driver-verified hash-identical.
+            val summaryCell =
+              Seq((epochSec.toString, "cf1", "messages", summary, batchTs))
+                .toDF("rowkey", "cf", "qualifier", "cell_value", "ts")
             kvSink.upsert(spark,
-              cached
+              summaryCell.unionAll(cached
                 .dropDuplicates("key", "value")
                 .select(
                   concat(lit(epochSec.toString), lit("-"), coalesce(col("key"), lit("null")))
@@ -465,7 +485,7 @@ object StreamJobs {
                   when(col("key").isNull, lit("kafka empty message"))
                     .otherwise(concat(col("key"), lit("--|--"), col("value")))
                     .as("cell_value"),
-                  lit(batchTs).as("ts")))
+                  lit(batchTs).as("ts"))))
           }
         } finally cached.unpersist()
         ()

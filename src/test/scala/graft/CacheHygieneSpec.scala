@@ -93,5 +93,8 @@ object CacheHygieneSpec {
     "simhash_pairs", "sorted_neighborhood", "source_dedup_matrix",
     "spearman_corr", "supplier_pareto", "token_budget_waterfill", // ranked per-source table read by binding agg + final projection
     "triangle_count", "vocab_growth",
-    "weighted_median")
+    "weighted_median",
+    // r13: wrsBase projection read by the hot-key probe AND the chosen
+    // analytics path (plus both PrefixOps passes on the prefix path)
+    "window_running_supplier")
 }

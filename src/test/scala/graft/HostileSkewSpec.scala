@@ -165,4 +165,22 @@ class HostileSkewSpec extends SparkSpec {
       }
     }
   }
+  // round 13: window_running_supplier gained a hot-key gate — above
+  // WRS_SINGLE_KEY_MAX rows on one supplier the per-supplier window (one
+  // task per key, unsplittable by AQE) is replaced by the PrefixOps
+  // two-level prefix form. The two physical paths must be ROW-identical on
+  // exactly the data that flips the gate: this fixture's hot supplier
+  // (50% of lineitem on one key). Sorted compare: fully-duplicate input
+  // tuples order arbitrarily between themselves in both paths.
+  test("window_running_supplier prefix path ≡ window path under key skew") {
+    val base = operators.RelationalOps.wrsBase(spark, dir)
+    def rows(prefix: Boolean): Seq[String] =
+      operators.RelationalOps.windowRunningSupplierBy(base, prefix)
+        .collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    val w = rows(prefix = false)
+    val p = rows(prefix = true)
+    assert(p.size == w.size, s"row count ${p.size} != ${w.size}")
+    assert(p == w, "prefix path diverges from window path under key skew")
+    spark.catalog.clearCache()
+  }
 }
